@@ -1,0 +1,205 @@
+"""SCD Type 1 + Type 2 engine (SURVEY.md §2.G) — the reference's most
+complex operator, re-expressed without per-row UPDATEs.
+
+The reference runs the SSIS Slowly Changing Dimension transform in 7
+packages (`project SSIS::bor_dim.dtsx:1272-1447` and siblings). Decoded
+semantics:
+
+- probe: existing dimension restricted to current rows
+  (`CurrentRowWhere [start_date] IS NOT NULL AND [end_date] IS NULL`)
+- per-column roles: business key / Changing (Type-1 overwrite) /
+  Historical (Type-2 version) / Fixed
+- routing: New Output -> insert with start_date := load time;
+  Changing-Attr Output -> in-place UPDATE of T1 columns on the current row;
+  Historical-Attr Output -> close the current row (end_date := load time,
+  loan_type variant also is_current := 0, `loan_type_dim.dtsx:450`) and
+  insert a fresh version.
+
+Spark has no row UPDATE, so the engine *rebuilds* the dimension as a union
+of disjoint slices — the classic MERGE-free SCD2:
+
+    history                                (non-current rows, untouched)
+  ∪ current keys absent from staging       (still current)
+  ∪ matched-unchanged                      (still current)
+  ∪ matched-T1                             (T1 columns overwritten in place)
+  ∪ matched-T2 closed                      (end_date := asof, is_current := F)
+  ∪ matched-T2 new versions ∪ brand-new    (fresh SKs, start_date := asof)
+
+Every slice derives from ONE broadcast-probe left join (staging ⟕ current),
+classified once; the rebuild is shuffle-free apart from that join (current
+dims are small) and the optional dense surrogate-key sort, which runs on the
+*new rows only*. At 100 TB the `hash` SK strategy removes the only global
+sort.
+
+Invariants (property-tested in tests/test_scd.py): at most one current row
+per business key; version intervals [start_date, end_date) never overlap;
+rebuild is idempotent (re-applying the same staging is a no-op).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CHANGE_NEW = "new"
+CHANGE_T1 = "t1"
+CHANGE_T2 = "t2"
+CHANGE_NONE = "unchanged"
+
+
+def _any_differs(cols: Sequence[str]) -> Column:
+    """Null-safe 'any column changed' between staging (s_ prefix) and dim."""
+    terms = [~F.col(f"s_{c}").eqNullSafe(F.col(c)) for c in cols]
+    return reduce(lambda a, b: a | b, terms, F.lit(False))
+
+
+def scd_classify(
+    dim: DataFrame,
+    staging: DataFrame,
+    key: str,
+    t1_cols: Sequence[str] = (),
+    t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (),
+    sk_col: str = "sk",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """The SCD probe join + routing decision (SSIS outputs New / Changing /
+    Historical / no-op), as a single classified DataFrame.
+
+    Returns staging columns (s_-prefixed attrs), the matched current dim row's
+    columns, and `change_type` ∈ {new, t1, t2, unchanged}. T2 takes priority
+    over T1 when both change (SSIS routes such rows to the Historical output).
+    """
+    attrs = [*t1_cols, *t2_cols, *fixed_cols]
+    s_ren = staging.select(
+        F.col(key), *[F.col(c).alias(f"s_{c}") for c in attrs]
+    )
+    current = dim.filter(F.col(current_col))
+    probe = s_ren.join(F.broadcast(current), key, "left")
+    return probe.withColumn(
+        "change_type",
+        F.when(F.col(sk_col).isNull(), F.lit(CHANGE_NEW))
+        .when(_any_differs(t2_cols), F.lit(CHANGE_T2))
+        .when(_any_differs(t1_cols), F.lit(CHANGE_T1))
+        .otherwise(F.lit(CHANGE_NONE)),
+    )
+
+
+def scd2_init(
+    staging: DataFrame,
+    key: str,
+    attr_cols: Sequence[str],
+    asof: str,
+    sk_col: str = "sk",
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+    current_col: str = "is_current",
+    sk_strategy: str = "dense",
+    date_type: str = "date",
+) -> DataFrame:
+    """Initial dimension load: every distinct staging key becomes a current
+    version starting at `asof` (SSIS first-run behavior: all rows exit the
+    New Output)."""
+    distinct = staging.select(key, *attr_cols).distinct()
+    keyed = _assign_sks(distinct, key, sk_col, offset=0, strategy=sk_strategy, asof=asof)
+    return keyed.select(
+        sk_col,
+        key,
+        *attr_cols,
+        F.lit(asof).cast(date_type).alias(start_col),
+        F.lit(None).cast(date_type).alias(end_col),
+        F.lit(True).alias(current_col),
+    )
+
+
+def _assign_sks(
+    rows: DataFrame, key: str, sk_col: str, offset, strategy: str, asof: str
+) -> DataFrame:
+    if strategy == "dense":
+        w = Window.orderBy(key)
+        out = rows.withColumn(sk_col, F.row_number().over(w))
+        if isinstance(offset, int):
+            return out.withColumn(sk_col, F.col(sk_col) + F.lit(offset))
+        # offset is a 1-row DataFrame [__max_sk] — broadcast, no collect
+        return out.crossJoin(F.broadcast(offset)).withColumn(
+            sk_col, F.col(sk_col) + F.coalesce(F.col("__max_sk"), F.lit(0))
+        ).drop("__max_sk")
+    if strategy == "hash":
+        return rows.withColumn(sk_col, F.xxhash64(F.col(key), F.lit(asof)))
+    raise ValueError(f"unknown sk_strategy {strategy!r}")
+
+
+def scd2_apply(
+    dim: DataFrame,
+    staging: DataFrame,
+    key: str,
+    t1_cols: Sequence[str] = (),
+    t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (),
+    asof: str = "1970-01-01",
+    sk_col: str = "sk",
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+    current_col: str = "is_current",
+    sk_strategy: str = "dense",
+    date_type: str = "date",
+) -> DataFrame:
+    """Apply one staging snapshot to an SCD2 dimension; returns the rebuilt
+    dimension (same schema/column order as `dim`).
+
+    Keys present in the dimension but absent from staging stay current —
+    matching SSIS, which only routes *incoming* rows.
+    """
+    attrs = [*t1_cols, *t2_cols, *fixed_cols]
+    dim_cols = dim.columns
+    classified = scd_classify(
+        dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col
+    )
+
+    def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
+        return df.select(
+            *[overrides.get(c, F.col(c)).alias(c) for c in dim_cols]
+        )
+
+    history = dim.filter(~F.col(current_col))
+    current = dim.filter(F.col(current_col))
+    untouched = current.join(
+        staging.select(key).distinct(), key, "left_anti"
+    ).select(*dim_cols)
+
+    unchanged = project(classified.filter(F.col("change_type") == CHANGE_NONE), {})
+    t1_updated = project(
+        classified.filter(F.col("change_type") == CHANGE_T1),
+        {c: F.col(f"s_{c}") for c in t1_cols},
+    )
+    t2_closed = project(
+        classified.filter(F.col("change_type") == CHANGE_T2),
+        {
+            end_col: F.lit(asof).cast(date_type),
+            current_col: F.lit(False),
+        },
+    )
+
+    fresh_src = classified.filter(
+        F.col("change_type").isin(CHANGE_NEW, CHANGE_T2)
+    ).select(F.col(key), *[F.col(f"s_{c}").alias(c) for c in attrs])
+    max_sk = dim.agg(F.max(sk_col).alias("__max_sk"))
+    fresh = _assign_sks(
+        fresh_src, key, sk_col, offset=max_sk, strategy=sk_strategy, asof=asof
+    )
+    fresh = fresh.select(
+        *[
+            {
+                start_col: F.lit(asof).cast(date_type).alias(start_col),
+                end_col: F.lit(None).cast(date_type).alias(end_col),
+                current_col: F.lit(True).alias(current_col),
+            }.get(c, F.col(c).alias(c))
+            for c in dim_cols
+        ]
+    )
+
+    parts = [history, untouched, unchanged, t1_updated, t2_closed, fresh]
+    return reduce(DataFrame.unionByName, parts)

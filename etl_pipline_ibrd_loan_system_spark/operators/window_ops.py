@@ -1,0 +1,98 @@
+"""Window operators (SURVEY.md §2.E).
+
+The reference's one window op is a global-order forward-fill
+(pyspark_dag2.py:371-379): `last(col, ignorenulls=True)` over
+`Window.orderBy(key).rowsBetween(-inf, 0)` with NO partitionBy — a
+single-task global sort. We keep that exact semantic for parity and add the
+scalable two-pass variant a 100 TB run needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_fill(
+    df: DataFrame,
+    order_by: Sequence[str],
+    target: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """E1 — forward-fill nulls in `target` in `order_by` order.
+
+    With `partition_by=None` this reproduces the reference exactly
+    (pyspark_dag2.py:375-379): one global sort, one task — correct but a
+    scale hazard (documented; Spark warns "No Partition Defined"). Pass
+    `partition_by` to shard the window when the fill key is known to be
+    contained within a partition key (e.g. fill project_name within
+    project_id).
+    """
+    w = (
+        Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(target, F.last(target, ignorenulls=True).over(w))
+
+
+def forward_fill_scalable(
+    df: DataFrame, order_by: Sequence[str], target: str, num_buckets: int = 256
+) -> DataFrame:
+    """E1 at scale — distributed global forward-fill without a single-task sort.
+
+    Two-pass algorithm over range buckets of the order key:
+    1. range-partition rows into `num_buckets` ordered buckets
+       (percentile-based split points, same mechanism as repartitionByRange);
+    2. per bucket, compute the bucket-local fill plus the bucket's last
+       non-null value; broadcast the tiny per-bucket "carry" table and fill
+       each bucket's leading nulls from the nearest preceding bucket's carry.
+
+    Equivalent to the global window for a total order key; shuffle cost is
+    one range partitioning instead of a 1-task sort.
+    """
+    okey = F.struct(*[F.col(c) for c in order_by])
+    bucketed = df.repartitionByRange(num_buckets, *order_by).withColumn(
+        "__bucket", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_local = bucketed.withColumn(
+        target, F.last(target, ignorenulls=True).over(local_w)
+    )
+    # Bucket carry = the filled value on the bucket's last row (null only if
+    # the whole bucket saw no non-null). num_buckets rows — trivially small.
+    carries = filled_local.groupBy("__bucket").agg(
+        F.max_by(F.col(target), okey).alias("__carry")
+    )
+    prev_w = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = carries.withColumn(
+        "__carry_prev", F.last("__carry", ignorenulls=True).over(prev_w)
+    ).select("__bucket", "__carry_prev")
+    return (
+        filled_local.join(F.broadcast(carries), "__bucket", "left")
+        .withColumn(target, F.coalesce(F.col(target), F.col("__carry_prev")))
+        .drop("__bucket", "__carry_prev")
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col,
+    n: int,
+    rank_col: str = "rn",
+    ascending: bool = False,
+) -> DataFrame:
+    """E2/F4 — dashboard-style top-N: rank within group by a measure and
+    keep the first `n`. (The BI layer only sorts; rank is the top-N
+    generalization the dashboard parity needs.)"""
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*partition_by).orderBy(order.asc() if ascending else order.desc())
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)

@@ -1,0 +1,41 @@
+"""Driver-contract smoke tests: entry() runs, every query runs at sf0.001,
+every oracle key has a matching query, column names line up with the SQL."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) > 0
+
+
+def test_all_queries_run_sf0001(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+        assert len(df.columns) == len(set(df.columns)), f"{name}: dup columns"
+
+
+def test_aliases_match_oracle_sql(spark, sf_dir):
+    """Spark result columns must all appear in the oracle SQL text (driver
+    sorts columns by name before hashing)."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name, sql in oracles.items():
+        cols = qs[name](spark, sf_dir).columns
+        sql_low = sql.lower()
+        for c in cols:
+            assert re.search(rf"\b{re.escape(c.lower())}\b", sql_low), (
+                f"{name}: column {c} not present in oracle SQL"
+            )

@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry at a given sf dir, runs the matching
+`oracle_sql()` in DuckDB over the same parquet, and compares row count,
+column names (sorted), and exact values (rows sorted by all columns).
+
+Usage: python tools/selfcheck.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from etl_pipline_ibrd_loan_system_spark.catalog import TABLES  # noqa: E402
+from etl_pipline_ibrd_loan_system_spark.session import get_session  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v
+            )
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    s, o = normalize(sdf), normalize(odf)
+    if len(s) == len(o):
+        try:
+            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+        except AssertionError as exc:
+            msg = str(exc).split("\n")
+            problems.append("values differ: " + " | ".join(msg[:6]))
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    )
+    spark = get_session("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        status = f"rows={len(sdf)}"
+        if name in oracles:
+            try:
+                odf = con.execute(oracles[name]).fetchdf()
+            except Exception:
+                print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
+                failed.append(name)
+                continue
+            problems = compare(name, sdf, odf)
+            if problems:
+                print(f"FAIL  {name}: " + "; ".join(problems))
+                failed.append(name)
+                continue
+            status += " oracle=match"
+        else:
+            status += " oracle=NONE(rows-only)"
+        print(f"ok    {name}: {status} ({time.time() - t0:.1f}s)")
+    total = len(only) if only else len(qs)
+    print(f"\n{total - len(failed)}/{total} passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
