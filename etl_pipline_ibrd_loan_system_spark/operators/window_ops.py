@@ -85,14 +85,14 @@ def forward_fill_scalable(
 def top_n_per_group(
     df: DataFrame,
     partition_by: Sequence[str],
-    order_col,
+    order_cols: Sequence,
     n: int,
     rank_col: str = "rn",
-    ascending: bool = False,
 ) -> DataFrame:
     """E2/F4 — dashboard-style top-N: rank within group by a measure and
     keep the first `n`. (The BI layer only sorts; rank is the top-N
-    generalization the dashboard parity needs.)"""
-    order = F.col(order_col) if isinstance(order_col, str) else order_col
-    w = Window.partitionBy(*partition_by).orderBy(order.asc() if ascending else order.desc())
+    generalization the dashboard parity needs.) `order_cols` are Column
+    expressions — include a tiebreak key for determinism."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)

@@ -114,3 +114,432 @@ def b3_lowercase_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d2_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_loans"))
+
+
+# --- B4: dictionary value recode (pyspark_dag2.py:304-305) ---------------
+
+
+@query(
+    "b4_dict_recode",
+    sql="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'BUILDING' THEN 'bldg' WHEN 'AUTOMOBILE' THEN 'auto'
+             WHEN 'MACHINERY' THEN 'mach' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def b4_dict_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    recoded = cleaning.recode(
+        cust,
+        {"BUILDING": "bldg", "AUTOMOBILE": "auto", "MACHINERY": "mach"},
+        subset=["c_mktsegment"],
+    )
+    return recoded.select("c_custkey", "c_mktsegment")
+
+
+# --- B5: keyed conditional overwrite (pyspark_dag2.py:307-311) -----------
+
+
+@query(
+    "b5_conditional_overwrite",
+    sql="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'BUILDING' THEN 'construction corp'
+             WHEN 'FURNITURE' THEN 'furniture corp'
+             ELSE c_name END AS c_name,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def b5_conditional_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    out = cleaning.conditional_overwrite(
+        cust,
+        target="c_name",
+        key_col="c_mktsegment",
+        pairs={"BUILDING": "construction corp", "FURNITURE": "furniture corp"},
+    )
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- B6: null fill (pyspark_dag2.py:362) ---------------------------------
+
+
+@query(
+    "b6_null_fill",
+    sql="""
+    SELECT doc_id, COALESCE(NULLIF(lang, 'en'), 'not_specified') AS lang_filled
+    FROM documents
+    """,
+)
+def b6_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # manufacture nulls deterministically (testdata has none), then fill —
+    # the operator under test is na.fill (B6)
+    withnull = docs.withColumn(
+        "lang_filled", F.when(F.col("lang") == "en", None).otherwise(F.col("lang"))
+    )
+    return cleaning.fill_nulls(withnull, "not_specified", ["lang_filled"]).select(
+        "doc_id", "lang_filled"
+    )
+
+
+# --- B7: literal-map business-key encode (pyspark_dag2.py:355-369) -------
+
+
+@query(
+    "b7_map_encode",
+    sql="""
+    SELECT r_regionkey, r_name,
+           CASE r_name WHEN 'AFRICA' THEN 1 WHEN 'AMERICA' THEN 2 WHEN 'ASIA' THEN 3
+                       WHEN 'EUROPE' THEN 4 ELSE NULL END AS region_bk
+    FROM region
+    """,
+)
+def b7_map_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    # 'MIDDLE EAST' intentionally absent -> null BK path (FIXTURES.md §B)
+    return cleaning.map_encode(
+        region,
+        {"AFRICA": 1, "AMERICA": 2, "ASIA": 3, "EUROPE": 4},
+        source="r_name",
+        dest="region_bk",
+    ).select("r_regionkey", "r_name", "region_bk")
+
+
+# --- B8: derived arithmetic column (pyspark_dag2.py:380-382) -------------
+
+
+@query(
+    "b8_derived_arithmetic",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_quantity + l_tax AS repaid
+    FROM lineitem
+    """,
+)
+def b8_derived_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = cleaning.derived_sum(li, "repaid", ["l_quantity", "l_tax"], drop_inputs=False)
+    return out.select("l_orderkey", "l_linenumber", "repaid")
+
+
+# --- B11/B12: type-cast projection (loan_fact.dtsx:221-443) --------------
+
+
+@query(
+    "b11_cast_projection",
+    sql="""
+    SELECT CAST(s_suppkey AS VARCHAR) AS s_suppkey_str,
+           CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal_dec,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey_long
+    FROM supplier
+    """,
+)
+def b11_cast_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decimal cast round-tripped to double: exercises the cast while keeping
+    # the output schema primitive (Decimal objects hash differently per engine)
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.select(
+        F.col("s_suppkey").cast("string").alias("s_suppkey_str"),
+        F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("s_acctbal_dec"),
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey_long"),
+    )
+
+
+# --- C1: full-cache equi lookup with current-slice filter ----------------
+# (`project SSIS::country_dimension.dtsx:1257-1290`)
+
+
+@query(
+    "c1_lookup_current_slice",
+    sql="""
+    SELECT c_custkey, c_name, n.n_name AS nation_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey < 3
+    """,
+)
+def c1_lookup_current_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.star import lookup_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").withColumn(
+        "is_current", F.col("n_regionkey") < 3
+    )
+    out = lookup_join(
+        cust,
+        nation,
+        on={"c_nationkey": "n_nationkey"},
+        copy_cols={"n_name": "nation_name"},
+        current_col="is_current",
+        how="inner",
+    )
+    return out.select("c_custkey", "c_name", "nation_name")
+
+
+# --- C2: surrogate-key lookup cascade (loan_fact.dtsx:921-1710) ----------
+
+
+@query(
+    "c2_lookup_cascade",
+    sql="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand AS part_brand,
+           s.s_name AS supplier_name, o.o_orderstatus AS order_status,
+           l.l_quantity
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def c2_lookup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.star import build_fact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    return build_fact(
+        li,
+        lookups=[
+            (part, {"l_partkey": "p_partkey"}, {"p_brand": "part_brand"}),
+            (sup, {"l_suppkey": "s_suppkey"}, {"s_name": "supplier_name"}),
+            (orders, {"l_orderkey": "o_orderkey"}, {"o_orderstatus": "order_status"}),
+        ],
+        measure_cols=["l_quantity"],
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+# --- C3: role-playing date-dimension lookups (loan_fact.dtsx:62-920) -----
+
+
+@query(
+    "c3_role_playing_dates",
+    sql="""
+    WITH dd AS (
+      SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INT) AS date_sk, d AS date
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+            WHERE o_orderdate IS NOT NULL
+            UNION
+            SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem
+            WHERE l_shipdate IS NOT NULL)
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           ds.date_sk AS ship_date_sk, od.date_sk AS order_date_sk
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN dd ds ON CAST(l.l_shipdate AS DATE) = ds.date
+    JOIN dd od ON CAST(o.o_orderdate AS DATE) = od.date
+    """,
+)
+def c3_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.star import build_date_dimension, lookup_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dates = orders.select(F.col("o_orderdate").alias("d")).unionByName(
+        li.select(F.col("l_shipdate").alias("d"))
+    )
+    dimdate = build_date_dimension(dates, "d")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        li.l_orderkey, "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    fact = lookup_join(fact, dimdate, {"ship_date": "date"}, {"date_sk": "ship_date_sk"})
+    fact = lookup_join(fact, dimdate, {"order_date": "date"}, {"date_sk": "order_date_sk"})
+    return fact.select("l_orderkey", "l_linenumber", "ship_date_sk", "order_date_sk")
+
+
+# --- D1: DISTINCT projection (loan_type_dim.dtsx:569) --------------------
+
+
+@query(
+    "d1_distinct_projection",
+    sql="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def d1_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- D3: SUM measures by group (dashboard "Total Loan Amount") -----------
+
+
+@query(
+    "d3_sum_by_group",
+    sql=f"""
+    SELECT o_orderpriority, {sql_dsum('o_totalprice', 'total_amount')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d3_sum_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(dsum("o_totalprice", "total_amount"))
+
+
+# --- D4: AVG measure (dashboard "Average Interest Rate") -----------------
+
+
+@query(
+    "d4_avg_by_group",
+    sql=f"""
+    SELECT l_returnflag, {sql_davg('l_discount', 'avg_rate')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d4_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(davg("l_discount", "avg_rate"))
+
+
+# --- D5: derived product measure (dashboard "Interest Income") -----------
+
+
+@query(
+    "d5_product_measure",
+    sql=f"""
+    SELECT l_returnflag,
+           {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4))', 'interest_income', cast=False)}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d5_product_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    income = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(8,4)"
+    )
+    return li.groupBy("l_returnflag").agg(dsum(income, "interest_income", cast_to=None))
+
+
+# --- D6: DISTINCTCOUNT measures (dashboard "Borrowers"/"Guarantors") -----
+
+
+@query(
+    "d6_distinct_count",
+    sql="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_borrowers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def d6_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_borrowers")
+    )
+
+
+# --- D7: time-series aggregate by year (dashboard date hierarchy) --------
+
+
+@query(
+    "d7_year_timeseries",
+    sql=f"""
+    SELECT year(o_orderdate) AS order_year, {sql_dsum('o_totalprice', 'loan_amount')}
+    FROM orders GROUP BY year(o_orderdate) ORDER BY order_year
+    """,
+)
+def d7_year_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(dsum("o_totalprice", "loan_amount"))
+        .orderBy("order_year")
+    )
+
+
+# --- E1: global-order forward-fill (pyspark_dag2.py:371-379) -------------
+
+_E1_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           last_value(flag_sparse IGNORE NULLS) OVER (
+             ORDER BY l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS flag_filled
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_quantity < 5 THEN NULL ELSE l_returnflag END AS flag_sparse
+          FROM lineitem)
+    """
+
+
+@query("e1_forward_fill", sql=_E1_SQL)
+def e1_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_ops import forward_fill
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") < 5, None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag_filled"),
+    )
+    return forward_fill(li, ["l_orderkey", "l_linenumber"], "flag_filled")
+
+
+@query("e1b_forward_fill_scalable", sql=_E1_SQL)
+def e1b_forward_fill_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as e1 via the distributed range-bucketed two-pass
+    algorithm — oracle-checked equal to the global window."""
+    from ..operators.window_ops import forward_fill_scalable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_quantity") < 5, None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("flag_filled"),
+    )
+    return forward_fill_scalable(li, ["l_orderkey", "l_linenumber"], "flag_filled")
+
+
+# --- E2/F4: top-N per group (dashboard sort-by-measure + rank) -----------
+
+
+@query(
+    "e2_top_n_per_group",
+    sql="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 5
+    """,
+)
+def e2_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.window_ops import top_n_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = top_n_per_group(
+        orders,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n=5,
+    )
+    return ranked.select("o_orderstatus", "o_orderkey", "o_totalprice", "rn")
+
+
+# --- F1: paged UNION ALL accumulate (spark_airflow.ipynb:113-114) --------
+
+
+@query(
+    "f1_union_pages",
+    sql=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM (
+      SELECT * FROM lineitem WHERE l_orderkey % 3 = 0
+      UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 3 = 1
+      UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 3 = 2
+    ) GROUP BY l_returnflag
+    """,
+)
+def f1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setops import union_pages
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pages = [li.filter(F.col("l_orderkey") % 3 == m) for m in (0, 1, 2)]
+    return (
+        union_pages(pages)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )

@@ -1,0 +1,173 @@
+"""Star-schema + SCD queries (SURVEY.md §2.C C4, §2.G, §7 M3/M4).
+
+Fixture (FIXTURES.md §C): `supplier` is the dimension source; the staging
+snapshot is a deterministic mutation of it —
+
+- s_suppkey % 10 == 0 -> s_acctbal + 100      (Type-1 "Changing" attribute)
+- s_suppkey % 10 == 1 -> s_name || '_v2'      (Type-2 "Historical" attribute)
+- s_suppkey % 10 == 2 -> also appears as a brand-new key (+1_000_000)
+
+exercising all three SSIS SCD outputs (New / Changing / Historical,
+`project SSIS::bor_dim.dtsx:1272-1447`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.scd import scd2_apply, scd2_init, scd_classify
+from ..operators.star import build_dimension
+from . import query
+
+ASOF0 = "2024-01-01"
+ASOF1 = "2024-06-01"
+
+_FIXTURE_SQL = """
+    dim0 AS (
+      SELECT row_number() OVER (ORDER BY s_suppkey) AS sk,
+             s_suppkey, s_name, s_acctbal, s_nationkey,
+             DATE '2024-01-01' AS start_date, CAST(NULL AS DATE) AS end_date,
+             TRUE AS is_current
+      FROM supplier
+    ),
+    staging AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 1 THEN s_name || '_v2' ELSE s_name END AS s_name,
+             CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100 ELSE s_acctbal END AS s_acctbal,
+             s_nationkey
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 1000000, 'NEW_' || s_name, s_acctbal, s_nationkey
+      FROM supplier WHERE s_suppkey % 10 = 2
+    ),
+    classified AS (
+      SELECT st.s_suppkey, st.s_name, st.s_acctbal, st.s_nationkey,
+             d.sk, d.s_name AS d_name, d.s_acctbal AS d_acctbal,
+             d.s_nationkey AS d_nationkey, d.start_date,
+             CASE WHEN d.sk IS NULL THEN 'new'
+                  WHEN st.s_name IS DISTINCT FROM d.s_name THEN 't2'
+                  WHEN st.s_acctbal IS DISTINCT FROM d.s_acctbal THEN 't1'
+                  ELSE 'unchanged' END AS change_type
+      FROM staging st LEFT JOIN dim0 d ON st.s_suppkey = d.s_suppkey
+    )
+"""
+
+
+def scd_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(initial dimension, mutated staging snapshot)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    dim0 = scd2_init(
+        sup, key="s_suppkey", attr_cols=["s_name", "s_acctbal", "s_nationkey"],
+        asof=ASOF0, sk_col="sk",
+    )
+    mod10 = F.col("s_suppkey") % 10
+    staging = sup.select(
+        "s_suppkey",
+        F.when(mod10 == 1, F.concat(F.col("s_name"), F.lit("_v2")))
+        .otherwise(F.col("s_name"))
+        .alias("s_name"),
+        F.when(mod10 == 0, F.col("s_acctbal") + 100)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+        "s_nationkey",
+    ).unionByName(
+        sup.filter(mod10 == 2).select(
+            (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+            F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
+            "s_acctbal",
+            "s_nationkey",
+        )
+    )
+    return dim0, staging
+
+
+# --- C4: SCD probe join + routing decision -------------------------------
+
+
+@query(
+    "c4_scd_classify",
+    sql=f"""
+    WITH {_FIXTURE_SQL}
+    SELECT change_type, COUNT(*) AS n FROM classified GROUP BY change_type
+    """,
+)
+def c4_scd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim0, staging = scd_fixture(spark, sf_dir)
+    classified = scd_classify(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        sk_col="sk",
+    )
+    return classified.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- G1: full SCD2 apply — the rebuilt dimension -------------------------
+
+
+@query(
+    "g1_scd2_apply",
+    sql=f"""
+    WITH {_FIXTURE_SQL},
+    maxsk AS (SELECT COUNT(*) AS m FROM dim0),
+    fresh AS (
+      SELECT (SELECT m FROM maxsk) + row_number() OVER (ORDER BY s_suppkey) AS sk,
+             s_suppkey, s_name, s_acctbal, s_nationkey,
+             DATE '2024-06-01' AS start_date, CAST(NULL AS DATE) AS end_date,
+             TRUE AS is_current
+      FROM classified WHERE change_type IN ('new', 't2')
+    )
+    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM (
+      SELECT sk, s_suppkey, d_name AS s_name, d_acctbal AS s_acctbal,
+             d_nationkey AS s_nationkey, start_date,
+             CAST(NULL AS DATE) AS end_date, TRUE AS is_current
+      FROM classified WHERE change_type = 'unchanged'
+      UNION ALL
+      SELECT sk, s_suppkey, d_name, s_acctbal, d_nationkey, start_date,
+             CAST(NULL AS DATE), TRUE
+      FROM classified WHERE change_type = 't1'
+      UNION ALL
+      SELECT sk, s_suppkey, d_name, d_acctbal, d_nationkey, start_date,
+             DATE '2024-06-01', FALSE
+      FROM classified WHERE change_type = 't2'
+      UNION ALL
+      SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey, start_date,
+             end_date, is_current FROM fresh
+    )
+    """,
+)
+def g1_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    # dates surfaced as ISO strings: Spark DateType and DuckDB DATE reach
+    # pandas as different object types, which would break the value hash
+    return dim1.withColumn(
+        "start_date", F.col("start_date").cast("string")
+    ).withColumn("end_date", F.col("end_date").cast("string"))
+
+
+# --- M3: generic dimension build (distinct + dense surrogate key) --------
+
+
+@query(
+    "m3_build_dimension",
+    sql="""
+    SELECT row_number() OVER (ORDER BY c_mktsegment) AS segment_sk,
+           c_mktsegment, 1 AS source_system_code
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def m3_build_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return build_dimension(
+        cust, bk_col="c_mktsegment", attr_cols=[], sk_col="segment_sk",
+        sk_strategy="dense",
+    )

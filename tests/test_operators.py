@@ -1,0 +1,61 @@
+"""Operator-level unit/property tests: forward-fill, union pages, lookups."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_pipline_ibrd_loan_system_spark.operators.setops import union_pages
+from etl_pipline_ibrd_loan_system_spark.operators.star import (
+    lookup_join,
+    lookup_misses,
+)
+from etl_pipline_ibrd_loan_system_spark.operators.window_ops import (
+    forward_fill,
+    forward_fill_scalable,
+)
+
+
+def _sparse_df(spark, n=500, gap=7):
+    rows = [(i, None if i % gap else f"v{i}") for i in range(n)]
+    return spark.createDataFrame(rows, ["k", "val"])
+
+
+def test_forward_fill_matches_scalable(spark):
+    df = _sparse_df(spark)
+    a = forward_fill(df, ["k"], "val").orderBy("k").collect()
+    b = forward_fill_scalable(df, ["k"], "val", num_buckets=8).orderBy("k").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_forward_fill_idempotent(spark):
+    df = _sparse_df(spark)
+    once = forward_fill(df, ["k"], "val")
+    twice = forward_fill(once, ["k"], "val")
+    assert once.orderBy("k").collect() == twice.orderBy("k").collect()
+
+
+def test_forward_fill_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None), (4, None), (5, "b"), (6, None)],
+        ["k", "val"],
+    )
+    got = {r.k: r.val for r in forward_fill(df, ["k"], "val").collect()}
+    assert got == {1: None, 2: "a", 3: "a", 4: "a", 5: "b", 6: "b"}
+
+
+def test_union_pages_preserves_counts(spark):
+    pages = [spark.range(i * 10, (i + 1) * 10) for i in range(7)]
+    acc = union_pages(pages, checkpoint_every=3)
+    assert acc.count() == 70
+    assert acc.distinct().count() == 70
+
+
+def test_lookup_join_inner_drops_misses_and_captures_them(spark):
+    fact = spark.createDataFrame([(1, "x"), (2, "y"), (9, "z")], ["fk", "v"])
+    dim = spark.createDataFrame([(1, 101, True), (2, 102, True), (3, 103, False)],
+                                ["pk", "sk", "is_current"])
+    hit = lookup_join(fact, dim, {"fk": "pk"}, {"sk": "dim_sk"},
+                      current_col="is_current")
+    assert sorted((r.fk, r.dim_sk) for r in hit.collect()) == [(1, 101), (2, 102)]
+    miss = lookup_misses(fact, dim, {"fk": "pk"}, current_col="is_current")
+    assert [r.fk for r in miss.collect()] == [9]

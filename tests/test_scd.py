@@ -1,0 +1,117 @@
+"""SCD2 engine property tests (SURVEY.md §5.3, FIXTURES.md §C).
+
+Invariants: at most one current row per business key; version intervals
+non-overlapping; idempotence (re-applying the same staging is a no-op);
+all three routing outputs exercised by the two-load fixture.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+    scd2_apply,
+    scd2_init,
+    scd_classify,
+)
+
+ROWS0 = [
+    # (bk, name[T2], balance[T1], country[fixed])
+    ("b1", "alpha", 10.0, "fr"),
+    ("b2", "beta", 20.0, "de"),
+    ("b3", "gamma", 30.0, "es"),
+    ("b4", "delta", 40.0, "it"),
+]
+ROWS1 = [
+    ("b1", "alpha", 10.0, "fr"),        # unchanged
+    ("b2", "beta", 25.0, "de"),         # T1: balance overwritten
+    ("b3", "gamma_renamed", 30.0, "es"),  # T2: new version
+    ("b5", "epsilon", 50.0, "pt"),      # new key  (b4 absent -> stays current)
+]
+COLS = ["bk", "name", "balance", "country"]
+KW = dict(key="bk", t1_cols=["balance"], t2_cols=["name"], fixed_cols=["country"], sk_col="sk")
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    s0 = spark.createDataFrame(ROWS0, COLS)
+    s1 = spark.createDataFrame(ROWS1, COLS)
+    dim0 = scd2_init(s0, key="bk", attr_cols=COLS[1:], asof="2024-01-01", sk_col="sk")
+    dim1 = scd2_apply(dim0, s1, asof="2024-02-01", **KW)
+    return s0, s1, dim0, dim1
+
+
+def test_initial_load_all_current(spark, dims):
+    _, _, dim0, _ = dims
+    rows = dim0.collect()
+    assert len(rows) == 4
+    assert all(r.is_current for r in rows)
+    assert sorted(r.sk for r in rows) == [1, 2, 3, 4]
+
+
+def test_classification(spark, dims):
+    s0, s1, dim0, _ = dims
+    c = {
+        r.change_type: r.n
+        for r in scd_classify(dim0, s1, **KW)
+        .groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert c == {"unchanged": 1, "t1": 1, "t2": 1, "new": 1}
+
+
+def test_apply_routing(spark, dims):
+    *_, dim1 = dims
+    rows = {(r.bk, r.is_current): r for r in dim1.collect()}
+    assert len(rows) == 6  # 4 original + closed b3 version replaced + b5
+    # T1: balance overwritten in place, version row intact
+    b2 = rows[("b2", True)]
+    assert b2.balance == 25.0 and str(b2.start_date) == "2024-01-01"
+    # T2: old version closed, new version opened
+    b3_old, b3_new = rows[("b3", False)], rows[("b3", True)]
+    assert b3_old.name == "gamma" and str(b3_old.end_date) == "2024-02-01"
+    assert b3_new.name == "gamma_renamed" and str(b3_new.start_date) == "2024-02-01"
+    assert b3_new.end_date is None
+    # absent key untouched
+    assert rows[("b4", True)].name == "delta"
+    # new key inserted with fresh SK
+    assert rows[("b5", True)].sk > 4
+
+
+def test_invariant_one_current_per_key(spark, dims):
+    *_, dim1 = dims
+    dupes = (
+        dim1.filter("is_current").groupBy("bk").count().filter("count > 1").count()
+    )
+    assert dupes == 0
+
+
+def test_invariant_nonoverlapping_intervals(spark, dims):
+    *_, dim1 = dims
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bk").orderBy("start_date")
+    overlaps = (
+        dim1.withColumn("next_start", F.lead("start_date").over(w))
+        .filter(F.col("next_start").isNotNull())
+        .filter(~(F.col("end_date") <= F.col("next_start")))
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_idempotent_reapply(spark, dims):
+    _, s1, _, dim1 = dims
+    dim2 = scd2_apply(dim1, s1, asof="2024-03-01", **KW)
+    a = sorted(map(tuple, dim1.collect()))
+    b = sorted(map(tuple, dim2.collect()))
+    assert a == b
+
+
+def test_hash_sk_strategy_distributed(spark, dims):
+    s0, s1, _, _ = dims
+    dim0 = scd2_init(s0, key="bk", attr_cols=COLS[1:], asof="2024-01-01",
+                     sk_col="sk", sk_strategy="hash")
+    dim1 = scd2_apply(dim0, s1, asof="2024-02-01", sk_strategy="hash", **KW)
+    assert dim1.select("sk").distinct().count() == dim1.count()  # unique SKs
+    assert dim1.filter("is_current").count() == 5

@@ -25,8 +25,14 @@ from etl_pipline_ibrd_loan_system_spark.session import get_session  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: v is None or isinstance(v, datetime.date)
+        ).all() and df[c].notna().any():
+            df[c] = pd.to_datetime(df[c])
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
