@@ -1,0 +1,198 @@
+"""The reference's full ETL, as ONE continuous Spark lineage.
+
+Reproduces the capability chain of `pyspark_dag2.py` (tasks
+fetch -> filter_and_drop -> clean -> mapping -> write, :442-511) and the
+notebook (`spark_airflow.ipynb` cells 2-8) — but without the XCom
+collect/re-createDataFrame boundary between stages (SURVEY.md §3.1: each
+XCom hop destroys the plan; §3.2 is the single-plan lifecycle we adopt).
+Catalyst sees the whole pipeline and pushes the snapshot filter into the
+scan, prunes dropped columns, and pipelines every narrow op into one
+codegen stage.
+
+Stage map (reference file:line -> function here):
+
+- snapshot filter + drops     pyspark_dag2.py:120-127   clean_stage
+- lowercase-normalize         pyspark_dag2.py:130-132   clean_stage
+- dict recodes                pyspark_dag2.py:304-305   standardize_stage
+- borrower overwrite          pyspark_dag2.py:307-311   standardize_stage
+- null fill                   pyspark_dag2.py:362       encode_stage
+- BK literal-map encode       pyspark_dag2.py:355-369   encode_stage
+- project-name forward-fill   pyspark_dag2.py:371-379   encode_stage
+- repaid/due derivation       pyspark_dag2.py:380-382   encode_stage
+- SCD dims + fact cascade     project SSIS (§2.G, C2/C3) build_star
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import cleaning
+from ..operators.scd import scd2_apply, scd2_init
+from ..operators.star import build_date_dimension, build_fact
+from ..operators.window_ops import forward_fill
+
+# proper-case literals: the filter runs before lowercase-normalize, exactly
+# like the reference (pyspark_dag2.py:120-126 then :130-132)
+SNAPSHOT_DATES = [f"30-Jun-{y}" for y in range(2011, 2025)]
+
+DROP_COLUMNS = [
+    "currency_of_commitment",
+    "exchange_adjustment",
+    "agreement_signing_date",
+    "effective_date_most_recent",
+    "closed_date_most_recent",
+    "last_disbursement_date",
+]
+
+# dimension name -> (business-key column, attr columns, T1 cols, T2 cols)
+# roles decoded from the 7 SSIS packages (SURVEY.md §2.G)
+DIM_SPECS = {
+    "region": ("region_bk", ["region"], [], ["region"]),
+    "country": ("country_bk", ["country", "country_code"], ["country_code"], ["country"]),
+    "borrower": ("borrower_bk", ["borrower"], ["borrower"], []),
+    "guarantor": ("guarantor_bk", ["guarantor", "guarantor_country_code"],
+                  ["guarantor_country_code"], ["guarantor"]),
+    "loan_status": ("loan_status_bk", ["loan_status"], [], ["loan_status"]),
+    "loan_type": ("loan_type_bk", ["loan_type"], [], ["loan_type"]),
+    "project": ("project_id", ["project_name_"], [], ["project_name_"]),
+}
+
+DATE_FK_COLS = [
+    "end_of_period",
+    "first_repayment_date",
+    "last_repayment_date",
+    "board_approval_date",
+]
+
+MEASURE_COLS = [
+    "original_principal_amount",
+    "cancelled_amount",
+    "undisbursed_amount",
+    "disbursed_amount",
+    "borrowers_obligation",
+    "interest_rate",
+    "repaid",
+    "due",
+]
+
+
+def clean_stage(raw: DataFrame, snapshot_dates: Sequence[str] = SNAPSHOT_DATES) -> DataFrame:
+    """B1 snapshot filter + B2 drops + B3 lowercase, one Project node."""
+    kept = cleaning.snapshot_filter(raw, "end_of_period", list(snapshot_dates))
+    kept = cleaning.drop_columns(kept, [c for c in DROP_COLUMNS if c in raw.columns])
+    return cleaning.lowercase_strings(kept)
+
+
+def standardize_stage(
+    df: DataFrame,
+    status_map: Mapping[str, str],
+    type_map: Mapping[str, str],
+    country_map: Mapping[str, str],
+    region_map: Mapping[str, str],
+    borrower_by_country: Mapping[str, str],
+) -> DataFrame:
+    """B4 recodes + B5 conditional borrower overwrite."""
+    out = cleaning.recode(df, dict(status_map), ["loan_status"])
+    out = cleaning.recode(out, dict(type_map), ["loan_type"])
+    out = cleaning.recode(out, dict(country_map), ["country", "guarantor"])
+    out = cleaning.recode(out, dict(region_map), ["region"])
+    return cleaning.conditional_overwrite(
+        out, target="borrower", key_col="country", pairs=dict(borrower_by_country)
+    )
+
+
+def encode_stage(
+    df: DataFrame,
+    bk_maps: Mapping[str, Mapping[str, int]],
+    forward_fill_project_names: bool = True,
+) -> DataFrame:
+    """B6 fill + B7 BK encodes + E1 forward-fill + B8 derived amounts.
+
+    `bk_maps`: source column -> {value: business key int}; emits `<col>_bk`.
+    """
+    out = cleaning.fill_nulls(df, "not_specified", ["borrower", "guarantor"])
+    for src, mapping in bk_maps.items():
+        out = cleaning.map_encode(out, dict(mapping), source=src, dest=f"{src}_bk")
+    if forward_fill_project_names:
+        out = forward_fill(out, ["loan_number"], "project_name_")
+    out = cleaning.derived_sum(out, "repaid", ["repaid_to_ibrd", "repaid_3rd_party"],
+                               drop_inputs=True)
+    out = cleaning.derived_sum(out, "due", ["due_to_ibrd", "due_3rd_party"],
+                               drop_inputs=True)
+    return out.drop("sold_3rd_party", "loans_held")
+
+
+def run_clean_pipeline(
+    raw: DataFrame,
+    maps: Mapping[str, Mapping[str, str]],
+    bk_maps: Mapping[str, Mapping[str, int]],
+) -> DataFrame:
+    """raw API rows -> cleaned 29-col staging (`LoanData` parity,
+    pyspark_dag2.py:393-421), one lazy plan end to end."""
+    cleaned = clean_stage(raw)
+    std = standardize_stage(
+        cleaned,
+        status_map=maps.get("status", {}),
+        type_map=maps.get("type", {}),
+        country_map=maps.get("country", {}),
+        region_map=maps.get("region", {}),
+        borrower_by_country=maps.get("borrower_by_country", {}),
+    )
+    return encode_stage(std, bk_maps)
+
+
+def init_star(staging: DataFrame, asof: str) -> dict[str, DataFrame]:
+    """First warehouse load: 7 SCD2 dimensions + DimDate (SURVEY §1.3)."""
+    dims: dict[str, DataFrame] = {}
+    for name, (bk, attrs, _t1, _t2) in DIM_SPECS.items():
+        dims[f"dim_{name}"] = scd2_init(
+            staging.where(F.col(bk).isNotNull()), key=bk, attr_cols=attrs,
+            asof=asof, sk_col=f"pk_{name}_sk",
+        )
+    dates = None
+    for c in DATE_FK_COLS:
+        part = staging.select(F.to_date(F.col(c), "dd-MMM-yyyy").alias("d"))
+        dates = part if dates is None else dates.unionByName(part)
+    dims["dim_date"] = build_date_dimension(dates, "d")
+    return dims
+
+
+def apply_star_increment(
+    dims: Mapping[str, DataFrame], staging: DataFrame, asof: str
+) -> dict[str, DataFrame]:
+    """Incremental warehouse load: SCD2-apply every dimension (§2.G)."""
+    out = dict(dims)
+    for name, (bk, attrs, t1, t2) in DIM_SPECS.items():
+        fixed = [a for a in attrs if a not in t1 and a not in t2]
+        out[f"dim_{name}"] = scd2_apply(
+            dims[f"dim_{name}"],
+            staging.where(F.col(bk).isNotNull()).select(bk, *attrs).distinct(),
+            key=bk, t1_cols=t1, t2_cols=t2, fixed_cols=fixed,
+            asof=asof, sk_col=f"pk_{name}_sk",
+        )
+    return out
+
+
+def build_fact_loan(staging: DataFrame, dims: Mapping[str, DataFrame]) -> DataFrame:
+    """The 10-lookup fact cascade (`project SSIS::loan_fact.dtsx`): 6 dim
+    SKs + 4 role-playing date SKs, then SK+measure projection. All lookups
+    broadcast; Catalyst collapses the cascade into one stage (SURVEY §3.3)."""
+    fact = staging
+    for c in DATE_FK_COLS:
+        fact = fact.withColumn(c, F.to_date(F.col(c), "dd-MMM-yyyy"))
+    lookups = []
+    for name, (bk, _attrs, _t1, _t2) in DIM_SPECS.items():
+        dim = dims[f"dim_{name}"].filter(F.col("is_current"))
+        lookups.append((dim, {bk: bk}, {f"pk_{name}_sk": f"fk_{name}"}))
+    dimdate = dims["dim_date"]
+    for c in DATE_FK_COLS:
+        lookups.append((dimdate, {c: "date"}, {"date_sk": f"{c}_sk"}))
+    return build_fact(
+        fact,
+        lookups,
+        measure_cols=MEASURE_COLS,
+        key_cols=["loan_number"],
+    )

@@ -37,8 +37,8 @@ def load_registry():
     """Import every query module (side-effect registration)."""
     from . import core  # noqa: F401
 
-    for mod in ("star_queries", "dedup_queries", "text_queries",
-                "similarity_queries", "stream_queries"):
+    for mod in ("star_queries", "measure_queries", "dedup_queries",
+                "text_queries", "similarity_queries", "stream_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except ImportError:

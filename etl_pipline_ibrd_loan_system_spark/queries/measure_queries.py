@@ -1,0 +1,88 @@
+"""BI measure-layer queries (SURVEY.md §2.D D2-D7, §3 entry point 4).
+
+`orders` stands in for the loan fact; derived monetary columns are
+decimal-space products so the oracle hashes identically. The query shape is
+one Power BI visual: report-level year slicer -> groupBy(dim attr) ->
+multiple named measures -> sort by measure desc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.measures import dashboard_query
+from . import query
+
+_FACT_SQL = """
+    fact AS (
+      SELECT o_orderkey AS pk_loan_number_sk,
+             o_custkey AS fk_borrower,
+             o_custkey % 100 AS fk_guarantor,
+             o_orderstatus AS loan_status,
+             year(o_orderdate) AS year,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS original_principal_amount,
+             CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(4,2)) AS disbursed_amount,
+             CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.2 AS DECIMAL(4,2)) AS undisbursed_amount,
+             CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(4,2)) AS repaid,
+             CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.3 AS DECIMAL(4,2)) AS due,
+             (o_orderkey % 80) / 10.0 AS interest_rate
+      FROM orders
+    )
+"""
+
+
+def _loan_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    principal = F.col("o_totalprice").cast("decimal(12,2)")
+    return o.select(
+        F.col("o_orderkey").alias("pk_loan_number_sk"),
+        F.col("o_custkey").alias("fk_borrower"),
+        (F.col("o_custkey") % 100).alias("fk_guarantor"),
+        F.col("o_orderstatus").alias("loan_status"),
+        F.year("o_orderdate").alias("year"),
+        principal.alias("original_principal_amount"),
+        (principal * F.lit(0.8).cast("decimal(4,2)")).alias("disbursed_amount"),
+        (principal * F.lit(0.2).cast("decimal(4,2)")).alias("undisbursed_amount"),
+        (principal * F.lit(0.5).cast("decimal(4,2)")).alias("repaid"),
+        (principal * F.lit(0.3).cast("decimal(4,2)")).alias("due"),
+        ((F.col("o_orderkey") % 80) / 10.0).alias("interest_rate"),
+    )
+
+
+@query(
+    "m6_dashboard_visual",
+    sql=f"""
+    WITH {_FACT_SQL}
+    SELECT loan_status,
+           COUNT(*) AS loans,
+           COUNT(DISTINCT pk_loan_number_sk) AS number_of_loans,
+           CAST(ROUND(SUM(original_principal_amount), 2) AS DOUBLE) AS loan_amount,
+           CAST(ROUND(SUM(repaid), 2) AS DOUBLE) AS repaid,
+           CAST(ROUND(SUM(due), 2) AS DOUBLE) AS due1,
+           CAST(ROUND(SUM(disbursed_amount), 2) AS DOUBLE) AS disbursed_amount,
+           CAST(ROUND(SUM(undisbursed_amount), 2) AS DOUBLE) AS undisbursed_amount,
+           ROUND(CAST(SUM(CAST(interest_rate AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS average_interest_rate,
+           CAST(ROUND(SUM(CAST(disbursed_amount AS DECIMAL(18,4)) * CAST(interest_rate / 100 AS DECIMAL(8,4))), 2) AS DOUBLE) AS interest_income,
+           COUNT(DISTINCT fk_guarantor) AS guarantors,
+           COUNT(DISTINCT fk_borrower) AS borrowers
+    FROM fact
+    WHERE year BETWEEN 1993 AND 1997
+    GROUP BY loan_status
+    """,
+)
+def m6_dashboard_visual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _loan_fact(spark, sf_dir)
+    out = dashboard_query(
+        fact,
+        group_by=["loan_status"],
+        measures=[
+            "loans", "number_of_loans", "loan_amount", "repaid", "due1",
+            "disbursed_amount", "undisbursed_amount", "average_interest_rate",
+            "interest_income", "guarantors", "borrowers",
+        ],
+        year_col="year",
+        year_range=(1993, 1997),
+    )
+    return out

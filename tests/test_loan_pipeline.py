@@ -1,0 +1,134 @@
+"""End-to-end loan ETL test (SURVEY.md §5.2, FIXTURES.md §A-C):
+raw API-shaped rows -> clean -> standardize -> BK-encode -> staging ->
+SCD2 star (two loads) -> fact lookup cascade -> measure query."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_pipline_ibrd_loan_system_spark.plans import loan_pipeline as lp
+
+from pyspark.sql import types as T
+
+_S, _D = T.StringType(), T.DoubleType()
+# explicit declared schema — parity with the reference's per-stage
+# StructType contract (pyspark_dag2.py:84-116)
+RAW_SCHEMA = T.StructType([
+    T.StructField(n, t, True)
+    for n, t in [
+        ("end_of_period", _S), ("loan_number", _S), ("region", _S),
+        ("country_code", _S), ("country", _S), ("borrower", _S),
+        ("guarantor_country_code", _S), ("guarantor", _S), ("loan_type", _S),
+        ("loan_status", _S), ("interest_rate", _D),
+        ("currency_of_commitment", _S), ("project_id", _S),
+        ("project_name_", _S), ("original_principal_amount", _D),
+        ("cancelled_amount", _D), ("undisbursed_amount", _D),
+        ("disbursed_amount", _D), ("repaid_to_ibrd", _D), ("due_to_ibrd", _D),
+        ("exchange_adjustment", _D), ("borrowers_obligation", _D),
+        ("sold_3rd_party", _D), ("repaid_3rd_party", _D), ("due_3rd_party", _D),
+        ("loans_held", _D), ("first_repayment_date", _S),
+        ("last_repayment_date", _S), ("agreement_signing_date", _S),
+        ("board_approval_date", _S), ("effective_date_most_recent", _S),
+        ("closed_date_most_recent", _S), ("last_disbursement_date", _S),
+    ]
+])
+
+
+def _raw_row(loan, period="30-Jun-2024", region="EUROPE", country="France",
+             borrower=None, project_name=None, status="Fully Repaid",
+             ltype="FSL", principal=1000.0, repaid_ibrd=10.0, repaid_3p=5.0):
+    return (
+        period, loan, region, "FR", country, borrower, "FR", "French Guarantor",
+        ltype, status, 2.5, None, "p0001", project_name, principal, 0.0,
+        100.0, 900.0, repaid_ibrd, 20.0, 0.0, 500.0, 0.0, repaid_3p, 7.0, 0.0,
+        "01-Jan-2015", "01-Jan-2035", "01-Feb-2010", "15-Mar-2010",
+        None, None, None,
+    )
+
+
+MAPS = {
+    "status": {"fully repaid": "repaid"},
+    "type": {"fsl": "fixed spread loan"},
+    "country": {"france": "france", "frnace": "france"},
+    "region": {"europe": "europe and central asia"},
+    "borrower_by_country": {"france": "ministry of finance (france)"},
+}
+BK_MAPS = {
+    "region": {"europe and central asia": 2},
+    "country": {"france": 33, "germany": 49},
+    "guarantor": {"french guarantor": 7},
+    "borrower": {"ministry of finance (france)": 11},
+    "loan_status": {"repaid": 1},
+    "loan_type": {"fixed spread loan": 3},
+}
+
+
+@pytest.fixture(scope="module")
+def staging(spark):
+    rows = [
+        _raw_row("IBRD00010", project_name="Power Grid"),
+        _raw_row("IBRD00020", project_name=None),           # forward-fill target
+        _raw_row("IBRD00030", country="Frnace"),             # recode convergence
+        _raw_row("IBRD00040", period="15-Aug-2023"),         # off-snapshot -> dropped
+        _raw_row("IBRD00050", borrower="Direct Borrower"),   # overwritten by country pair
+    ]
+    raw = spark.createDataFrame(rows, RAW_SCHEMA)
+    return lp.run_clean_pipeline(raw, MAPS, BK_MAPS)
+
+
+def test_snapshot_filter_and_drops(staging):
+    rows = staging.collect()
+    assert len(rows) == 4  # off-snapshot row dropped
+    assert "currency_of_commitment" not in staging.columns
+    assert "repaid_to_ibrd" not in staging.columns  # folded into repaid
+
+
+def test_standardize_and_encode(staging):
+    by_loan = {r.loan_number: r for r in staging.collect()}
+    r1 = by_loan["ibrd00010"]
+    assert r1.loan_status == "repaid" and r1.loan_status_bk == 1
+    assert r1.loan_type == "fixed spread loan" and r1.loan_type_bk == 3
+    assert r1.region == "europe and central asia" and r1.region_bk == 2
+    # B5: borrower overwritten from country pair, then BK-encoded
+    assert r1.borrower == "ministry of finance (france)" and r1.borrower_bk == 11
+    # recode convergence: misspelled country recoded then same BK
+    assert by_loan["ibrd00030"].country == "france"
+    assert by_loan["ibrd00030"].country_bk == 33
+    # derived amounts
+    assert r1.repaid == 15.0 and r1.due == 27.0
+
+
+def test_forward_fill_project_name(staging):
+    by_loan = {r.loan_number: r for r in staging.collect()}
+    assert by_loan["ibrd00020"].project_name_ == "power grid"
+
+
+def test_star_build_and_fact(spark, staging):
+    dims = lp.init_star(staging, asof="2024-01-01")
+    assert dims["dim_region"].count() == 1
+    assert dims["dim_country"].count() == 1  # both variants converge to france
+    assert dims["dim_date"].filter(F.col("date").isNull()).count() == 0
+
+    fact = lp.build_fact_loan(staging, dims)
+    rows = fact.collect()
+    assert len(rows) == 4
+    r = {x.loan_number: x for x in rows}["ibrd00010"]
+    assert r.fk_region == 1 and r.fk_country == 1
+    assert r.board_approval_date_sk == 20100315
+    assert r.original_principal_amount == 1000.0
+
+    # second load: rename country (T2) + change code (T1)
+    staging2 = staging.withColumn(
+        "country", F.when(F.col("country") == "france", "republique francaise")
+        .otherwise(F.col("country"))
+    )
+    dims2 = lp.apply_star_increment(dims, staging2, asof="2024-06-01")
+    ctry = dims2["dim_country"].orderBy("pk_country_sk").collect()
+    assert len(ctry) == 2  # closed old version + new version
+    assert [bool(c.is_current) for c in ctry] == [False, True]
+    assert ctry[1].country == "republique francaise"
+
+    fact2 = lp.build_fact_loan(staging2, dims2)
+    assert fact2.count() == 4
+    assert fact2.select("fk_country").distinct().collect()[0][0] == ctry[1].pk_country_sk
