@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -31,8 +33,19 @@ def sf_dir_from_env(default: str = "/root/testdata/sf0.1") -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan — columnar, Catalyst pushes filters/pruning into it."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan — columnar, Catalyst pushes filters/pruning into it.
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
+    we read nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+    rebuild a microsecond timestamp with exact integer division (a double
+    division would lose precision at ~1.7e18 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

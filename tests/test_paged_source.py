@@ -1,0 +1,70 @@
+"""Resumable paged ingest tests (SURVEY.md §2.A A1/A2, FIXTURES.md §D):
+offset persistence, crash-idempotence, page accounting."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_pipline_ibrd_loan_system_spark.sources.paged_source import (
+    IncrementalPagedIngest,
+    OffsetStore,
+    parquet_page_fetcher,
+)
+
+
+@pytest.fixture()
+def dump(spark, tmp_path):
+    src = str(tmp_path / "api_dump")
+    spark.range(100).withColumnRenamed("id", "rid").write.parquet(src)
+    return src
+
+
+def _ingest(tmp_path, src, limit=30, total=100):
+    return IncrementalPagedIngest(
+        fetcher=parquet_page_fetcher(src, "rid"),
+        sink_dir=str(tmp_path / "sink"),
+        offsets=OffsetStore(str(tmp_path / "offset.json")),
+        limit=limit,
+        total_rows=total,
+    )
+
+
+def test_full_backfill(spark, tmp_path, dump):
+    ing = _ingest(tmp_path, dump)
+    assert ing.run(spark) == 4  # 30+30+30+10
+    out = ing.read_sink(spark)
+    assert out.count() == 100
+    assert out.select("rid").distinct().count() == 100
+    assert ing.offsets.get() == 120  # advanced past final short page
+
+
+def test_resume_across_runs(spark, tmp_path, dump):
+    ing = _ingest(tmp_path, dump)
+    assert ing.run(spark, max_pages=2) == 2
+    assert ing.read_sink(spark).count() == 60
+    # new runner instance, same offset store -> resumes where it stopped
+    ing2 = _ingest(tmp_path, dump)
+    assert ing2.run(spark) == 2
+    assert ing2.read_sink(spark).count() == 100
+
+
+def test_crash_before_commit_is_idempotent(spark, tmp_path, dump):
+    ing = _ingest(tmp_path, dump)
+    ing.run(spark, max_pages=1)
+    # simulate a crash AFTER the page write but BEFORE the offset commit:
+    # rewind the cursor and re-run -> page is rewritten, not duplicated
+    ing.offsets.commit(0)
+    ing.run(spark, max_pages=1)
+    out = ing.read_sink(spark)
+    assert out.count() == 30
+    assert out.select("rid").distinct().count() == 30
+
+
+def test_offset_store_atomic(tmp_path):
+    store = OffsetStore(str(tmp_path / "off.json"), initial=600_000)
+    assert store.get() == 600_000  # reference's initial backfill offset
+    store.commit(650_000)
+    assert store.get() == 650_000
+    assert not os.path.exists(str(tmp_path / "off.json") + ".tmp")
