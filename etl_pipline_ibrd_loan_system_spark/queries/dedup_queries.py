@@ -1,0 +1,185 @@
+"""Dedup query catalog over `documents` / `embeddings`.
+
+Every oracle replays the same deterministic pipeline in DuckDB SQL — the
+shared 60-bit md5 hash (operators.dedup.shared_hash60) makes even the
+hash-based fingerprints (simhash) cross-engine exact. The MinHash+LSH and
+hyperplane-LSH queries are oracle-checked against BRUTE-FORCE SQL: the
+probabilistic candidate stage must reach recall 1.0 on the planted
+duplicates for the hash to match (banding chosen so miss probability
+< 1e-3; verified empirically at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import dedup
+from . import query
+
+_SHINGLE_CTE = """
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    )
+"""
+
+
+@query(
+    "dd1_exact_dedup",
+    sql="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+@query(
+    "dd2_ngram_jaccard",
+    sql=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_col="lang", n=3, threshold=0.5
+    )
+
+
+@query(
+    "dd3_minhash_lsh",
+    sql=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH pipeline; oracle is the brute-force O(n^2) Jaccard —
+    equality additionally proves LSH recall 1.0 on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(
+        docs, "text", "doc_id", n=3, k=64, bands=16, rows_per_band=4,
+        threshold=0.8,
+    )
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM hashes GROUP BY doc_id
+    ),
+    fps AS (SELECT doc_id, {recombine} AS simhash FROM bitsums)
+    """
+
+
+@query(
+    "dd4_simhash",
+    sql=f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM fps",
+)
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_64(docs, "text", "doc_id")
+
+
+@query(
+    "dd5_simhash_near_pairs",
+    sql=f"""
+    WITH {_simhash_sql()}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def dd5_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-simhash near-dup; max_hamming=3 with 4 bands of 15 bits is the
+    pigeonhole-EXACT regime (any pair ≤3 differing bits shares a band), so
+    brute-force SQL is a true oracle, not just high-probability."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3, band_bits=15, bits=60
+    )
+
+
+_COSINE_SQL = """
+      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))
+"""
+
+
+@query(
+    "dd6_embedding_blocked_cosine",
+    sql=f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.45
+    """,
+)
+def dd6_embedding_blocked_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_blocked_pairs(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.45
+    )
+
+
+@query(
+    "dd7_embedding_lsh_neardup",
+    sql=f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup vs brute-force oracle. The synthetic corpus
+    has no true near-dups (max pairwise cos ≈ 0.51), so the query runs at
+    threshold 0.4 with widened banding (64 bands x 2 bits: miss prob at
+    cos=0.4 is (1-0.631^2)^64 ≈ 8e-15) to force rows>0 through the full
+    LSH path; production defaults stay 0.95/16x4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bands=64, band_bits=2
+    )

@@ -1,0 +1,89 @@
+"""Dedup-family invariants (SURVEY.md training-data extension; the
+reference itself only has DISTINCT — project SSIS::loan_type_dim.dtsx:569).
+
+Correctness vs DuckDB is covered by tools/selfcheck.py / the driver gate;
+these tests pin the distributed-algorithm invariants that SQL equality
+alone wouldn't localize: LSH recall vs brute force, signature determinism,
+pair orientation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    groups = dedup.exact_dedup(docs, ["text"], "doc_id")
+    total = groups.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+    # keep_id is a real doc id
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(r.keep_id in ids for r in groups.collect())
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    sh = dedup.word_shingles(docs.limit(50), "text", "doc_id", n=3)
+    s1 = dedup.minhash_signatures(sh, "doc_id", k=8).collect()
+    s2 = dedup.minhash_signatures(sh, "doc_id", k=8).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_lsh_pairs_subset_of_bruteforce(docs):
+    """Every LSH-verified pair must appear in the brute-force set at the
+    same threshold (precision 1.0 — verification is exact), and on this
+    corpus recall must be 1.0 too (banding chosen for miss < 1e-3)."""
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs.withColumn("one", F.lit(1)), "text", "doc_id", "one",
+            threshold=0.8,
+        ).collect()
+    }
+    assert lsh == brute
+
+
+def test_pair_orientation(docs):
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_simhash_in_60_bits(docs):
+    fps = dedup.simhash_64(docs.limit(100), "text", "doc_id")
+    bad = fps.where((F.col("simhash") < 0) | (F.col("simhash") >= 2**60))
+    assert bad.count() == 0
+
+
+def test_embedding_lsh_matches_bruteforce(emb):
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, bands=64, band_bits=2
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_blocked_pairs(
+            emb.withColumn("one", F.lit(1)), "vec_id", "embedding", "one", 0.4
+        ).collect()
+    }
+    assert lsh == brute
