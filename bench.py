@@ -1,0 +1,73 @@
+"""Headline benchmark — one JSON line for the driver (BASELINE.md contract).
+
+Runs the representative query set at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Each query executes to completion via the
+`noop` sink (full computation, no driver-side result transfer), timed
+after a warm-up of the parquet footers. Output:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per capability family (SURVEY.md §2 + training-data ops).
+HEADLINE = [
+    "q1_pricing_summary",     # flagship agg (D2/D3/E2 shape)
+    "b1_isin_snapshot_filter",  # scan + pushed-down predicate (B1)
+    "c2_lookup_cascade",      # star-join SK cascade (C2, loan_fact shape)
+    "c3_role_playing_dates",  # role-playing date dim x4 (C3)
+    "e1b_forward_fill_scalable",  # partitioned window fill (E1 scale path)
+    "g1_scd2_apply",          # SCD2 merge rebuild (§2.G)
+    "m6_dashboard_visual",    # measure layer over the star (D2-D7)
+    "dd1_exact_dedup",        # exact dedup hash-groupBy
+    "dd3_minhash_lsh",        # MinHash+LSH near-dup pipeline
+    "dd5_simhash_near_pairs",  # SimHash banded near-dup
+    "dd7_embedding_lsh_neardup",  # hyperplane-LSH cosine near-dup
+    "h1_tumbling_window_batch",   # event-time tumbling window agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+
+    from etl_pipline_ibrd_loan_system_spark.session import get_session
+
+    spark = get_session("bench")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)  # build plan once (excluded from timing? no:
+        # plan build is ms-scale; include everything but session startup)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

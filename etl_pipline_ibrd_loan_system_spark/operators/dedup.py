@@ -341,13 +341,16 @@ def embedding_lsh_pairs(
             for b in range(bands)
         ]
     )
+    # Bucket rows carry ONLY (id, band, chunk): pairs dedup on bare ids
+    # before any vector travels, then vectors join back once per unique
+    # pair — cosine is evaluated once per candidate, not once per
+    # band-collision (a ~bands-fold saving in shuffle bytes + compute).
     buckets = (
-        df.select(F.col(id_col), v.alias("v"), bits_arr.alias("bits"))
-        .select(F.col(id_col), F.col("v"), F.posexplode(chunks).alias("band", "chunk"))
+        df.select(F.col(id_col), bits_arr.alias("bits"))
+        .select(F.col(id_col), F.posexplode(chunks).alias("band", "chunk"))
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    c = cosine(F.col("a.v"), F.col("b.v"))
-    return (
+    cands = (
         a.join(
             b.hint("shuffle_hash"),  # self-join: broadcast is never right at scale
             (F.col("a.band") == F.col("b.band"))
@@ -355,10 +358,15 @@ def embedding_lsh_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            c.alias("cos_sim"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
