@@ -1,0 +1,174 @@
+"""Text-analysis operators for training-data pipelines.
+
+Not reference-derived (the reference's only text ops are lowercase/
+replace/fill — SURVEY.md §2.B) — this is the text-quality family a
+100 TB document pipeline needs. Everything is built-in Catalyst
+expressions (split/filter/aggregate/transform higher-order functions);
+zero Python UDFs, so the hot path stays inside whole-stage codegen and
+is trivially replayable in ANSI SQL for the oracle gate:
+
+- token_stats        whitespace + regex ("BPE-ish") token counts
+- quality_score      length / punctuation / stopword / repetition signals
+- lang_id            n-gram-profile language scorer (argmax over langs)
+- doc_fingerprint    polynomial rolling hash over the whole document
+- winnow_fingerprints  bottom-k shingle-hash sketch (winnowing-style)
+
+Scale notes: all ops are embarrassingly parallel per-row projections —
+no shuffle at all except winnow's optional explode, which is bounded by
+k per document. At 100 TB these run scan-speed with full predicate
+pushdown below them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shared_hash60
+
+# Words whose presence votes for a language (deterministic toy profiles —
+# a real deployment swaps in char-trigram profiles; the engine mechanics
+# are identical: literal map + higher-order scoring, no UDF).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast", "query"),
+    "de": ("der", "und", "table", "batch", "window"),
+    "fr": ("le", "et", "scan", "merge", "line"),
+    "es": ("el", "y", "data", "group", "row"),
+    "zh": ("zh", "ci", "spark", "column", "sort"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# "BPE-ish" pre-tokenizer: word pieces or single non-space symbols.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+FP_BASE = 1_000_003          # polynomial rolling-hash base
+FP_MOD = 2_147_483_647       # 2^31-1
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace-token and regex-token counts + char count per doc."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_toks(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_REGEX), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality signals + a combined [0,1] score.
+
+    Signals (all per-row projections):
+      - mean_word_len     characters per whitespace token
+      - stopword_ratio    fraction of tokens in the stopword list
+      - alpha_ratio       fraction of chars that are a-z or space
+      - uniq_ratio        distinct tokens / tokens (repetition detector)
+    Combined: clamp01(0.25*each-normalized signal) — the exact weights
+    matter less than determinism; they're documented and oracle-replayed.
+    """
+    t = F.col(text_col)
+    toks = _toks(t)
+    n = F.size(toks).cast("double")
+    mean_word_len = F.length(F.concat_ws("", toks)).cast("double") / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stopword_ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n
+    )
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(t), "[^a-z ]", "")).cast("double")
+        / F.length(t)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    score = (
+        F.least(mean_word_len / 8.0, F.lit(1.0)) * 0.25
+        + F.least(stopword_ratio * 4.0, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + uniq_ratio * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        mean_word_len.alias("mean_word_len"),
+        stopword_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Profile-overlap language scorer: per language, score = number of
+    profile terms present; prediction = argmax (ties -> lexicographic
+    language order, deterministic). One projection, no shuffle."""
+    toks = F.array_distinct(_toks(F.col(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.filter(
+                        F.array(*[F.lit(w) for w in words]),
+                        lambda w: F.array_contains(toks, w),
+                    )
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    # array_max on struct(score desc, lang): max score, tie -> LAST lang
+    # lexicographically; invert by negating score and taking array_min
+    # with lang ascending to get deterministic first-lang-wins.
+    best = F.array_min(
+        F.transform(
+            scored,
+            lambda s: F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        (-best["neg"]).alias("lang_score"),
+        best["lang"].alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Polynomial rolling hash over the whole document:
+    h = sum(ascii(c_i) * BASE^(n-1-i)) mod P, folded left-to-right as
+    h = (h*BASE + ascii(c)) % P via `aggregate` — one projection."""
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 4
+) -> DataFrame:
+    """Bottom-k sketch of word-shingle hashes (winnowing-style document
+    signature): hash every word n-gram, keep the k smallest. Shared-hash
+    (dedup.shared_hash60) so the oracle replays it exactly. Sketch size
+    is bounded by k, so the output is tiny regardless of doc length."""
+    toks = _toks(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(sh, lambda s: shared_hash60(s)))
+    )
+    return df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.slice(hashes, 1, k).alias("sketch")
+    )

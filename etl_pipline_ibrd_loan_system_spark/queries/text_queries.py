@@ -1,0 +1,175 @@
+"""Text-analysis query catalog over `documents` (operators.textstats).
+
+Every oracle replays the exact Catalyst expression in DuckDB SQL —
+token regexes, rolling-hash fold, profile argmax — so the gate checks
+bit-identical values, not approximations. Cross-engine notes:
+DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+replace-all; `list_reduce(list_prepend(0,...))` replays Spark's
+`aggregate(.., lit(0), ..)` left fold exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import textstats
+from ..operators.textstats import BPE_REGEX, FP_BASE, FP_MOD, LANG_PROFILES, STOPWORDS
+from . import query
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "tx1_token_stats",
+    sql=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = textstats.token_stats(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "tx2_quality_score",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             length(list_aggregate(toks, 'string_agg', ''))::DOUBLE
+               / len(toks) AS mean_word_len,
+             len(list_filter(toks,
+                   x -> list_contains({list(STOPWORDS)}, x)))::DOUBLE
+               / len(toks) AS stopword_ratio,
+             length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))::DOUBLE
+               / length(text) AS alpha_ratio,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio
+      FROM base
+    )
+    SELECT doc_id, mean_word_len, stopword_ratio, alpha_ratio, uniq_ratio,
+           least(mean_word_len / 8.0, 1.0) * 0.25
+             + least(stopword_ratio * 4.0, 1.0) * 0.25
+             + alpha_ratio * 0.25
+             + uniq_ratio * 0.25 AS quality
+    FROM sig
+    """,
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "text", "doc_id")
+
+
+def _lang_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', {list(words)})" for lang, words in sorted(LANG_PROFILES.items())
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ), profiles(lang, words) AS (VALUES {rows}),
+    scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(words, w -> list_contains(toks, w))) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY
+                 len(list_filter(words, w -> list_contains(toks, w))) DESC,
+                 lang ASC
+             ) AS rn
+      FROM toks CROSS JOIN profiles
+    )
+    SELECT doc_id, score::INT AS lang_score, lang AS pred_lang
+    FROM scored WHERE rn = 1
+    """
+
+
+@query("tx3_lang_id", sql=_lang_sql())
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.lang_id(docs, "text", "doc_id")
+
+
+@query(
+    "tx4_doc_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def tx4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.doc_fingerprint(docs, "text", "doc_id")
+
+
+@query(
+    "tx5_winnow_sketch",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS s
+      FROM toks WHERE len(toks) >= 3
+    )
+    SELECT doc_id,
+           list_slice(list_sort(list_distinct(list_transform(s,
+             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))), 1, 4)
+             AS sketch
+    FROM sh
+    """,
+)
+def tx5_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprints(docs, "text", "doc_id", n=3, k=4)
+
+
+@query(
+    "tx6_quality_by_lang",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(list_distinct(toks))) AS sum_uniq_tokens,
+           MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars
+    FROM base GROUP BY lang
+    """,
+)
+def tx6_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup of text signals — the groupBy runs on the
+    map-side-combined int signals, never on raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.array_distinct(toks)).cast("bigint").alias("u"),
+            F.length("text").alias("c"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("u").alias("sum_uniq_tokens"),
+            F.min("c").alias("min_chars"),
+            F.max("c").alias("max_chars"),
+        )
+    )
