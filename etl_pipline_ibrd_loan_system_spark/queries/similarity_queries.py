@@ -1,0 +1,98 @@
+"""Similarity-search query catalog over `embeddings`.
+
+Query set = vec_id < 10; corpus = vec_id >= 10 (disjoint, deterministic).
+The IVF oracle replays the exact IVF dataflow (seeded centroids, argmax
+assignment, nprobe probing, candidate re-rank) in SQL — the check proves
+the distributed plan computes the same ANN answer, not that ANN equals
+brute force (recall < 1 is inherent and the two queries' results can be
+diffed to measure it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity
+from . import query
+
+
+def _cos(a: str, b: str) -> str:
+    return f"""
+      list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+    """
+
+
+@query(
+    "sm1_cosine_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {_cos('qv', 'cv')} DESC, neighbor_id ASC
+             ) AS rank
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sm1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5,
+    )
+
+
+@query(
+    "sm2_ivf_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    centroids AS (
+      SELECT vec_id AS cent_id, cv AS cw FROM c ORDER BY vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT c.vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_cos('cv', 'cw')} DESC, cent_id ASC
+               ) AS rn
+        FROM c CROSS JOIN centroids
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT query_id, qv, cent_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {_cos('qv', 'cw')} DESC, cent_id ASC
+               ) AS prn
+        FROM q CROSS JOIN centroids
+      ) WHERE prn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_cos('p.qv', 'c.cv')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_cos('p.qv', 'c.cv')} DESC, a.vec_id ASC
+             ) AS rank
+      FROM probes p JOIN assign a USING (cent_id) JOIN c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sm2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, n_centroids=8, nprobe=2,
+    )
