@@ -38,7 +38,8 @@ def load_registry():
     from . import core  # noqa: F401
 
     for mod in ("star_queries", "measure_queries", "dedup_queries",
-                "text_queries", "similarity_queries", "stream_queries"):
+                "text_queries", "similarity_queries", "multimodal_queries",
+                "stream_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except ImportError:

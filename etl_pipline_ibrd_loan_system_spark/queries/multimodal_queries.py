@@ -1,0 +1,136 @@
+"""Multimodal query catalog (operators.multimodal over `documents`).
+
+The payloads are deterministic utf-8 synth media (with_media), so even
+the mapInPandas decode path is SQL-oracle-checkable: the corpus is pure
+ASCII, hence byte_sum == sum of code points and n_bytes == char length —
+DuckDB recomputes from text what Spark's Python workers compute from the
+actual binary payload through real Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from ..operators import multimodal
+from . import query
+
+_META_SQL = """
+    media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN length(text) % 3 = 0 THEN 'png'
+                  WHEN length(text) % 3 = 1 THEN 'wav'
+                  ELSE 'mp4' END AS fmt,
+             (16 + length(text) % 64)::INT AS width,
+             (16 + length(text) % 48)::INT AS height,
+             (1 + length(text) % 30)::INT AS n_frames,
+             text
+      FROM documents
+    )
+"""
+
+
+@query(
+    "mm1_media_catalog",
+    sql=f"""
+    WITH {_META_SQL}
+    SELECT media_id, fmt, width, height, n_frames,
+           length(text)::BIGINT AS n_bytes
+    FROM media
+    """,
+)
+def mm1_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = multimodal.with_media(docs, "text", "doc_id")
+    return m.select(
+        "media_id",
+        F.col("meta.fmt").alias("fmt"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.octet_length("data").cast("bigint").alias("n_bytes"),
+    )
+
+
+@query(
+    "mm2_decode_stats",
+    sql=f"""
+    WITH {_META_SQL}
+    SELECT media_id, fmt,
+           length(text)::BIGINT AS n_bytes,
+           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT
+             AS byte_sum,
+           width, height
+    FROM media
+    """,
+)
+def mm2_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the real mapInPandas decode path (Arrow batches, binary
+    payload in Python) — the oracle recomputes the same stats from text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.with_media(docs, "text", "doc_id"))
+
+
+@query(
+    "mm3_frame_sample",
+    sql=f"""
+    WITH {_META_SQL}
+    SELECT media_id, fmt, unnest(range(0, n_frames, 5))::BIGINT AS frame_idx
+    FROM media
+    """,
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = multimodal.with_media(docs, "text", "doc_id")
+    out = multimodal.frame_sample(m, every=5)
+    return out.select("media_id", "fmt", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+
+
+def _features_sql(dim: int = 16) -> str:
+    comps = ", ".join(
+        f"list_sum(list_transform(range({1 + j}, length(text) + 1, {dim}), "
+        f"i -> ascii(text[i])))::DOUBLE" for j in range(dim)
+    )
+    return f"""
+    SELECT doc_id AS media_id, [{comps}] AS feature FROM documents
+    """
+
+
+@query("mm4_byte_features", sql=_features_sql())
+def mm4_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided byte features via vectorized numpy in mapInPandas; oracle
+    recomputes each stride sum from text code points."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(
+        multimodal.with_media(docs, "text", "doc_id"), dim=16
+    )
+
+
+@query(
+    "mm5_resize_meta",
+    sql=f"""
+    WITH {_META_SQL}
+    SELECT media_id,
+           floor(width * least(1.0, least(32.0 / width, 32.0 / height)))::INT
+             AS new_width,
+           floor(height * least(1.0, least(32.0 / width, 32.0 / height)))::INT
+             AS new_height
+    FROM media
+    """,
+)
+def mm5_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = multimodal.resize_meta(
+        multimodal.with_media(docs, "text", "doc_id"), max_w=32, max_h=32
+    )
+    return m.select(
+        "media_id",
+        F.col("meta.width").alias("new_width"),
+        F.col("meta.height").alias("new_height"),
+    )
