@@ -543,3 +543,27 @@ def f1_union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
     )
+
+
+# --- B9/B10: literal + audit-stamp columns --------------------------------
+# (`project SSIS::bor_dim.dtsx:62-75` ssc=(DT_I4)1; `:135-220` audit dates)
+
+
+@query(
+    "b9_b10_audit_columns",
+    sql="""
+    SELECT r_regionkey, r_name,
+           1 AS source_system_code,
+           DATE '2024-06-30' AS start_date,
+           CAST(NULL AS DATE) AS end_date
+    FROM region
+    """,
+)
+def b9_b10_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import audit_dates, with_literal
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    out = with_literal(region, "source_system_code", 1, "int")
+    # asof pinned for determinism (SSIS stamps @[System::StartTime];
+    # production passes None -> current_date)
+    return audit_dates(out, asof="2024-06-30")

@@ -1,0 +1,65 @@
+"""Warehouse sinks — the reference's write surface, Spark-first.
+
+Reference parity:
+- JDBC overwrite (`spark_airflow.ipynb:389 (cell 8)`, SURVEY §2.A A6)
+- JDBC append   (`pyspark_dag2.py:428-440`, A7)
+- fast-load insert destinations (`project SSIS::bor_dim.dtsx:283-297`, A10)
+- per-row UPDATE commands (A11) — replaced by the SCD overwrite-rebuild
+  (operators.scd) / optional Delta MERGE; vanilla Spark has no row UPDATE
+  and per-row JDBC UPDATE is precisely the anti-pattern that caps the
+  reference at single-node throughput.
+
+The JDBC wrappers are thin passes over `DataFrameWriter.jdbc` (no SQL
+Server in the test container — exercised only by unit-importing; the
+parquet/table sinks below carry the tested write semantics).
+
+Scale notes: `partitioned_overwrite` writes with explicit partition
+columns so downstream scans prune; `idempotent_append` makes micro-batch
+re-runs safe (the at-least-once paged source, A2) by anti-joining on the
+batch key before the append — dedup happens on the key column only, no
+full-row compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_overwrite(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
+    """A6: full-table overwrite over JDBC (reference staging-table load)."""
+    df.write.jdbc(url=url, table=table, mode="overwrite", properties=properties or {})
+
+
+def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
+    """A7: append over JDBC (reference hourly micro-batch commit)."""
+    df.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
+
+
+def fast_load(df: DataFrame, path: str) -> None:
+    """A10: bulk insert destination — Parquet append, the columnar
+    equivalent of SSIS fast-load."""
+    df.write.mode("append").parquet(path)
+
+
+def partitioned_overwrite(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partition-pruned warehouse layout: one directory per key so the
+    BI-layer queries (year/region slicers) scan only their slice."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def idempotent_append(
+    spark: SparkSession, df: DataFrame, path: str, key_col: str
+) -> int:
+    """At-least-once-safe append: drop rows whose key already exists in
+    the sink (left_anti on key), then append. Returns rows written.
+    The anti-join reads only the key column from the sink (column
+    pruning reaches the parquet scan)."""
+    try:
+        existing = spark.read.parquet(path).select(key_col)
+    except Exception:
+        existing = None
+    fresh = df if existing is None else df.join(existing, key_col, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
