@@ -62,3 +62,106 @@ def s1_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("s1_windows").localCheckpoint(eager=True)
     finally:
         q.stop()
+
+
+@query(
+    "h2_sliding_window_batch",
+    sql=f"""
+    WITH cand AS (
+      SELECT event_type, value,
+             unnest([
+               make_timestamp((floor(epoch(ts) / 1800) * 1800)::BIGINT * 1000000),
+               make_timestamp(((floor(epoch(ts) / 1800) - 1) * 1800)::BIGINT * 1000000)
+             ]) AS window_start
+      FROM events
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM cand GROUP BY window_start, event_type
+    """,
+)
+def h2_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 30min: each event lands in exactly two
+    windows; the oracle materializes both candidate starts per event."""
+    events = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        events,
+        ts_col="ts",
+        window="1 hour",
+        slide="30 minutes",
+        group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+    return out.drop("window_end")
+
+
+@query(
+    "h3_session_window_batch",
+    sql=f"""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM m
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def h3_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5 min): Spark session_window vs the
+    classic gaps-and-islands SQL replay (session end = last event +
+    gap, per Spark semantics)."""
+    from ..streaming.microbatch import session_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return session_window_agg(
+        events,
+        ts_col="ts",
+        gap="5 minutes",
+        group_cols=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+
+
+@query(
+    "st1_stateful_first_event",
+    sql="""
+    SELECT user_id, ts AS first_ts, event_id AS first_id FROM (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st1_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) through a real
+    stream: first event per user across micro-batches; oracle is the
+    equivalent argmin SQL."""
+    import tempfile
+
+    from ..streaming.microbatch import stateful_first_event
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="st1_events_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = stateful_first_event(stream, "user_id", "ts", "event_id")
+    q = run_stream_to_memory(out, "st1_first", output_mode="append")
+    try:
+        return spark.table("st1_first").localCheckpoint(eager=True)
+    finally:
+        q.stop()

@@ -69,3 +69,69 @@ def foreach_batch_append(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time session windows (gap-based): batch or streaming. Session
+    end = last event + gap (Spark semantics); the batch plan is the
+    classic gaps-and-islands and distributes by the group key."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    out = src.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), *group_cols
+    ).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *group_cols,
+        *[c for c in out.columns if c not in ("w", *group_cols)],
+    )
+
+
+def stateful_first_event(
+    events: DataFrame, key_col: str, ts_col: str, id_col: str
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    emits the FIRST event per key across all micro-batches (state = one
+    boolean per key; memory bounded by distinct keys, not events).
+    Works on a streaming DataFrame; demonstrates the arbitrary-state
+    API the built-in operators can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            head = pdf.iloc[0]
+            if first is None or (head[ts_col], head[id_col]) < (
+                first[ts_col], first[id_col]
+            ):
+                first = head
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter(
+            [pd.DataFrame({
+                key_col: [first[key_col]],
+                "first_ts": [first[ts_col]],
+                "first_id": [first[id_col]],
+            })]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, first_ts timestamp, first_id bigint",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,68 @@
+"""Structured Streaming semantics beyond the batch-parity oracles:
+watermark late-data dropping in append mode (deterministic two-batch
+file stream). Batch/stream parity of windows and the stateful operator
+are covered by oracles s1/h2/h3/st1."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    # batch 1: two events in window 0, one each in windows 1 and 2
+    _write(spark, [(at(0, 10), 1), (at(0, 20), 1), (at(1, 10), 1), (at(2, 10), 1)], src)
+
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        tumbling_window_agg,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = tumbling_window_agg(
+        stream,
+        ts_col="ts",
+        window="1 hour",
+        group_cols=[],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="30 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark now 02:10 - 30m = 01:40
+        # batch 2: a LATE event for window 0 (dropped) + one in window 3
+        _write(spark, [(at(0, 30), 99), (at(3, 30), 1)], src)
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n for r in spark.table("wm_test").collect()
+        }
+    finally:
+        q.stop()
+    # window 0 finalized WITHOUT the late row; window 3 still open
+    assert got[at(0, 0)] == 2
+    assert got[at(1, 0)] == 1
+    assert got[at(2, 0)] == 1
+    assert at(3, 0) not in got
