@@ -31,7 +31,13 @@ HEADLINE = [
     "dd3_minhash_lsh",        # MinHash+LSH near-dup pipeline
     "dd5_simhash_near_pairs",  # SimHash banded near-dup
     "dd7_embedding_lsh_neardup",  # hyperplane-LSH cosine near-dup
+    "sm1_cosine_topk",            # exact ANN baseline
+    "sm2_ivf_topk",               # IVF ANN scale path
+    "tx2_quality_score",          # text quality signals
+    "tx4_doc_fingerprint",        # rolling-hash fingerprint
+    "mm2_decode_stats",           # Arrow mapInPandas decode path
     "h1_tumbling_window_batch",   # event-time tumbling window agg
+    "h3_session_window_batch",    # gap-based session windows
 ]
 
 
