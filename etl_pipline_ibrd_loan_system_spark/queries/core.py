@@ -567,3 +567,31 @@ def b9_b10_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asof pinned for determinism (SSIS stamps @[System::StartTime];
     # production passes None -> current_date)
     return audit_dates(out, asof="2024-06-30")
+
+
+# --- D8: skew-proof two-phase (salted) aggregation ------------------------
+# (no reference analog — 100 TB hygiene; SCALE.md. Integer-exact sums so
+# the merge order introduced by salting cannot perturb the values.)
+
+
+@query(
+    "d8_salted_agg",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d8_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "n_rows": ("sum", F.count(F.lit(1))),
+            "sum_qty_int": ("sum", F.sum(F.col("l_quantity").cast("bigint"))),
+        },
+        salt=16,
+    )

@@ -63,3 +63,21 @@ def idempotent_append(
     if n:
         fresh.write.mode("append").parquet(path)
     return n
+
+
+def bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed warehouse table (`bucketBy` + saveAsTable): two tables
+    bucketed on the same key with the same bucket count join with ZERO
+    shuffle — the co-located-star-join layout SCALE.md prescribes when
+    a dimension outgrows the broadcast threshold. `path` makes it an
+    external table (warehouse dir is a static conf)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
