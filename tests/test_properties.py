@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY §5.3): SCD2 invariants under RANDOM
+load sequences, forward-fill idempotence under random null patterns.
+Few examples (Spark jobs are seconds each), but each example is a full
+multi-load scenario hypothesis can shrink."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_apply, scd2_init
+from etl_pipline_ibrd_loan_system_spark.operators.window_ops import forward_fill
+
+KEYS = ["k1", "k2", "k3", "k4"]
+
+# a load: subset of keys, each with (t1_attr, t2_attr) small-int values
+load_st = st.dictionaries(
+    st.sampled_from(KEYS),
+    st.tuples(st.integers(0, 2), st.integers(0, 2)),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _staging(spark, load: dict):
+    return spark.createDataFrame(
+        [(k, f"a{a}", f"b{b}") for k, (a, b) in sorted(load.items())],
+        "bk string, attr1 string, attr2 string",
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(loads=st.lists(load_st, min_size=2, max_size=4))
+def test_scd2_invariants_random_sequences(spark, loads):
+    dim = scd2_init(
+        _staging(spark, loads[0]), "bk", ["attr1", "attr2"], asof="2024-01-01"
+    )
+    latest = dict(loads[0])
+    for i, load in enumerate(loads[1:], start=2):
+        asof = f"2024-01-{i:02d}"
+        dim = scd2_apply(
+            dim,
+            _staging(spark, load),
+            key="bk",
+            t1_cols=["attr1"],
+            t2_cols=["attr2"],
+            asof=asof,
+        ).localCheckpoint(eager=True)  # keep lineage flat across applies
+        latest.update(load)
+
+        rows = dim.collect()
+        by_key: dict[str, list] = {}
+        for r in rows:
+            by_key.setdefault(r.bk, []).append(r)
+        # exactly one current row per key ever loaded; end==NULL iff current
+        for k, versions in by_key.items():
+            current = [r for r in versions if r.is_current]
+            assert len(current) == 1, f"{k}: {len(current)} current rows"
+            assert current[0].end_date is None
+            assert all(r.end_date is not None for r in versions if not r.is_current)
+            # versions tile time: sorted intervals never overlap
+            closed = sorted(
+                (r for r in versions if not r.is_current),
+                key=lambda r: (r.start_date, r.end_date),
+            )
+            for a, b in zip(closed, closed[1:]):
+                assert a.end_date <= b.start_date
+            # current row reflects the LATEST staged values (T1 overwrite
+            # + T2 versioning both converge on the newest attributes)
+            a_val, b_val = latest[k]
+            assert current[0].attr1 == f"a{a_val}"
+            assert current[0].attr2 == f"b{b_val}"
+        # surrogate keys unique across the whole dimension
+        sks = [r.sk for r in rows]
+        assert len(sks) == len(set(sks))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(0, 9)), min_size=1, max_size=12
+    )
+)
+def test_forward_fill_idempotent_and_correct(spark, vals):
+    df = spark.createDataFrame(
+        [(i, None if v is None else str(v)) for i, v in enumerate(vals)],
+        "ord int, v string",
+    )
+    filled = forward_fill(df, order_by=["ord"], target="v")
+    got = {r.ord: r.v for r in filled.collect()}
+    # reference semantics: last non-null at or before position
+    expect, last = {}, None
+    for i, v in enumerate(vals):
+        if v is not None:
+            last = str(v)
+        expect[i] = last
+    assert got == expect
+    # idempotence: filling a filled column changes nothing
+    refilled = forward_fill(filled, order_by=["ord"], target="v")
+    assert {r.ord: r.v for r in refilled.collect()} == got
