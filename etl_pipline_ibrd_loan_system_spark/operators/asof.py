@@ -1,0 +1,76 @@
+"""As-of (point-in-time) join — the canonical operator vanilla Spark
+lacks, expressed scalably as union + window instead of a range join.
+
+`asof_join(left, right, key, ts)`: for every left row, attach the most
+recent right row with the same key and right.ts <= left.ts.
+
+Implementation (no range explosion, no per-key collect):
+  1. tag both inputs and union them on (key, ts) — one dataset, one
+     schema, right-side payload columns null on left rows;
+  2. window partitioned by key, ordered by (ts, side) with side
+     ordering putting the right row FIRST on ties (<= semantics):
+     `last(right_payload, ignorenulls=True)` over unbounded-preceding
+     forward-fills each left row with the latest right payload;
+  3. keep the left rows.
+
+Cost: ONE shuffle on the key (the window sort) — same order as the
+equi-join the naive approach would need anyway, with none of the
+O(|left| x |right-per-key|) intermediate a range-condition join
+produces. Skewed keys: the window partitions by key, so a single
+pathological key serializes — salt by time-bucket if that ever
+matters (same trick as skew.salted_agg, carry across bucket borders
+like window_ops.forward_fill_scalable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join; right payload columns arrive as `<col><suffix>`
+    (null when no right row precedes the left row)."""
+    right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    l_tag = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in (key, ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (key, ts)
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts => <= semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__r_{c}" for c in right_cols]
+    )

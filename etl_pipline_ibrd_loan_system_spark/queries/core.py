@@ -595,3 +595,64 @@ def d8_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt=16,
     )
+
+
+# --- J1: as-of (point-in-time) join ---------------------------------------
+# (no reference analog — the canonical missing-operator example; see
+# operators/asof.py for the union+window scalable formulation)
+
+
+@query(
+    "j1_asof_join",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS BIGINT) AS r_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, event_id
+      FROM events WHERE event_type = 'error'
+    ), f AS (
+      SELECT *, last_value(r_id IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, side
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS last_error_id
+      FROM u
+    )
+    SELECT event_id, user_id, ts, last_error_id
+    FROM f WHERE side = 1
+    """,
+)
+def j1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every click event annotated with the most recent error event (id)
+    at-or-before it for the same user."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("last_error_id")
+    )
+    out = asof_join(clicks, errors, key="user_id", ts="ts", suffix="")
+    return out.select("event_id", "user_id", "ts", "last_error_id")
+
+
+# --- B14: semi-structured JSON extraction ---------------------------------
+# (events.props is a JSON string — the semi-structured column path)
+
+
+@query(
+    "b14_json_extract",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def b14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )

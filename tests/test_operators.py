@@ -59,3 +59,23 @@ def test_lookup_join_inner_drops_misses_and_captures_them(spark):
     assert sorted((r.fk, r.dim_sk) for r in hit.collect()) == [(1, 101), (2, 102)]
     miss = lookup_misses(fact, dim, {"fk": "pk"}, current_col="is_current")
     assert [r.fk for r in miss.collect()] == [9]
+
+
+def test_asof_join_semantics(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "l1"), ("u", 10, "l2"), ("u", 2, "l0"), ("v", 7, "l3")],
+        "k string, ts int, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u", 3, "r1"), ("u", 10, "r2"), ("w", 1, "r3")],
+        "k string, ts int, rid string",
+    )
+    out = {r.lid: r.rid_asof for r in asof_join(left, right, "k", "ts").collect()}
+    assert out == {
+        "l0": None,   # no right row at or before ts=2
+        "l1": "r1",   # latest right at ts<=5
+        "l2": "r2",   # tie ts=10 counts (<= semantics)
+        "l3": None,   # key v has no right rows at all
+    }
