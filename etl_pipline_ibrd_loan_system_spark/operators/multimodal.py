@@ -116,10 +116,17 @@ def decode_media(df: DataFrame) -> DataFrame:
             "real image decode not wired; swap _fake_decode for PIL here"
         )
     except ImportError:
-        decode = _fake_decode
+        pass
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        # inline _fake_decode: the closure must be SELF-CONTAINED — a
+        # reference to a module-level function would make cloudpickle
+        # import this package on executor workers, which fails when the
+        # driver runs from a cwd outside the repo
+        def decode(payload: bytes) -> dict:
+            return {"n_bytes": len(payload), "byte_sum": sum(payload)}
 
         for b in batches:
             stats = [decode(bytes(p)) for p in b["data"]]

@@ -45,8 +45,21 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
     )
 
 
+def _export_pythonpath() -> None:
+    """Make the engine importable on executor Python workers no matter
+    where the driver process was launched from (workers inherit
+    PYTHONPATH, not the driver's sys.path)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo}{os.pathsep}{existing}" if existing else repo
+        )
+
+
 def get_session(app_name: str = DEFAULT_APP_NAME, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned local session."""
+    _export_pythonpath()
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpu_count()}]")
     builder = SparkSession.builder.master(master).appName(app_name)
     spark = configure(builder, shuffle_partitions).getOrCreate()
