@@ -656,3 +656,35 @@ def b14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
     )
+
+
+# --- A1b: Spark 4 Python DataSource paged ingest --------------------------
+# (sources/rest_datasource.py — pages become input partitions; the
+# reference fetched them sequentially on the driver, pyspark_dag2.py:52-77)
+
+
+@query(
+    "a1_paged_datasource",
+    sql="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def a1_paged_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.rest_datasource import read_pages, stage_pages_from_parquet
+
+    out_dir = tempfile.mkdtemp(prefix="a1_pages_")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    n = stage_pages_from_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        out_dir,
+        page_size=100,
+        columns=cols,
+        order_col="doc_id",
+    )
+    return read_pages(
+        spark, out_dir, n,
+        schema="doc_id bigint, lang string, source string, n_chars bigint",
+    )

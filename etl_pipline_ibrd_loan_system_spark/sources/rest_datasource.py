@@ -1,0 +1,119 @@
+"""Spark 4 Python DataSource for paged ingestion (SURVEY §2.A A1's
+at-scale path).
+
+The reference fetches API pages sequentially on the driver
+(`pyspark_dag2.py:52-77`: one `requests.get` per `top`/`skip` page,
+accumulated via XCom). This DataSource turns each page into an INPUT
+PARTITION: executors fetch pages in parallel, Spark handles retries
+per-task, and the result is an ordinary DataFrame feeding the one
+continuous plan — no driver accumulation, no XCom.
+
+`page_url_template` abstracts the transport: the test/container
+implementation reads `page-N.jsonl` files from a directory; the HTTP
+variant is the same class with `urllib` in `read()` (the network is
+deliberately absent here). Pages are independent, so throughput scales
+with executors, bounded only by the API's rate limit.
+
+The DataSource class is built by a FACTORY inside a function scope so
+cloudpickle ships it by value to Python workers — no package import
+needed executor-side (same constraint as operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_NAME = "paged_jsonl"
+
+
+def make_paged_jsonl_datasource():
+    """Build (by value) the DataSource class for `paged_jsonl`."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class PagedJsonlReader(DataSourceReader):
+        def __init__(self, schema, options):
+            self.schema_obj = schema
+            self.path = options.get("path")
+            self.n_pages = int(options.get("npages", "0"))
+
+        def partitions(self):
+            # one partition per page == the reference's top/skip windows
+            return [InputPartition(i) for i in range(self.n_pages)]
+
+        def read(self, partition):
+            import json
+            import os
+
+            fields = [f.name for f in self.schema_obj.fields]
+            page_path = os.path.join(self.path, f"page-{partition.value}.jsonl")
+            with open(page_path, encoding="utf-8") as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    yield tuple(rec.get(f) for f in fields)
+
+    class PagedJsonlDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return FORMAT_NAME
+
+        def schema(self):
+            return self.options["schema"]
+
+        def reader(self, schema):
+            return PagedJsonlReader(schema, self.options)
+
+    return PagedJsonlDataSource
+
+
+def register(spark: SparkSession) -> None:
+    spark.dataSource.register(make_paged_jsonl_datasource())
+
+
+def read_pages(
+    spark: SparkSession, path: str, n_pages: int, schema: str
+) -> DataFrame:
+    """`spark.read.format("paged_jsonl")` over a staged page directory."""
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("path", path)
+        .option("npages", str(n_pages))
+        .option("schema", schema)
+        .load()
+    )
+
+
+def stage_pages_from_parquet(
+    parquet_path: str,
+    out_dir: str,
+    page_size: int,
+    columns: list[str],
+    order_col: str,
+) -> int:
+    """Test/container stand-in for the remote API: export a parquet table
+    as deterministic `page-N.jsonl` files (ordered, fixed page size).
+    Returns the page count."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(parquet_path, columns=columns)
+    rows = sorted(
+        (tuple(r[c] for c in columns) for r in table.to_pylist()),
+        key=lambda t: t[columns.index(order_col)],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_pages = 0
+    for i in range(0, len(rows), page_size):
+        with open(
+            os.path.join(out_dir, f"page-{n_pages}.jsonl"), "w", encoding="utf-8"
+        ) as fh:
+            for t in rows[i : i + page_size]:
+                fh.write(json.dumps(dict(zip(columns, t))) + "\n")
+        n_pages += 1
+    return n_pages

@@ -68,3 +68,24 @@ def test_offset_store_atomic(tmp_path):
     store.commit(650_000)
     assert store.get() == 650_000
     assert not os.path.exists(str(tmp_path / "off.json") + ".tmp")
+
+
+def test_python_datasource_pages_are_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.rest_datasource import (
+        read_pages,
+        stage_pages_from_parquet,
+    )
+
+    out = str(tmp_path / "pages")
+    n = stage_pages_from_parquet(
+        os.path.join(sf_dir, "documents.parquet"), out,
+        page_size=50, columns=["doc_id", "n_chars"], order_col="doc_id",
+    )
+    assert n == 10  # 500 docs / 50
+    df = read_pages(spark, out, n, schema="doc_id bigint, n_chars bigint")
+    # one input partition per page -> parallel fetch
+    assert df.rdd.getNumPartitions() == n
+    assert df.count() == 500
+    assert df.agg({"doc_id": "min"}).collect()[0][0] == 0
