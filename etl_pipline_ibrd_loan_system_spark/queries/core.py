@@ -688,3 +688,92 @@ def a1_paged_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out_dir, n,
         schema="doc_id bigint, lang string, source string, n_chars bigint",
     )
+
+
+# --- D9-D11 / F5: wider query surface (exact quantiles, pivot, rollup,
+# set ops) — not in the reference, table-stakes for an analytics engine.
+
+
+@query(
+    "d9_exact_quantiles",
+    sql="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d9_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The scale swap-in is `percentile_approx`
+    (mergeable t-digest, one pass) — documented, not oracle-able."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )
+
+
+@query(
+    "d10_pivot",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS status_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with EXPLICIT value list — at scale never let pivot infer
+    values (that's an extra distinct pass over the data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+    )
+
+
+@query(
+    "d11_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def d11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass (Spark expands grouping sets
+    map-side; no N-queries-unioned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty_int"),
+    )
+
+
+@query(
+    "f5_intersect_except",
+    sql="""
+    SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+    INTERSECT
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0
+    """,
+)
+def f5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT (distinct semantics) — compile to left-semi /
+    left-anti joins under Catalyst, shuffling only distinct keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    evens = cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    tens = cust.where(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    return evens.intersect(with_orders).exceptAll(tens.distinct())
