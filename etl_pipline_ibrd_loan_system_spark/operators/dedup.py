@@ -414,3 +414,48 @@ def embedding_lsh_pairs(
         .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: iterative min-label
+    propagation (each node adopts the smallest label among itself and
+    its neighbors until fixpoint). Returns (node, cluster_id) with
+    cluster_id = min node id of the component.
+
+    Iterations are bounded by the graph diameter — for dedup graphs
+    (dense cliques of copies) that's typically 2-4. Each round is one
+    shuffle (join + min-agg); labels are localCheckpoint'ed so lineage
+    stays flat across rounds. At extreme scale swap the propagation for
+    the large-star/small-star algorithm (Kiveris et al.) — same
+    DataFrame skeleton, fewer rounds on high-diameter graphs."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(neigh).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            ).where(F.col("label") != F.col("old")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

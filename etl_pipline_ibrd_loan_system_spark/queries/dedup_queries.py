@@ -183,3 +183,37 @@ def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_lsh_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bands=64, band_bits=2
     )
+
+
+@query(
+    "dd8_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+    """,
+)
+def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash pairs -> connected components
+    (iterative min-label propagation). Oracle computes the transitive
+    closure with a recursive CTE and takes each node's min reachable id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+    return dedup.connected_components(pairs.select("id_a", "id_b"))

@@ -87,3 +87,15 @@ def test_embedding_lsh_matches_bruteforce(emb):
         ).collect()
     }
     assert lsh == brute
+
+
+def test_connected_components_multihop(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: two clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
