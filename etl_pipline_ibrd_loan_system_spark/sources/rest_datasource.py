@@ -32,7 +32,64 @@ def make_paged_jsonl_datasource():
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
+
+    class PagedJsonlStreamReader(SimpleDataSourceStreamReader):
+        """Streaming variant: offset = next page index — the reference's
+        Airflow-Variable resume cursor (`pyspark_dag2.py:40-42,70-74`) as
+        a first-class Structured Streaming offset, checkpointed and
+        replayable by Spark itself."""
+
+        def __init__(self, schema, options):
+            self.schema_obj = schema
+            self.path = options.get("path")
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def _available_pages(self):
+            import os
+            import re
+
+            pages = []
+            for name in os.listdir(self.path):
+                m = re.fullmatch(r"page-(\d+)\.jsonl", name)
+                if m:
+                    pages.append(int(m.group(1)))
+            return sorted(pages)
+
+        def _read_page(self, page):
+            import json
+            import os
+
+            fields = [f.name for f in self.schema_obj.fields]
+            with open(
+                os.path.join(self.path, f"page-{page}.jsonl"), encoding="utf-8"
+            ) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    yield tuple(rec.get(f) for f in fields)
+
+        def read(self, start):
+            # contiguous new pages since `start` become one micro-batch
+            begin = start["page"]
+            avail = set(self._available_pages())
+            contiguous = []
+            p = begin
+            while p in avail:
+                contiguous.append(p)
+                p += 1
+            rows = [r for page in contiguous for r in self._read_page(page)]
+            return iter(rows), {"page": begin + len(contiguous)}
+
+        def readBetweenOffsets(self, start, end):
+            rows = [
+                r
+                for page in range(start["page"], end["page"])
+                for r in self._read_page(page)
+            ]
+            return iter(rows)
 
     class PagedJsonlReader(DataSourceReader):
         def __init__(self, schema, options):
@@ -65,6 +122,9 @@ def make_paged_jsonl_datasource():
 
         def reader(self, schema):
             return PagedJsonlReader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            return PagedJsonlStreamReader(schema, self.options)
 
     return PagedJsonlDataSource
 

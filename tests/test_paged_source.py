@@ -89,3 +89,49 @@ def test_python_datasource_pages_are_partitions(spark, sf_dir, tmp_path):
     assert df.rdd.getNumPartitions() == n
     assert df.count() == 500
     assert df.agg({"doc_id": "min"}).collect()[0][0] == 0
+
+
+def test_streaming_datasource_resumes_offsets(spark, sf_dir, tmp_path):
+    """§2.H: the resume cursor as a true Structured Streaming offset —
+    pages arriving between micro-batches are picked up exactly once."""
+    import json
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.rest_datasource import (
+        make_paged_jsonl_datasource,
+    )
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+
+    def write_page(i, ids):
+        with open(os.path.join(src, f"page-{i}.jsonl"), "w") as fh:
+            for x in ids:
+                fh.write(json.dumps({"doc_id": x}) + "\n")
+
+    write_page(0, [0, 1])
+    write_page(1, [2])
+
+    spark.dataSource.register(make_paged_jsonl_datasource())
+    stream = (
+        spark.readStream.format("paged_jsonl")
+        .option("path", src)
+        .option("schema", "doc_id bigint")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paged_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r.doc_id for r in spark.table("paged_stream").collect()} == {0, 1, 2}
+        write_page(2, [3, 4])
+        q.processAllAvailable()
+        got = [r.doc_id for r in spark.table("paged_stream").collect()]
+    finally:
+        q.stop()
+    assert sorted(got) == [0, 1, 2, 3, 4]  # new page once, no replays
