@@ -19,6 +19,18 @@ from bench import HEADLINE  # noqa: E402
 from etl_pipline_ibrd_loan_system_spark.session import get_session  # noqa: E402
 
 
+def _codegen_subtrees(df) -> int:
+    """AQE hides codegen stars in simple/formatted mode pre-finalization;
+    codegen mode lists the actual WholeStageCodegen subtrees."""
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", buf.getvalue())
+    return int(m.group(1)) if m else 0
+
+
 def main() -> None:
     names = sys.argv[1:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -40,11 +52,7 @@ def main() -> None:
             "shj": plan.count("ShuffledHashJoin"),
             "exchanges": plan.count("Exchange"),
             "pushed": "PushedFilters: []" not in plan and "PushedFilters" in plan,
-            # codegen stars only appear in the simple-mode plan string
-            "codegen_spans": df._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-            .count("*("),
+            "codegen_spans": _codegen_subtrees(df),
         }
         print(f"== {name}: {verdict}")
         print(plan)
