@@ -66,3 +66,33 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got[at(1, 0)] == 1
     assert got[at(2, 0)] == 1
     assert at(3, 0) not in got
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """The reference's JDBC append, streamed: foreachBatch + key-anti-join
+    idempotent sink = exactly-once even if a batch function re-runs."""
+    import datetime as dt
+
+    from etl_pipline_ibrd_loan_system_spark.sources.sinks import idempotent_append
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        foreach_batch_append,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 1, 1)
+    _write(spark, [(t0, 1), (t0, 2)], src)
+
+    def batch_fn(batch_df, epoch_id):
+        idempotent_append(spark, batch_df.withColumn("k", F.col("v")), sink, "k")
+        # simulate an at-least-once redelivery of the same batch
+        idempotent_append(spark, batch_df.withColumn("k", F.col("v")), sink, "k")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = foreach_batch_append(stream, batch_fn, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink)
+    assert rows.count() == 2  # duplicated delivery did not duplicate rows
