@@ -155,9 +155,14 @@ def scd2_apply(
     """
     attrs = [*t1_cols, *t2_cols, *fixed_cols]
     dim_cols = dim.columns
+    from pyspark import StorageLevel
+
+    # four downstream branches (unchanged/T1/T2-close/fresh) filter this
+    # same join result — persist it or the staging⟕dim probe join runs
+    # once per branch (spill-capable, never recompute)
     classified = scd_classify(
         dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
         return df.select(
