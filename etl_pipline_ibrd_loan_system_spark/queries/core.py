@@ -777,3 +777,28 @@ def f5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
     tens = cust.where(F.col("c_custkey") % 10 == 0).select("c_custkey")
     return evens.intersect(with_orders).exceptAll(tens.distinct())
+
+
+# --- SQL1: shared-dialect SQL surface -------------------------------------
+# One ANSI string, executed verbatim by spark.sql AND the DuckDB oracle:
+# the engine's SQL API is first-class, not a DataFrame-only facade.
+
+_SHARED_SQL = """
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 10
+"""
+
+
+@query("sql1_shared_dialect", sql=_SHARED_SQL)
+def sql1_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)
