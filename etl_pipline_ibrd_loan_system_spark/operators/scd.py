@@ -65,9 +65,15 @@ def scd_classify(
     fixed_cols: Sequence[str] = (),
     sk_col: str = "sk",
     current_col: str = "is_current",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """The SCD probe join + routing decision (SSIS outputs New / Changing /
     Historical / no-op), as a single classified DataFrame.
+
+    `broadcast_dim=True` mirrors the SSIS full-cache lookup (dims are
+    broadcastable by construction here); pass False for a dimension that
+    outgrows the broadcast threshold — the probe becomes a key-shuffle
+    join and AQE handles any key skew.
 
     Returns staging columns (s_-prefixed attrs), the matched current dim row's
     columns, and `change_type` ∈ {new, t1, t2, unchanged}. T2 takes priority
@@ -78,7 +84,8 @@ def scd_classify(
         F.col(key), *[F.col(c).alias(f"s_{c}") for c in attrs]
     )
     current = dim.filter(F.col(current_col))
-    probe = s_ren.join(F.broadcast(current), key, "left")
+    build = F.broadcast(current) if broadcast_dim else current
+    probe = s_ren.join(build, key, "left")
     return probe.withColumn(
         "change_type",
         F.when(F.col(sk_col).isNull(), F.lit(CHANGE_NEW))
@@ -146,6 +153,7 @@ def scd2_apply(
     current_col: str = "is_current",
     sk_strategy: str = "dense",
     date_type: str = "date",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Apply one staging snapshot to an SCD2 dimension; returns the rebuilt
     dimension (same schema/column order as `dim`).
@@ -161,7 +169,8 @@ def scd2_apply(
     # same join result — persist it or the staging⟕dim probe join runs
     # once per branch (spill-capable, never recompute)
     classified = scd_classify(
-        dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col
+        dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col,
+        broadcast_dim=broadcast_dim,
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
