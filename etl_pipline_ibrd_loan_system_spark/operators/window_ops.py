@@ -37,12 +37,18 @@ def forward_fill(
 
 
 def forward_fill_scalable(
-    df: DataFrame, order_by: Sequence[str], target: str, num_buckets: int = 256
+    df: DataFrame,
+    order_by: Sequence[str],
+    target: str,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """E1 at scale — distributed global forward-fill without a single-task sort.
 
     Two-pass algorithm over range buckets of the order key:
-    1. range-partition rows into `num_buckets` ordered buckets
+    1. range-partition rows into `num_buckets` ordered buckets (default:
+       2x the session's shuffle parallelism — a fixed large constant
+       wastes range-sampling time on small clusters, measured 4x at
+       sf0.1 with 256 buckets on 32 cores)
        (percentile-based split points, same mechanism as repartitionByRange);
     2. per bucket, compute the bucket-local fill plus the bucket's last
        non-null value; broadcast the tiny per-bucket "carry" table and fill
@@ -51,6 +57,10 @@ def forward_fill_scalable(
     Equivalent to the global window for a total order key; shuffle cost is
     one range partitioning instead of a 1-task sort.
     """
+    if num_buckets is None:
+        num_buckets = 2 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     okey = F.struct(*[F.col(c) for c in order_by])
     bucketed = df.repartitionByRange(num_buckets, *order_by).withColumn(
         "__bucket", F.spark_partition_id()
