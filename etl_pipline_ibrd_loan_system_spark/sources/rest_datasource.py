@@ -39,7 +39,13 @@ def make_paged_jsonl_datasource():
         """Streaming variant: offset = next page index — the reference's
         Airflow-Variable resume cursor (`pyspark_dag2.py:40-42,70-74`) as
         a first-class Structured Streaming offset, checkpointed and
-        replayable by Spark itself."""
+        replayable by Spark itself.
+
+        NOTE: the Simple reader API fetches on the DRIVER per micro-batch
+        — right for API-page-sized batches (the reference's 50k rows).
+        If pages ever outgrow driver memory, switch to
+        DataSourceStreamReader.partitions() so each page (range) is read
+        by an executor, exactly like the batch reader above."""
 
         def __init__(self, schema, options):
             self.schema_obj = schema
