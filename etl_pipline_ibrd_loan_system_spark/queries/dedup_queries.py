@@ -12,6 +12,7 @@ duplicates for the hash to match (banding chosen so miss probability
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import dedup
@@ -167,21 +168,38 @@ def dd6_embedding_blocked_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd7_embedding_lsh_neardup",
     sql=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    )
     SELECT * FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ) WHERE cos_sim >= 0.4
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.95
     """,
 )
 def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH near-dup vs brute-force oracle. The synthetic corpus
-    has no true near-dups (max pairwise cos ≈ 0.51), so the query runs at
-    threshold 0.4 with widened banding (64 bands x 2 bits: miss prob at
-    cos=0.4 is (1-0.631^2)^64 ≈ 8e-15) to force rows>0 through the full
-    LSH path; production defaults stay 0.95/16x4."""
+    """Hyperplane-LSH near-dup vs brute-force oracle, in the sparse-collision
+    regime LSH is designed for. The synthetic corpus has no true near-dups
+    (max pairwise cos ≈ 0.51), so the query plants deterministic exact
+    duplicates (every 10th vector re-added under vec_id+1e6; identical in
+    the oracle SQL) and detects them at threshold 0.95. Recall is
+    structurally 1.0 — identical vectors yield identical sign bits, hence
+    a guaranteed collision in every band — so aggressive 4x16 banding is
+    safe: even in-cluster non-dup pairs (bit-agree ≈ 0.7) collide in a
+    band with prob ≈ 0.7^16 ≈ 0.3%, keeping the candidate set ~100x
+    smaller than the brute-force pair space instead of degenerating into
+    it (which is what any banding config does if asked to reach recall
+    1.0 at cos 0.4 — the previous shape of this query, 3.7x slower)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
     return dedup.embedding_lsh_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, bands=64, band_bits=2
+        aug, "vec_id", "embedding", threshold=0.95, bands=4, band_bits=16
     )
 
 
