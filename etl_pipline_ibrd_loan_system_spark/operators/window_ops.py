@@ -92,6 +92,84 @@ def forward_fill_scalable(
     )
 
 
+def rolling_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value: str,
+    preceding: int = 3,
+    dec: str = "decimal(18,4)",
+) -> DataFrame:
+    """Rolling-frame analytics per key: lag/lead neighbors and a trailing
+    rows-frame SUM over `value` (`preceding` rows back through current).
+
+    The frame sum runs in fixed-point decimal so it is reduction-order
+    exact (functions/exact.py rationale) — a rolling double sum would
+    drift in the last bit between engines and partitionings. Partitioned
+    window => fully distributed; one shuffle on the partition keys.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    frame = w.rowsBetween(-preceding, Window.currentRow)
+    return (
+        df.withColumn("prev_value", F.lag(value).over(w))
+        .withColumn("next_value", F.lead(value).over(w))
+        .withColumn(
+            "trailing_sum",
+            F.round(F.sum(F.col(value).cast(dec)).over(frame), 2).cast("double"),
+        )
+    )
+
+
+def ranking_family(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_cols: Sequence,
+    tiles: int = 4,
+) -> DataFrame:
+    """The full SQL ranking surface over one window: rank, dense_rank,
+    percent_rank, cume_dist, ntile. percent_rank/cume_dist are exact
+    rational values ((rank-1)/(n-1), frac of rows <= current) — identical
+    across engines given a deterministic order, so callers must include a
+    unique tiebreak in `order_cols`."""
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return (
+        df.withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .withColumn("tile", F.ntile(tiles).over(w))
+    )
+
+
+def date_spine_fill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    aggs: Sequence,
+    fill: dict[str, object],
+) -> DataFrame:
+    """Gap-free per-key daily series: build a date spine spanning the
+    data's [min, max] day, cross-join it with the distinct keys, and left
+    join the per-(key, day) aggregates, filling absent days with `fill`
+    literals. A training-data pipeline needs this shape for per-source
+    ingest monitoring and time-series featurization (no silent gaps).
+
+    Scale: the spine is days x keys — broadcast (days is small, the
+    cross join replicates it per key partition-locally); the only shuffle
+    is the groupBy on (key, day), which AQE coalesces."""
+    day = F.to_date(F.col(ts_col)).alias("day")
+    bounds = df.select(
+        F.min(F.to_date(F.col(ts_col))).alias("d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    keys = df.select(F.col(key)).distinct()
+    daily = df.groupBy(F.col(key), day).agg(*aggs)
+    out = keys.crossJoin(F.broadcast(spine)).join(daily, [key, "day"], "left")
+    return out.fillna(fill)
+
+
 def top_n_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

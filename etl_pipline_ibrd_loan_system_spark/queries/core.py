@@ -802,3 +802,119 @@ def sql1_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+# --- E3-E5, D12: extended window + grouping surface -----------------------
+# Beyond the reference's single window op: the rolling/ranking/gap-fill
+# shapes a dashboard-plus-training-pipeline workload actually issues.
+
+
+@query(
+    "e3_rolling_agg",
+    sql="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e3_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling frame: lag/lead + decimal-exact trailing sum."""
+    from ..operators.window_ops import rolling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_agg(
+        ev, ["user_id"], ["ts", "event_id"], "value", preceding=3
+    ).select("event_id", "user_id", "value", "prev_value", "next_value", "trailing_sum")
+
+
+@query(
+    "e4_ranking_family",
+    sql="""
+    SELECT o_orderkey, o_orderstatus,
+           rank() OVER w AS rnk, dense_rank() OVER w AS dense_rnk,
+           percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS tile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def e4_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / cume_dist / ntile over one
+    window (deterministic via the o_orderkey tiebreak)."""
+    from ..operators.window_ops import ranking_family
+
+    orders = load_table(spark, sf_dir, "orders")
+    return ranking_family(
+        orders,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        tiles=4,
+    ).select(
+        "o_orderkey", "o_orderstatus", "rnk", "dense_rnk", "pct_rank", "cume", "tile"
+    )
+
+
+@query(
+    "e5_date_spine_gap_fill",
+    sql=f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+             {sql_dsum('value', 'sum_value')}
+      FROM events GROUP BY 1, 2
+    )
+    SELECT k.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.sum_value, 0.0) AS sum_value
+    FROM keys k CROSS JOIN spine s
+    LEFT JOIN daily d ON d.user_id = k.user_id AND d.day = s.day
+    """,
+)
+def e5_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free per-user daily series via broadcast date spine — the
+    time-series featurization shape (no silent missing days)."""
+    from ..operators.window_ops import date_spine_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return date_spine_fill(
+        ev,
+        "user_id",
+        "ts",
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+        fill={"n_events": 0, "sum_value": 0.0},
+    )
+
+
+# One ANSI string for Spark SQL and the oracle, like sql1: GROUPING SETS
+# with GROUPING() flags (supersets d11's ROLLUP — arbitrary set lattice).
+_D12_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n_rows, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+"""
+
+
+@query("d12_grouping_sets", sql=_D12_SQL)
+def d12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set lattice in one pass (Spark expands the sets
+    map-side — no N-scans-unioned), disambiguated by GROUPING() flags."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_D12_SQL)

@@ -79,3 +79,54 @@ def test_asof_join_semantics(spark):
         "l2": "r2",   # tie ts=10 counts (<= semantics)
         "l3": None,   # key v has no right rows at all
     }
+
+
+def test_rolling_agg_frame_and_neighbors(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.window_ops import rolling_agg
+
+    rows = [("a", i, float(i)) for i in range(1, 6)] + [("b", 1, 10.0)]
+    df = spark.createDataFrame(rows, ["k", "seq", "value"])
+    out = {
+        (r["k"], r["seq"]): r
+        for r in rolling_agg(df, ["k"], ["seq"], "value", preceding=2).collect()
+    }
+    # trailing frame is 2 preceding..current, clipped at partition start
+    assert out[("a", 1)]["trailing_sum"] == 1.0
+    assert out[("a", 3)]["trailing_sum"] == 6.0   # 1+2+3
+    assert out[("a", 5)]["trailing_sum"] == 12.0  # 3+4+5
+    # lag/lead are null at partition edges, never cross partitions
+    assert out[("a", 1)]["prev_value"] is None
+    assert out[("a", 5)]["next_value"] is None
+    assert out[("b", 1)]["prev_value"] is None
+
+
+def test_date_spine_fill_plugs_gaps(spark):
+    import datetime
+
+    import pyspark.sql.functions as SF
+
+    from etl_pipline_ibrd_loan_system_spark.operators.window_ops import (
+        date_spine_fill,
+    )
+
+    ts = datetime.datetime
+    rows = [  # user 1 active day 1 and day 4; user 2 only day 2
+        (1, ts(2024, 1, 1, 5), 2.0),
+        (1, ts(2024, 1, 4, 5), 3.0),
+        (2, ts(2024, 1, 2, 5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = date_spine_fill(
+        df,
+        "user_id",
+        "ts",
+        aggs=[SF.count(SF.lit(1)).alias("n_events")],
+        fill={"n_events": 0},
+    ).collect()
+    # spine spans 4 days x 2 users = 8 rows, gaps filled with 0
+    assert len(out) == 8
+    by_key = {(r["user_id"], str(r["day"])): r["n_events"] for r in out}
+    assert by_key[(1, "2024-01-02")] == 0
+    assert by_key[(1, "2024-01-04")] == 1
+    assert by_key[(2, "2024-01-02")] == 1
+    assert sum(v for v in by_key.values()) == 3
