@@ -165,3 +165,34 @@ def st1_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("st1_first").localCheckpoint(eager=True)
     finally:
         q.stop()
+
+
+@query(
+    "sd1_streaming_dedup",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def sd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark)
+    through a real stream. The watermark spans the whole replayed range,
+    so the emitted key set equals batch DISTINCT — which is the oracle;
+    only the key columns are projected because WHICH physical row wins
+    per key is arrival-order-dependent, the key set is not."""
+    import tempfile
+
+    from ..streaming.microbatch import run_stream_to_memory, streaming_dedup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="sd1_events_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    out = streaming_dedup(
+        stream, ["user_id", "event_type"], "ts", watermark="365 days"
+    ).select("user_id", "event_type")
+    q = run_stream_to_memory(out, "sd1_dedup", output_mode="append")
+    try:
+        return spark.table("sd1_dedup").localCheckpoint(eager=True)
+    finally:
+        q.stop()

@@ -135,3 +135,28 @@ def stateful_first_event(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (`dropDuplicatesWithinWatermark`): the first row per key is emitted,
+    later copies arriving within the watermark horizon are dropped, and
+    key state is evicted once the watermark passes it — so state size is
+    O(keys per horizon), not O(keys ever seen) as with the plain
+    streaming `dropDuplicates`.
+
+    Contract at the horizon boundary: a duplicate arriving LATER than
+    `watermark` after the retained row may be re-emitted (its state was
+    evicted). That is the deliberate trade for unbounded-runtime
+    pipelines; size the watermark to the source's real duplication
+    window (e.g. an at-least-once ingest retries within minutes, not
+    days). Exact global dedup over a bounded replay = watermark spanning
+    the full event-time range."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

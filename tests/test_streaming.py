@@ -96,3 +96,49 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         q.stop()
     rows = spark.read.parquet(sink)
     assert rows.count() == 2  # duplicated delivery did not duplicate rows
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch (within the
+    watermark horizon) is suppressed; new keys still flow through."""
+    src = str(tmp_path / "dedup_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        streaming_dedup,
+    )
+
+    KSCHEMA = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, KSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(t0, 1), (t0 + dt.timedelta(minutes=1), 2)])
+    stream = spark.readStream.schema(KSCHEMA).parquet(src)
+    out = streaming_dedup(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_t")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(
+            r["k"] for r in spark.table("dedup_t").collect()
+        ) == [1, 2]
+        # batch 2: key 1 repeats (suppressed), key 3 is new (emitted)
+        write([(t0 + dt.timedelta(minutes=5), 1), (t0 + dt.timedelta(minutes=6), 3)])
+        q.processAllAvailable()
+        assert sorted(
+            r["k"] for r in spark.table("dedup_t").collect()
+        ) == [1, 2, 3]
+    finally:
+        q.stop()
