@@ -1,0 +1,152 @@
+"""Distributed cardinality sketches (100 TB path for COUNT DISTINCT).
+
+An exact distinct count shuffles every distinct key; at 100 TB that is
+the dominant cost of dashboard measures like SURVEY.md §2.D D6
+("Guarantors"/"Borrowers" cards). The built-in `approx_count_distinct`
+is the production answer, but its HLL++ register layout is
+engine-private — it cannot be oracle-checked. This module implements
+HyperLogLog from first principles as a composition of DataFrame ops so
+the DuckDB oracle can replay the identical algorithm bit-for-bit:
+
+- hash: the repo-wide 60-bit md5 hash (operators.dedup.shared_hash60);
+- rho (first-set-bit position): a generated integer-only CASE cascade —
+  no log2/floats, so no libm last-ulp divergence between engines;
+- registers: groupBy(bucket).max(rho) — mergeable partial aggregates,
+  which is exactly what makes the sketch distributed: the shuffle
+  carries at most m=2^b rows per group regardless of input size;
+- estimator: alpha_m * m^2 / sum(2^-M) with linear-counting correction,
+  the register sum in exact decimal (2^-M is decimal-representable for
+  M <= cap, so the reduction is associative and order-free), the final
+  estimate rounded to an integer so the one libm call (ln in the
+  linear-counting branch) cannot surface an ulp across engines.
+
+Spark expression and oracle SQL are generated from the same Python
+loops (`hll_oracle_sql`), guaranteeing congruence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shared_hash60
+
+DEFAULT_B = 9  # 2^9 = 512 registers: ~4.6% standard error
+RHO_CAP = 20  # max first-set-bit position tracked; 2^-20 fits DECIMAL(38,21)
+
+
+def _alpha(m: int) -> float:
+    # standard HLL bias constant for m >= 128
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_spark(w: Column, cap: int = RHO_CAP) -> Column:
+    """Position of the lowest set bit of `w` (1-based), capped; integer
+    arithmetic only. w == 0 (no bits in the hash remainder) -> cap."""
+    expr = F.lit(cap)
+    for k in range(cap - 1, 0, -1):
+        expr = F.when(w % (2 ** k) == 2 ** (k - 1), k).otherwise(expr)
+    return expr
+
+
+def _rho_sql(w: str, cap: int = RHO_CAP) -> str:
+    whens = " ".join(
+        f"WHEN ({w}) % {2 ** k} = {2 ** (k - 1)} THEN {k}"
+        for k in range(1, cap)
+    )
+    return f"CASE {whens} ELSE {cap} END"
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str],
+    b: int = DEFAULT_B,
+    cap: int = RHO_CAP,
+) -> DataFrame:
+    """Per-group HLL registers: (group..., bucket, M=max rho). Mergeable:
+    registers of two datasets union + max to the sketch of their union."""
+    m = 2 ** b
+    h = shared_hash60(F.col(col).cast("string"))
+    hashed = df.select(
+        *group_by,
+        (h % m).alias("bucket"),
+        # h >> b, NOT h/m: double division rounds above 2^53 (h is 60-bit)
+        _rho_spark(F.shiftright(h, b), cap).alias("rho"),
+    )
+    return hashed.groupBy(*group_by, "bucket").agg(F.max("rho").alias("m_reg"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_by: Sequence[str], b: int = DEFAULT_B
+) -> DataFrame:
+    """Collapse registers to one cardinality estimate per group."""
+    m = 2 ** b
+    alpha_m2 = _alpha(m) * m * m
+    z_present = F.sum(F.pow(F.lit(2.0), -F.col("m_reg")).cast("decimal(38,21)"))
+    n_present = F.count(F.lit(1))
+    agg = registers.groupBy(*group_by).agg(
+        z_present.alias("z_present"), n_present.alias("n_present")
+    )
+    v = F.lit(m) - F.col("n_present")  # zero (absent) registers
+    z = (v.cast("decimal(38,21)") + F.col("z_present")).cast("double")
+    raw = F.lit(alpha_m2) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return agg.select(
+        *group_by, F.round(est).cast("bigint").alias("est_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str],
+    b: int = DEFAULT_B,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group via the shared-hash HLL."""
+    return hll_estimate(hll_registers(df, col, group_by, b), group_by, b)
+
+
+def hll_oracle_sql(
+    table: str,
+    col: str,
+    group_by: Sequence[str],
+    b: int = DEFAULT_B,
+    cap: int = RHO_CAP,
+) -> str:
+    """DuckDB replay of hll_distinct — same hash, same rho cascade, same
+    decimal register sum, same estimator literals."""
+    m = 2 ** b
+    alpha_m2 = _alpha(m) * m * m
+    g = ", ".join(group_by)
+    h = f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)"
+    rho = _rho_sql(f"h // {m}", cap)
+    return f"""
+    WITH hashed AS (
+      SELECT {g}, h % {m} AS bucket, {rho} AS rho
+      FROM (SELECT {g}, {h} AS h FROM {table})
+    ),
+    registers AS (
+      SELECT {g}, bucket, MAX(rho) AS m_reg FROM hashed GROUP BY {g}, bucket
+    ),
+    collapsed AS (
+      SELECT {g},
+             SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) AS z_present,
+             COUNT(*) AS n_present
+      FROM registers GROUP BY {g}
+    )
+    SELECT {g},
+           CAST(ROUND(
+             CASE WHEN ({alpha_m2!r} / CAST(CAST({m} - n_present AS DECIMAL(38,21))
+                          + z_present AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - n_present) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present))
+                  ELSE {alpha_m2!r} / CAST(CAST({m} - n_present AS DECIMAL(38,21))
+                         + z_present AS DOUBLE)
+             END) AS BIGINT) AS est_distinct
+    FROM collapsed
+    """

@@ -918,3 +918,23 @@ def d12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_D12_SQL)
+
+
+# --- SK1: distributed cardinality sketch (scale path for D6) --------------
+# The oracle replays the full HLL algorithm (same hash, same registers,
+# same estimator) in DuckDB — generated from the same Python code, so the
+# approximate path is hash-checked exactly, unlike engine-private
+# approx_count_distinct.
+
+from ..operators.sketches import hll_distinct, hll_oracle_sql  # noqa: E402
+
+
+@query(
+    "sk1_hll_distinct",
+    sql=hll_oracle_sql("events", "event_id", ["event_type"]),
+)
+def sk1_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog COUNT DISTINCT per event_type: shuffle carries at most
+    512 registers per group instead of every distinct key."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct(ev, "event_id", ["event_type"])

@@ -130,3 +130,35 @@ def test_date_spine_fill_plugs_gaps(spark):
     assert by_key[(1, "2024-01-04")] == 1
     assert by_key[(2, "2024-01-02")] == 1
     assert sum(v for v in by_key.values()) == 3
+
+
+def test_hll_distinct_error_bound_and_merge(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # two regimes: small n (linear-counting branch), large n (raw HLL)
+    rows = [(i, "small" if i < 300 else "large") for i in range(10300)]
+    df = spark.createDataFrame(rows, ["k", "grp"])
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(df, "k", ["grp"]).collect()
+    }
+    assert abs(est["small"] - 300) / 300 < 0.15
+    assert abs(est["large"] - 10000) / 10000 < 0.15  # 512 regs ~ 4.6% rse
+
+    # mergeability: sketch(union) == merge(sketches) register-wise
+    half1, half2 = df.filter("k % 2 = 0"), df.filter("k % 2 = 1")
+    merged_regs = (
+        hll_registers(half1, "k", ["grp"])
+        .unionByName(hll_registers(half2, "k", ["grp"]))
+        .groupBy("grp", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    merged_est = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_estimate(merged_regs, ["grp"]).collect()
+    }
+    assert merged_est == est
