@@ -196,3 +196,51 @@ def sd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("sd1_dedup").localCheckpoint(eager=True)
     finally:
         q.stop()
+
+
+@query(
+    "ss1_stream_stream_interval_join",
+    sql="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def ss1_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through two real streams: errors within
+    10 minutes after a click by the same user. The full-range watermark
+    makes the emitted set equal the batch interval join — the oracle; in
+    production the watermark bounds both sides' join state instead."""
+    import tempfile
+
+    from ..streaming.microbatch import interval_join, run_stream_to_memory
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="ss1_events_")
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+
+    def stream():
+        s = spark.readStream.schema(raw_schema).parquet(stage_dir)
+        return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    clicks = stream().where(F.col("event_type") == "click")
+    errors = stream().where(F.col("event_type") == "error")
+    joined = interval_join(
+        clicks, errors, "user_id", "ts", "ts", "10 MINUTES", "365 days"
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.ts").alias("click_ts"),
+        F.col("r.ts").alias("error_ts"),
+    )
+    q = run_stream_to_memory(joined, "ss1_join", output_mode="append")
+    try:
+        return spark.table("ss1_join").localCheckpoint(eager=True)
+    finally:
+        q.stop()

@@ -160,3 +160,30 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream INNER join within an event-time interval: right rows
+    whose `right_ts` falls in [left_ts, left_ts + upper] for the same
+    key. Watermarks on BOTH inputs plus the time-range predicate are what
+    let Spark evict join state: each side buffers only rows younger than
+    (watermark + interval), so state is bounded by arrival rate x
+    horizon, not by stream length. Without the range predicate a
+    stream-stream join would have to keep every row forever."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {upper}"
+        ),
+    )
