@@ -177,3 +177,28 @@ def winnow_fingerprints(
         F.array_distinct(F.transform(sh, lambda s: shared_hash60(s)))
     )
     return base.select(F.col(id_col), F.slice(hashes, 1, k).alias("sketch"))
+
+
+def vocab_topk(df, text_col: str, k: int = 50):
+    """Corpus vocabulary heavy hitters: global token counts, top-k by
+    frequency (token as deterministic tiebreak). The explode emits one
+    row per token but partial aggregation collapses each partition to
+    its distinct tokens before the shuffle — the shuffle carries the
+    per-partition vocabulary, not the token stream. The final window
+    ranks the aggregated vocabulary (corpus-vocab-sized, sub-linear in
+    corpus size by Heaps' law); for extreme vocabularies, prefilter
+    with a min-count threshold before the global rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    counts = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

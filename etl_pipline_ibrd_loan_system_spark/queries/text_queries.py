@@ -173,3 +173,23 @@ def tx6_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("max_chars"),
         )
     )
+
+
+@query(
+    "tx7_vocab_topk",
+    sql=f"""
+    SELECT token, n, rank FROM (
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+      )
+    ) WHERE rank <= 50
+    """,
+)
+def tx7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters (top-50 tokens by frequency)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.vocab_topk(docs, "text", k=50)
