@@ -339,8 +339,18 @@ def embedding_lsh_pairs(
         x = (_A_MULT * (bit * dim + i + 1) + 12345) % MINHASH_P
         return (x / MINHASH_P) * 2.0 - 1.0
 
-    w_lit = F.array(  # all-literal => Catalyst folds to a single Literal
-        *[F.array(*[F.lit(w(bit, i)) for i in range(dim)]) for bit in range(nbits)]
+    # all-literal => Catalyst folds to a single Literal. Built as ONE
+    # F.expr string, not nested F.array(F.lit(...)): nbits x dim
+    # per-element Column constructions are ~10k py4j round trips, which
+    # cost MORE driver time than executing the query (measured 3.6-4.4s
+    # build vs 1.4-1.9s exec at 64x64 before this). repr() round-trips
+    # doubles exactly, so the parsed literal is bit-identical.
+    w_lit = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)" % ",".join(repr(w(bit, i)) for i in range(dim))
+            for bit in range(nbits)
+        )
     )
     bits_arr = F.transform(
         w_lit,
