@@ -98,10 +98,11 @@ def minhash_signatures(
         shingled.select(id_col, F.explode("shingles").alias("s"))
         .select(id_col, (shared_hash60(F.col("s")) % MINHASH_P).alias("h"))
     )
+    # one parsed expr per permutation (k x ~6 Column calls is py4j-bound)
     aggs = []
     for i in range(k):
         a, b = perm_params(i)
-        aggs.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}"))
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"))
     return h.groupBy(id_col).agg(*aggs)
 
 
@@ -111,11 +112,13 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join: ids sharing any band bucket become a
     candidate pair (id_a < id_b). Shuffle key (band, bucket) is uniform by
     hash construction."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+    band_hashes = F.expr(
+        "array(%s)"
+        % ",".join(
+            "xxhash64(%s)"
+            % ",".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
             for b in range(bands)
-        ]
+        )
     )
     buckets = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
@@ -225,20 +228,24 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> Dat
         df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
         .select(id_col, shared_hash60(F.col("tok")).alias("h"))
     )
+    # parsed exprs: bits x ~6 Column calls per sum (plus the bits-term
+    # recombination chain) are py4j round trips that dominate plan build
     bit_sums = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b_{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b_{i}"
+            )
             for i in range(bits)
         ]
     )
-    fp = None
-    for i in range(bits):
-        term = F.when(F.col(f"b_{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN b_{i} > 0 THEN CAST({2 ** i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
         )
-        fp = term if fp is None else fp + term
+    )
     return bit_sums.select(F.col(id_col), fp.alias("simhash"))
 
 
