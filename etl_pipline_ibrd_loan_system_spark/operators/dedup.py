@@ -319,6 +319,37 @@ def embedding_blocked_pairs(
     )
 
 
+def _arrow_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    weights,  # numpy (nbits, dim)
+    bands: int,
+    band_bits: int,
+) -> DataFrame:
+    """Sign-bit signatures via Arrow-batched matmul: one BLAS call per
+    batch replaces nbits x dim interpreted lambda evaluations per row
+    (measured ~5s -> ~0.3s for 2200 x 64bit x 64dim). Exact duplicates
+    still get identical signatures (same bytes -> same matmul -> same
+    signs), which is the only property recall depends on."""
+    import numpy as np
+    import pandas as pd
+
+    pow2 = (2 ** np.arange(band_bits)).astype("int64")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype="float64")
+            bits = (V @ weights.T >= 0).astype("int64")
+            sig = bits.reshape(len(pdf), -1, len(pow2)) @ pow2
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": list(sig)})
+
+    return df.mapInPandas(fn, f"{id_col} {id_type}, sig array<bigint>")
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -327,6 +358,8 @@ def embedding_lsh_pairs(
     bands: int = 16,
     band_bits: int = 4,
     dim: int = 64,
+    arrow_signatures: bool = True,
+    hamming_prefilter: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup at scale: random-hyperplane signature (sign bits of
     deterministic pseudo-random projections), banded bucket-join, exact
@@ -389,10 +422,23 @@ def embedding_lsh_pairs(
     # band-collision (a ~bands-fold saving in shuffle bytes + compute).
     from pyspark import StorageLevel
 
-    buckets = (
-        df.select(F.col(id_col), bits_arr.alias("bits"))
-        .select(F.col(id_col), F.posexplode(chunks).alias("band", "chunk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds both join sides
+    if arrow_signatures:
+        import numpy as np
+
+        W = np.array(
+            [[w(bit, i) for i in range(dim)] for bit in range(nbits)],
+            dtype="float64",
+        )
+        sigs = _arrow_signatures(df, id_col, vec_col, W, bands, band_bits)
+    else:
+        # pure-JVM fallback: interpreted higher-order functions — correct
+        # but nbits x dim lambda evals per row; ~15x slower than Arrow
+        sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
+            F.col(id_col), chunks.alias("sig")
+        )
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # buckets x2 + prefilter x2
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode("sig").alias("band", "chunk")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -407,6 +453,31 @@ def embedding_lsh_pairs(
         )
         .distinct()
     )
+    # Optional signature Hamming prefilter: the full nbits signature is
+    # already computed (it IS the concatenated band chunks) and each row
+    # is ~16 bytes vs 512 for the vector, so candidates can join
+    # signatures first and only survivors touch vectors. EXPLICIT opt-in
+    # only: an acos(threshold)/pi binomial auto-cutoff is miscalibrated
+    # here — that law assumes rotation-invariant (gaussian) hyperplanes,
+    # and these deterministic hash-derived ones are uniform-cube, so
+    # measured Hamming for cos~0.4 pairs ran 6-10 sigma above the
+    # binomial prediction and a "5 sigma" cutoff silently dropped true
+    # pairs. Safe uses: planted/exact duplicates (Hamming 0 — any small
+    # cutoff), or a cutoff validated against the caller's actual data.
+    if hamming_prefilter is not None:
+        ham = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+            F.lit(0),
+            lambda s, x: s + x,
+        )
+        sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+        cands = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(ham <= hamming_prefilter)
+            .select("id_a", "id_b")
+        )
     # Per-vector norms once (not per pair): cos = dot/(na*nb) with na,nb
     # pure functions of each vector — bit-identical to cosine(), 1/3 the
     # per-pair flops through the (interpreted) higher-order aggregate.

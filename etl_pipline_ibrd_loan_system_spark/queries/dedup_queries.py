@@ -199,7 +199,15 @@ def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = emb.select("vec_id", "embedding").unionByName(dup)
     return dedup.embedding_lsh_pairs(
-        aug, "vec_id", "embedding", threshold=0.95, bands=4, band_bits=16
+        aug,
+        "vec_id",
+        "embedding",
+        threshold=0.95,
+        bands=4,
+        band_bits=16,
+        # planted exact dups have signature Hamming 0, so the prefilter
+        # is structurally safe here (see the operator's calibration note)
+        hamming_prefilter=8,
     )
 
 

@@ -99,3 +99,22 @@ def test_connected_components_multihop(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_embedding_lsh_hamming_prefilter_keeps_exact_dups(emb):
+    # exact copies have signature Hamming 0: any cutoff keeps them, and
+    # the prefilter collapses the verify stage to near-dups only
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    pairs = dedup.embedding_lsh_pairs(
+        aug, "vec_id", "embedding", threshold=0.95,
+        bands=4, band_bits=16, hamming_prefilter=8,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in emb.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    assert found == expected
