@@ -150,3 +150,140 @@ def hll_oracle_sql(
              END) AS BIGINT) AS est_distinct
     FROM collapsed
     """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    group_by: Sequence[str],
+    bins: int = 64,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate per-group quantiles from a fixed-width histogram — the
+    one-pass, mergeable replacement for exact percentiles (which need a
+    full sort / all values per group through the shuffle; D9 has the
+    exact version). The shuffle here carries at most `bins` counts per
+    group, and bin counts from separate datasets merge by addition.
+
+    Estimator: with per-group lo/hi, width w = (hi-lo)/bins, target rank
+    t = q*(n-1)+1, find the first bin whose cumulative count reaches t
+    and interpolate linearly inside it. Error is bounded by one bin
+    width. Every arithmetic step is the same IEEE double expression the
+    DuckDB oracle (histogram_quantiles_oracle_sql) runs, so results are
+    bit-identical.
+
+    Degenerate group (hi == lo, one distinct value): all rows land in
+    bin 0 and the interpolation collapses to lo exactly.
+    """
+    g = list(group_by)
+    stats = df.groupBy(*g).agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(col).alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo")) / bins
+    idx = F.when(F.col("hi") == F.col("lo"), 0).otherwise(
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(col) - F.col("lo")) / w).cast("int"),
+        )
+    )
+    binned = (
+        df.join(F.broadcast(stats), g)
+        .groupBy(*g, idx.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("cnt").over(
+        Window.partitionBy(*g).orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    cdf = binned.withColumn("cum", cum).join(F.broadcast(stats), g)
+    out = None
+    for q in qs:
+        t = F.lit(q) * (F.col("n") - 1) + 1  # rank in [1, n]
+        frac = (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        est = F.when(
+            F.col("hi") == F.col("lo"), F.col("lo")
+        ).otherwise(
+            F.col("lo")
+            + ((F.col("hi") - F.col("lo")) / bins)
+            * (F.col("bin") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0)))
+        )
+        # first bin whose cumulative count reaches the target rank
+        hit = (
+            cdf.where(F.col("cum") >= t)
+            .groupBy(*g)
+            .agg(F.min_by(est, F.col("bin")).alias("est"))
+            .select(*g, F.lit(q).alias("q"), F.col("est"))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    col: str,
+    group_by: Sequence[str],
+    bins: int = 64,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB replay of histogram_quantiles (same binning, same target
+    rank, same interpolation arithmetic)."""
+    g = ", ".join(group_by)
+    parts = []
+    for q in qs:
+        # CAST the literal: DuckDB parses bare 0.9 as DECIMAL(1,1) and
+        # would carry decimal arithmetic where Spark uses doubles
+        t = f"(CAST({q!r} AS DOUBLE) * (n - 1) + 1)"
+        frac = f"({t} - (cum - cnt)) / cnt"
+        est = (
+            f"CASE WHEN hi = lo THEN lo ELSE"
+            f" lo + ((hi - lo) / {bins})"
+            f" * (bin + LEAST(GREATEST({frac}, 0.0), 1.0)) END"
+        )
+        parts.append(f"""
+        SELECT {g}, CAST({q!r} AS DOUBLE) AS q,
+               MIN_BY({est}, bin) AS est
+        FROM cdf WHERE cum >= {t} GROUP BY {g}
+        """)
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH stats AS (
+      SELECT {g}, MIN({col}) AS lo, MAX({col}) AS hi, COUNT({col}) AS n
+      FROM {table} GROUP BY {g}
+    ),
+    binned AS (
+      SELECT {g}, bin, COUNT(*) AS cnt FROM (
+        SELECT t.{col},
+               CASE WHEN s.hi = s.lo THEN 0 ELSE
+                 LEAST({bins} - 1,
+                   CAST(FLOOR((t.{col} - s.lo) / ((s.hi - s.lo) / {bins}))
+                        AS INT)) END AS bin,
+               {_joincols('t', 's', group_by)}
+        FROM {table} t JOIN stats s ON {_joinpred('t', 's', group_by)}
+      ) GROUP BY {g}, bin
+    ),
+    cdf AS (
+      SELECT b.*, s.lo, s.hi, s.n,
+             SUM(cnt) OVER (PARTITION BY {_qual('b', group_by)}
+                            ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM binned b JOIN stats s ON {_joinpred('b', 's', group_by)}
+    )
+    {union}
+    """
+
+
+def _qual(alias: str, cols: Sequence[str]) -> str:
+    return ", ".join(f"{alias}.{c}" for c in cols)
+
+
+def _joinpred(a: str, b: str, cols: Sequence[str]) -> str:
+    return " AND ".join(f"{a}.{c} = {b}.{c}" for c in cols)
+
+
+def _joincols(a: str, b: str, cols: Sequence[str]) -> str:
+    return ", ".join(f"{a}.{c} AS {c}" for c in cols)

@@ -938,3 +938,21 @@ def sk1_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     512 registers per group instead of every distinct key."""
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct(ev, "event_id", ["event_type"])
+
+
+from ..operators.sketches import (  # noqa: E402
+    histogram_quantiles,
+    histogram_quantiles_oracle_sql,
+)
+
+
+@query(
+    "sk2_histogram_quantiles",
+    sql=histogram_quantiles_oracle_sql("events", "value", ["event_type"]),
+)
+def sk2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable quantile sketch: the shuffle carries at most
+    64 bin counts per group instead of every value (D9 is the exact,
+    full-sort counterpart)."""
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", ["event_type"])

@@ -162,3 +162,24 @@ def test_hll_distinct_error_bound_and_merge(spark):
         for r in hll_estimate(merged_regs, ["grp"]).collect()
     }
     assert merged_est == est
+
+
+def test_histogram_quantiles_accuracy_and_degenerate(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    rows = [(float(i), "u") for i in range(1000)] + [(42.0, "const")] * 5
+    df = spark.createDataFrame(rows, ["v", "grp"])
+    out = {
+        (r["grp"], r["q"]): r["est"]
+        for r in histogram_quantiles(df, "v", ["grp"], bins=64).collect()
+    }
+    # uniform 0..999: estimates within one bin width (999/64 ~ 15.6)
+    binw = 999.0 / 64
+    assert abs(out[("u", 0.5)] - 499.5) <= binw
+    assert abs(out[("u", 0.9)] - 899.1) <= binw
+    assert abs(out[("u", 0.99)] - 989.01) <= binw
+    # degenerate group: single distinct value -> exactly that value
+    for q in (0.5, 0.9, 0.99):
+        assert out[("const", q)] == 42.0
