@@ -184,11 +184,13 @@ def vocab_topk(df, text_col: str, k: int = 50):
     frequency (token as deterministic tiebreak). The explode emits one
     row per token but partial aggregation collapses each partition to
     its distinct tokens before the shuffle — the shuffle carries the
-    per-partition vocabulary, not the token stream. The final window
-    ranks the aggregated vocabulary (corpus-vocab-sized, sub-linear in
-    corpus size by Heaps' law); for extreme vocabularies, prefilter
-    with a min-count threshold before the global rank."""
-    from pyspark.sql import Window
+    per-partition vocabulary, not the token stream. The final rank is
+    `orderBy(...).limit(k)`, which Spark executes as
+    TakeOrderedAndProject: every partition keeps its own top-k and only
+    those k-row heaps travel to the driver-side merge — no task ever
+    sorts the full vocabulary (a global row_number window here would
+    funnel 10^8-10^9 tokens through ONE task at 100 TB). The rank column
+    is re-derived from the (tiny, already-sorted) k-row result."""
     from pyspark.sql import functions as F
 
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
@@ -197,8 +199,26 @@ def vocab_topk(df, text_col: str, k: int = 50):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "token")
+    top = counts.orderBy(F.col("n").desc(), "token").limit(k)
+    # rank the k survivors without any WindowExec: pack them into ONE
+    # sorted array (an aggregation over k rows, not the vocabulary) and
+    # posexplode — rank = position + 1. struct sorts ascending, so negate
+    # n to get (n DESC, token ASC).
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("n")).alias("_neg_n"),
+                F.col("token").alias("token"),
+                F.col("n").alias("n"),
+            )
+        )
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.agg(arr.alias("a"))
+        .select(F.posexplode("a").alias("pos", "s"))
+        .select(
+            F.col("s.token").alias("token"),
+            F.col("s.n").alias("n"),
+            (F.col("pos") + 1).alias("rank"),
+        )
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+REGISTRY_ERRORS: dict[str, str] = {}
 
 
 def query(name: str, sql: str | None = None):
@@ -34,7 +35,16 @@ def query(name: str, sql: str | None = None):
 
 
 def load_registry():
-    """Import every query module (side-effect registration)."""
+    """Import every query module (side-effect registration).
+
+    A failing module must not silently shrink the registry — the driver
+    would then under-report coverage with no error anywhere. Import
+    failures are recorded in REGISTRY_ERRORS and printed to stderr; only
+    a missing OPTIONAL third-party dependency is tolerated silently
+    (none of the query modules currently has one)."""
+    import sys
+    import traceback
+
     from . import core  # noqa: F401
 
     for mod in ("star_queries", "measure_queries", "dedup_queries",
@@ -42,6 +52,11 @@ def load_registry():
                 "stream_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
-        except ImportError:
-            pass
+        except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped
+            REGISTRY_ERRORS[mod] = traceback.format_exc()
+            print(
+                f"[queries.load_registry] FAILED to import {mod}:\n"
+                f"{REGISTRY_ERRORS[mod]}",
+                file=sys.stderr,
+            )
     return QUERIES, ORACLE

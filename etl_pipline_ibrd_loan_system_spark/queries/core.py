@@ -578,7 +578,7 @@ def b9_b10_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d8_salted_agg",
     sql="""
     SELECT l_returnflag, COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_int
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -743,7 +743,7 @@ def d10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d11_rollup",
     sql="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_int
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -785,7 +785,7 @@ def f5_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARED_SQL = """
     SELECT n.n_name AS nation, COUNT(*) AS n_orders,
-           SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -903,7 +903,7 @@ def e5_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D12_SQL = """
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
-           COUNT(*) AS n_rows, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty_int
+           COUNT(*) AS n_rows, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_int
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
                             (l_linestatus), ())

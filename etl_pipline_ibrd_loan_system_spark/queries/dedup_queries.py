@@ -52,6 +52,8 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        -- sound prune: jaccard >= t implies t <= |A|/|B| <= 1/t
+        AND len(a.s) * 2 >= len(b.s) AND len(b.s) * 2 >= len(a.s)
     ) WHERE jaccard >= 0.5
     """,
 )
@@ -71,6 +73,8 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        -- sound prune: jaccard >= 0.8 implies 0.8 <= |A|/|B| <= 1.25
+        AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
     ) WHERE jaccard >= 0.8
     """,
 )
@@ -215,15 +219,18 @@ def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd8_dedup_clusters",
     sql=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
-    pairs AS (
+    pairs AS MATERIALIZED (
+      -- MATERIALIZED: the recursive closure below must not re-inline the
+      -- O(n^2) shingle join on every fixpoint iteration
       SELECT * FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                len(list_intersect(a.s, b.s))::DOUBLE
                  / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
       ) WHERE jaccard >= 0.8
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ),

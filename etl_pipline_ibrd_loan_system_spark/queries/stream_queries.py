@@ -8,6 +8,7 @@ proving batch/streaming parity of the operator.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,21 @@ _WINDOW_SQL = f"""
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 4):
+    """Pin a small shuffle-partition count for the duration of a verification
+    stream: every stateful streaming operator materializes one state store
+    PER shuffle partition per micro-batch, so 32 partitions over a
+    few-thousand-row replay is pure overhead. Production streams size this
+    to throughput; the stream's partitioning is fixed at first start."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _agg(events: DataFrame) -> DataFrame:
@@ -57,11 +73,12 @@ def s1_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     if "ts" in [f.name for f in raw_schema.fields]:
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    q = run_stream_to_memory(_agg(stream), "s1_windows", output_mode="complete")
-    try:
-        return spark.table("s1_windows").localCheckpoint(eager=True)
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(_agg(stream), "s1_windows", output_mode="complete")
+        try:
+            return spark.table("s1_windows").localCheckpoint(eager=True)
+        finally:
+            q.stop()
 
 
 @query(
@@ -100,8 +117,11 @@ def h2_sliding_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH m AS (
       SELECT user_id, ts, event_id, value,
+             -- >= : Spark session windows are [start, last+gap) half-open,
+             -- so an event exactly `gap` after its predecessor opens a NEW
+             -- session
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -160,11 +180,12 @@ def st1_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
     stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     out = stateful_first_event(stream, "user_id", "ts", "event_id")
-    q = run_stream_to_memory(out, "st1_first", output_mode="append")
-    try:
-        return spark.table("st1_first").localCheckpoint(eager=True)
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(out, "st1_first", output_mode="append")
+        try:
+            return spark.table("st1_first").localCheckpoint(eager=True)
+        finally:
+            q.stop()
 
 
 @query(
@@ -191,11 +212,12 @@ def sd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_dedup(
         stream, ["user_id", "event_type"], "ts", watermark="365 days"
     ).select("user_id", "event_type")
-    q = run_stream_to_memory(out, "sd1_dedup", output_mode="append")
-    try:
-        return spark.table("sd1_dedup").localCheckpoint(eager=True)
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(out, "sd1_dedup", output_mode="append")
+        try:
+            return spark.table("sd1_dedup").localCheckpoint(eager=True)
+        finally:
+            q.stop()
 
 
 @query(
@@ -239,8 +261,9 @@ def ss1_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("l.ts").alias("click_ts"),
         F.col("r.ts").alias("error_ts"),
     )
-    q = run_stream_to_memory(joined, "ss1_join", output_mode="append")
-    try:
-        return spark.table("ss1_join").localCheckpoint(eager=True)
-    finally:
-        q.stop()
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(joined, "ss1_join", output_mode="append")
+        try:
+            return spark.table("ss1_join").localCheckpoint(eager=True)
+        finally:
+            q.stop()

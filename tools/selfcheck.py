@@ -74,7 +74,11 @@ def main() -> int:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    from etl_pipline_ibrd_loan_system_spark.queries import REGISTRY_ERRORS
     failed = []
+    for mod, tb in REGISTRY_ERRORS.items():
+        print(f"FAIL  registry import {mod}:\n{tb}")
+        failed.append(f"registry:{mod}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,14 +89,18 @@ def main() -> int:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failed.append(name)
             continue
+        t_spark = time.time() - t0
         status = f"rows={len(sdf)}"
+        t_oracle = 0.0
         if name in oracles:
+            t1 = time.time()
             try:
                 odf = con.execute(oracles[name]).fetchdf()
             except Exception:
                 print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
                 failed.append(name)
                 continue
+            t_oracle = time.time() - t1
             problems = compare(name, sdf, odf)
             if problems:
                 print(f"FAIL  {name}: " + "; ".join(problems))
@@ -101,7 +109,7 @@ def main() -> int:
             status += " oracle=match"
         else:
             status += " oracle=NONE(rows-only)"
-        print(f"ok    {name}: {status} ({time.time() - t0:.1f}s)")
+        print(f"ok    {name}: {status} (spark={t_spark:.1f}s oracle={t_oracle:.1f}s)")
     total = len(only) if only else len(qs)
     print(f"\n{total - len(failed)}/{total} passed")
     return 1 if failed else 0
