@@ -95,6 +95,27 @@ def scd_classify(
     )
 
 
+def dedupe_staging(
+    staging: DataFrame, key: str, attr_cols: Sequence[str]
+) -> DataFrame:
+    """Collapse staging to AT MOST ONE row per business key.
+
+    Two staging rows with the same key but different attrs would otherwise
+    BOTH classify (e.g. both `new`) and both insert as current versions,
+    violating the 'one current row per business key' invariant. The winner
+    is the attr-wise smallest row (row_number over a deterministic order) —
+    arbitrary but stable; feeds with a meaningful recency column should
+    pre-sort/filter upstream. The window partitions BY KEY, so no task ever
+    sees more than one key's duplicates."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in attr_cols])
+    return (
+        staging.select(key, *attr_cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def scd2_init(
     staging: DataFrame,
     key: str,
@@ -110,7 +131,7 @@ def scd2_init(
     """Initial dimension load: every distinct staging key becomes a current
     version starting at `asof` (SSIS first-run behavior: all rows exit the
     New Output)."""
-    distinct = staging.select(key, *attr_cols).distinct()
+    distinct = dedupe_staging(staging, key, attr_cols)
     keyed = _assign_sks(distinct, key, sk_col, offset=0, strategy=sk_strategy, asof=asof)
     return keyed.select(
         sk_col,
@@ -164,6 +185,10 @@ def scd2_apply(
     attrs = [*t1_cols, *t2_cols, *fixed_cols]
     dim_cols = dim.columns
     from pyspark import StorageLevel
+
+    # one row per business key FIRST — duplicate-key staging rows would
+    # each classify and each insert a current version (invariant breach)
+    staging = dedupe_staging(staging, key, attrs)
 
     # four downstream branches (unchanged/T1/T2-close/fresh) filter this
     # same join result — persist it or the staging⟕dim probe join runs

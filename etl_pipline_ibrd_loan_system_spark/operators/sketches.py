@@ -176,6 +176,10 @@ def histogram_quantiles(
     bin 0 and the interpolation collapses to lo exactly.
     """
     g = list(group_by)
+    # NULLs: n = count(col) already excludes them, so binning them would
+    # shift every cumulative rank (and Spark orders a NULL bin first where
+    # DuckDB orders it last) — drop them before binning, as the oracle does
+    df = df.where(F.col(col).isNotNull())
     stats = df.groupBy(*g).agg(
         F.min(col).alias("lo"),
         F.max(col).alias("hi"),
@@ -264,6 +268,7 @@ def histogram_quantiles_oracle_sql(
                         AS INT)) END AS bin,
                {_joincols('t', 's', group_by)}
         FROM {table} t JOIN stats s ON {_joinpred('t', 's', group_by)}
+        WHERE t.{col} IS NOT NULL
       ) GROUP BY {g}, bin
     ),
     cdf AS (

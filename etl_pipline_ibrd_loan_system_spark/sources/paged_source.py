@@ -113,7 +113,12 @@ class IncrementalPagedIngest:
             # idempotent append: the page directory is overwritten whole, so
             # a crash between write and commit just rewrites the same rows
             page.write.mode("overwrite").parquet(self._page_dir(offset))
-            self.offsets.commit(offset + self.limit)
+            # advance by ROWS RECEIVED, not by `limit`: committing
+            # offset+limit on a partial page would permanently skip
+            # [offset+n, offset+limit) if an append-only source later grows.
+            # Page dirs are keyed by the fetch cursor, so the next (denser)
+            # page starts at offset+n and never collides.
+            self.offsets.commit(offset + n)
             pages += 1
             if n < self.limit:
                 break

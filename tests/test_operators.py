@@ -183,3 +183,44 @@ def test_histogram_quantiles_accuracy_and_degenerate(spark):
     # degenerate group: single distinct value -> exactly that value
     for q in (0.5, 0.9, 0.99):
         assert out[("const", q)] == 42.0
+
+
+def test_histogram_quantiles_null_safe_and_oracle_exact(spark):
+    """NULL values must not shift ranks (n excludes them) and the DuckDB
+    oracle must stay bit-identical in their presence."""
+    import duckdb
+
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_oracle_sql,
+    )
+
+    rows = [(float(i), "u") for i in range(100)] + [(None, "u")] * 7
+    df = spark.createDataFrame(rows, "v double, grp string")
+    with_nulls = {
+        (r["grp"], r["q"]): r["est"]
+        for r in histogram_quantiles(df, "v", ["grp"], bins=16).collect()
+    }
+    without = {
+        (r["grp"], r["q"]): r["est"]
+        for r in histogram_quantiles(
+            df.where("v is not null"), "v", ["grp"], bins=16
+        ).collect()
+    }
+    assert with_nulls == without
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({'NULL' if v is None else v}, '{g}')" for v, g in rows
+        )
+        + ") AS x(v, grp)"
+    )
+    oracle = {
+        (g, q): est
+        for g, q, est in con.execute(
+            histogram_quantiles_oracle_sql("t", "v", ["grp"], bins=16)
+        ).fetchall()
+    }
+    assert oracle == with_nulls  # bit-identical, including with NULLs present

@@ -37,7 +37,26 @@ def test_full_backfill(spark, tmp_path, dump):
     out = ing.read_sink(spark)
     assert out.count() == 100
     assert out.select("rid").distinct().count() == 100
-    assert ing.offsets.get() == 120  # advanced past final short page
+    # cursor advances by ROWS RECEIVED: the final short page (10 rows)
+    # commits 100, not 120 — rows 100-119 arriving later are not skipped
+    assert ing.offsets.get() == 100
+
+
+def test_partial_page_then_source_grows(spark, tmp_path, dump):
+    """A partial page must not advance the cursor past the rows actually
+    received: when an append-only source grows later, the gap rows are
+    ingested on the next run, exactly once."""
+    ing = _ingest(tmp_path, dump)
+    ing.run(spark)  # drains all 100 rows; cursor at 100
+    # source grows by 20 rows
+    spark.range(100, 120).withColumnRenamed("id", "rid").write.mode(
+        "append"
+    ).parquet(dump)
+    ing2 = _ingest(tmp_path, dump, total=120)
+    assert ing2.run(spark) == 1
+    out = ing2.read_sink(spark)
+    assert out.count() == 120
+    assert out.select("rid").distinct().count() == 120
 
 
 def test_resume_across_runs(spark, tmp_path, dump):

@@ -108,6 +108,23 @@ def test_idempotent_reapply(spark, dims):
     assert a == b
 
 
+def test_duplicate_key_staging_collapses(spark, dims):
+    """Two staging rows with the same business key but different attrs must
+    yield exactly ONE current version (the attr-wise smallest wins), both
+    on initial load and on apply."""
+    s_dup = spark.createDataFrame(
+        [("b9", "zeta", 1.0, "gr"), ("b9", "zeta_b", 2.0, "gr")], COLS
+    )
+    dim0 = scd2_init(s_dup, key="bk", attr_cols=COLS[1:], asof="2024-01-01", sk_col="sk")
+    assert dim0.count() == 1
+    assert dim0.collect()[0].name == "zeta"  # deterministic winner
+
+    *_, dim1 = dims
+    dim2 = scd2_apply(dim1, s_dup, asof="2024-03-01", **KW)
+    b9 = dim2.filter("bk = 'b9' and is_current").collect()
+    assert len(b9) == 1 and b9[0].name == "zeta"
+
+
 def test_hash_sk_strategy_distributed(spark, dims):
     s0, s1, _, _ = dims
     dim0 = scd2_init(s0, key="bk", attr_cols=COLS[1:], asof="2024-01-01",
