@@ -50,14 +50,18 @@ def sm1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLOYD_CTES, _LLOYD_FINAL = similarity.lloyd_oracle_ctes(
+    "c", "vec_id", _cos, dims=64, n_centroids=8, iters=2
+)
+
+
 @query(
     "sm2_ivf_topk",
     sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
-    centroids AS (
-      SELECT vec_id AS cent_id, cv AS cw FROM c ORDER BY vec_id LIMIT 8
-    ),
+    {_LLOYD_CTES},
+    centroids AS (SELECT cent_id, cw FROM {_LLOYD_FINAL}),
     assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT c.vec_id, cent_id,
@@ -91,8 +95,13 @@ def sm1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sm2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2 Lloyd refinement passes; the oracle replays seed +
+    both passes CTE-by-CTE (lloyd_oracle_ctes — generated from the same
+    Python as the Spark expressions, integer-quantized centroid sums so
+    neither engine's float reduction order can leak into the result)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
         "vec_id", "embedding", k=5, n_centroids=8, nprobe=2,
+        lloyd_iters=2, dims=64,
     )
