@@ -1,28 +1,37 @@
 """Similarity search over embedding columns (array<float>).
 
 Not reference-derived — the ANN family a training-data pipeline needs.
-Two paths, both pure DataFrame ops (cosine via zip_with/aggregate
-higher-order functions, JVM-side; no UDFs):
+Two paths, no UDFs anywhere:
 
 - cosine_topk      brute-force exact top-k: broadcast the (small) query
                    set against the (huge) corpus — ONE corpus scan, then
                    a single shuffle of (qid, cid, score) triples for the
                    per-query window. The corpus side never re-partitions.
-- ivf_topk         inverted-file ANN: deterministic seeded centroids,
-                   map-side-combined argmax assignment (min-struct trick,
-                   no window over the corpus), probe `nprobe` cells per
-                   query, exact re-rank inside candidates only. At 100 TB
-                   the corpus->centroid agg is the only full pass; search
-                   touches ~nprobe/C of the data.
+- ivf_topk         inverted-file ANN, MLlib-KMeans-style: centroids live
+                   as k·dims DRIVER state (the corpus is never collected,
+                   never shuffled); each Lloyd pass is ONE job — an
+                   Arrow-batched numpy kernel (the dedup.py
+                   _arrow_signatures pattern) assigns every row its
+                   argmax cell and emits per-partition k×dims INTEGER
+                   partial sums, so only n_partitions×k tiny rows leave
+                   the executors. Probing and exact re-rank touch
+                   ~nprobe/C of the data.
+
+The kernel accumulates dot/norm with a sequential per-dim fold (NOT
+np.dot) — bit-identical to aggregate(zip_with(...), 0.0, +), DuckDB
+list_sum, and therefore the oracle; centroid updates are integer-
+quantized so no engine's float reduction order can leak into them.
 
 Tie-breaking is pinned (score desc, id asc) so results are deterministic
-and oracle-replayable bit-for-bit.
+and oracle-replayable bit-for-bit. Ids must be integral (they travel
+through `long` Arrow schemas).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .dedup import cosine
 
@@ -56,33 +65,66 @@ def cosine_topk(
     )
 
 
-def ivf_assign(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
-    keep_vec: bool = False,
-) -> DataFrame:
-    """Assign each corpus vector to its argmax-cosine centroid via
-    groupBy(min(struct(-cos, cent_id))) — partial aggregation runs
-    map-side, so the shuffle carries one row per corpus vector.
-    `centroids` must expose (cent_id, cw: array<double>).
-    `keep_vec=True` also carries the vector through (for Lloyd updates),
-    avoiding a second join back to the corpus."""
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cent = centroids.select("cent_id", "cw")
-    scored = c.join(F.broadcast(cent)).select(
-        id_col, "v", "cent_id", cosine(F.col("v"), F.col("cw")).alias("cos")
-    )
-    aggs = [
-        F.min(F.struct((-F.col("cos")).alias("neg"), F.col("cent_id"))).alias("b")
-    ]
-    if keep_vec:
-        aggs.append(F.first("v").alias("v"))  # constant within the group
-    best = scored.groupBy(id_col).agg(*aggs)
-    cols = [F.col(id_col), F.col("b.cent_id").alias("cent_id")]
-    if keep_vec:
-        cols.append(F.col("v"))
-    return best.select(*cols)
+def _seq_sumsq(c) -> float:
+    """Python replay of the engines' left-fold sum of squares (NOT
+    math.fsum — the fold order must match)."""
+    s = 0.0
+    for x in c:
+        s += float(x) * float(x)
+    return s
+
+
+def _argmin_cells(V, cents: list[tuple[int, list[float]]]):
+    """Vectorized argmax-cosine cell per row of V (n×dims float64),
+    bit-identical to the engines.
+
+    Accumulation is a PYTHON LOOP over dims of numpy elementwise ops —
+    each row's dot/norm folds left-to-right from 0.0, the exact order of
+    aggregate(zip_with(...), 0.0, +), DuckDB list_sum, and the oracle —
+    NOT np.dot/np.sum, whose pairwise/SIMD reduction rounds differently.
+    Tie-break replays min(struct(-cos, cent_id)): centroids are visited
+    in ascending cent_id with strict improvement, so equal cosines keep
+    the lowest cent_id, and NaN never wins (comparisons with NaN are
+    False) unless every cosine is NaN — then the lowest cent_id, which
+    is what nan_guard_sql pins in the oracle."""
+    import numpy as np
+
+    n, dims = V.shape
+    s = np.zeros(n)
+    for i in range(dims):
+        s = s + V[:, i] * V[:, i]
+    nv = np.sqrt(s)
+    best_neg = np.full(n, np.inf)
+    best_cid = np.full(n, -1, dtype=np.int64)
+    for cid, cw in sorted(cents):
+        import math
+
+        nc = math.sqrt(_seq_sumsq(cw))
+        dot = np.zeros(n)
+        for i in range(dims):
+            dot = dot + V[:, i] * cw[i]
+        neg = -(dot / (nv * nc))
+        take = neg < best_neg
+        best_neg[take] = neg[take]
+        best_cid[take] = cid
+    best_cid[best_cid == -1] = min(cid for cid, _ in cents)  # all-NaN rows
+    return best_cid
+
+
+def _rows_matrix(series, dims: int):
+    """pandas array<double> column -> n×dims float64 matrix; raises on a
+    ragged row instead of letting short vectors silently truncate."""
+    import numpy as np
+
+    sizes = {len(v) for v in series}
+    if sizes and sizes != {dims}:
+        raise ValueError(
+            f"ivf: vector sizes {sorted(sizes)} != dims {dims} — refusing "
+            f"to truncate/pad embeddings"
+        )
+    if not sizes:
+        return np.zeros((0, dims))
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
 
 
 # Lloyd centroid updates, cross-engine exact. A float mean would make the
@@ -96,15 +138,6 @@ def ivf_assign(
 LLOYD_SCALE = 1 << 20
 
 
-def _lloyd_sum_expr(dims: int) -> str:
-    """ONE parsed expression (py4j-cheap): array of per-dim integer sums."""
-    terms = ", ".join(
-        f"CAST(SUM(FLOOR(element_at(v, {i + 1}) * {LLOYD_SCALE}.0)) AS DOUBLE)"
-        for i in range(dims)
-    )
-    return f"array({terms})"
-
-
 def _lloyd_sum_sql(dims: int) -> str:
     """DuckDB replay of _lloyd_sum_expr (FLOOR yields DOUBLE there, so cast
     to BIGINT pre-sum to keep the reduction in integer space)."""
@@ -115,6 +148,73 @@ def _lloyd_sum_sql(dims: int) -> str:
     return f"[{terms}]"
 
 
+def _lloyd_pass_partials(corpus_v: DataFrame, cents, dims: int):
+    """One Lloyd pass as ONE job: an Arrow-batched kernel assigns each
+    row its argmax cell (_argmin_cells) and emits per-PARTITION k×dims
+    integer component sums — the only thing leaving the executors is
+    n_partitions × k tiny rows (collected and reduced driver-side with
+    exact, order-independent int adds). The corpus never shuffles."""
+    import pandas as pd
+
+    cents_local = [(int(cid), [float(x) for x in cw]) for cid, cw in cents]
+    scale = float(LLOYD_SCALE)
+
+    def part(batches):
+        import numpy as np
+
+        acc: dict[int, object] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _rows_matrix(pdf["v"], dims)
+            cell = _argmin_cells(V, cents_local)
+            Q = np.floor(V * scale).astype(np.int64)  # ×2^20 is exact
+            for cid in np.unique(cell):
+                s = Q[cell == cid].sum(axis=0)  # int64 — order-free
+                key = int(cid)
+                acc[key] = acc.get(key, 0) + s
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cent_id": list(acc),
+                    "sw": [[int(x) for x in acc[c]] for c in acc],
+                }
+            )
+
+    return corpus_v.select("v").mapInPandas(
+        part, "cent_id long, sw array<long>"
+    ).collect()
+
+
+def _lloyd_py(
+    corpus_v: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dims: int,
+    iters: int,
+) -> list[tuple[int, list[float]]]:
+    """Refine driver-state centroids with `iters` k-means passes.
+
+    MLlib-KMeans-style: the k×dims centroid table is DRIVER state (the
+    corpus is never collected, never shuffled). A cell that captures no
+    vectors keeps its previous centroid. Component sums are integer-
+    quantized (see LLOYD_SCALE) so no float reduction order can leak
+    into the refined centroids on either engine."""
+    for _ in range(iters):
+        partials = _lloyd_pass_partials(corpus_v, cents, dims)
+        acc: dict[int, list[int]] = {}
+        for r in partials:
+            cid = int(r["cent_id"])
+            if cid in acc:
+                acc[cid] = [a + b for a, b in zip(acc[cid], r["sw"])]
+            else:
+                acc[cid] = list(r["sw"])
+        cents = [
+            (cid, [float(x) for x in acc[cid]] if cid in acc else cw)
+            for cid, cw in cents
+        ]
+    return cents
+
+
 def lloyd_iterate(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -122,24 +222,31 @@ def lloyd_iterate(
     dims: int,
     iters: int = 1,
 ) -> DataFrame:
-    """Refine (cent_id, cw) centroids with `iters` k-means passes. Each
-    pass is one broadcast-join assignment (map-side-combined argmax) plus
-    one `dims`-wide aggregation — no collect, no window over the corpus.
-    A cell that captures no vectors keeps its previous centroid."""
-    cent = centroids
-    for _ in range(iters):
-        assigned = ivf_assign(corpus, cent, id_col, "v", keep_vec=True)
-        sums = assigned.groupBy("cent_id").agg(
-            F.expr(_lloyd_sum_expr(dims)).alias("sw")
-        )
-        cent = cent.join(sums, "cent_id", "left").select(
-            "cent_id", F.coalesce(F.col("sw"), F.col("cw")).alias("cw")
-        )
-        # pin each pass (a k-row table): otherwise pass t+1's broadcast
-        # re-executes pass t's whole assignment, and the final downstream
-        # consumers re-execute the entire chain once per use
-        cent = cent.localCheckpoint(eager=True)
-    return cent
+    """DataFrame-in/DataFrame-out wrapper around _lloyd_py: collects the
+    k-row centroid table (k·dims driver state — the corpus side stays
+    distributed) and returns the refined table as a DataFrame."""
+    cents = [
+        (int(r["cent_id"]), [float(x) for x in r["cw"]])
+        for r in centroids.select("cent_id", "cw").collect()
+    ]
+    corpus_v = corpus.select(F.col(id_col), F.col("v"))
+    cents = _lloyd_py(corpus_v, cents, dims, iters)
+    return corpus.sparkSession.createDataFrame(
+        cents, "cent_id bigint, cw array<double>"
+    )
+
+
+def nan_guard_sql(expr: str) -> str:
+    """Pin the oracle's argmax NaN ordering to Spark's.
+
+    Spark picks the best centroid via array_min over (-cos, cent_id)
+    structs (_assign_expr_sql), which sorts NaN LAST (never chosen unless
+    every cosine is NaN); DuckDB's
+    plain ORDER BY cos DESC sorts NaN FIRST. Mapping NaN to -1e308 in the
+    oracle's ordering key makes a zero-norm vector (cos = 0/0) resolve to
+    the same cell in both engines: lowest cent_id when all-NaN, never the
+    NaN cell otherwise."""
+    return f"(CASE WHEN isnan({expr}) THEN -1e308 ELSE {expr} END)"
 
 
 def lloyd_oracle_ctes(
@@ -167,7 +274,7 @@ def lloyd_oracle_ctes(
         SELECT c.{id_col}, c.cv, p.cent_id,
                row_number() OVER (
                  PARTITION BY c.{id_col}
-                 ORDER BY {cos_fn('c.cv', 'p.cw')} DESC, p.cent_id ASC
+                 ORDER BY {nan_guard_sql(cos_fn('c.cv', 'p.cw'))} DESC, p.cent_id ASC
                ) AS rn
         FROM {corpus_cte} c CROSS JOIN {prev} p
       ) WHERE rn = 1
@@ -192,54 +299,107 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     lloyd_iters: int = 0,
-    dims: int = 64,
+    dims: int | None = None,
 ) -> DataFrame:
     """IVF ANN: centroids seeded from the first `n_centroids` corpus
     vectors by id (deterministic), then refined with `lloyd_iters`
-    k-means passes (lloyd_iterate — each pass is one more
-    map-side-combined assignment, still collect-free). Seed-only
-    (lloyd_iters=0) keeps the old degenerate behavior for comparison."""
+    k-means passes (_lloyd_py — one single-job pass each, centroids as
+    k·dims driver state). Seed-only (lloyd_iters=0) keeps the old
+    degenerate behavior for comparison.
+
+    The projected corpus is persisted (MEMORY_AND_DISK) for the whole
+    build: seed, every Lloyd pass, and the final assignment+re-rank all
+    read the SAME cached projection instead of rescanning the source —
+    the standard IVF-build trade-off (one materialization, spillable,
+    unpersisted before returning). The corpus is never shuffled: cell
+    assignment is a projection against literal centroids, the candidate
+    join broadcasts the tiny probe set, and the vector rides along to the
+    re-rank. `dims` is derived from the seed vectors when None; an
+    explicit value that contradicts the data raises (and the assignment
+    expression re-checks size(v) per row) instead of letting
+    element_at() silently NULL out components past the true length."""
     corpus_v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cent = (
-        corpus_v.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col("v").alias("cw"))
-    )
-    if lloyd_iters:
-        # lloyd_iterate pins each pass, so the two downstream broadcasts
-        # read a k-row checkpoint instead of replaying the passes
-        cent = lloyd_iterate(corpus_v, cent, id_col, dims, lloyd_iters)
-    assign = ivf_assign(corpus_v, cent, id_col, "v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        seed_rows = (
+            corpus_v.orderBy(id_col).limit(n_centroids).collect()
+        )  # k rows of driver state; this action also builds the cache
+        if not seed_rows:
+            raise ValueError("ivf_topk: empty corpus")
+        cents = [
+            (int(r[id_col]), [float(x) for x in r["v"]]) for r in seed_rows
+        ]
+        sizes = {len(cw) for _, cw in cents}
+        if len(sizes) != 1:
+            raise ValueError(f"ivf_topk: ragged seed vector sizes {sizes}")
+        data_dims = sizes.pop()
+        if dims is None:
+            dims = data_dims
+        elif data_dims != dims:
+            raise ValueError(
+                f"ivf_topk: dims={dims} but corpus vectors have size "
+                f"{data_dims} — centroid components past the array end "
+                f"would silently go NULL"
+            )
+        if lloyd_iters:
+            cents = _lloyd_py(corpus_v, cents, dims, lloyd_iters)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    )
-    qw = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
-    probes = (
-        q.join(F.broadcast(cent))
-        .select("query_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cw")).alias("qcos"))
-        .withColumn("prn", F.row_number().over(qw))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "qv", "cent_id")
-    )
+        # final cell assignment: Arrow kernel, vector rides along —
+        # no join, no corpus shuffle
+        cents_local = [(int(cid), [float(x) for x in cw]) for cid, cw in cents]
+        _dims = dims
 
-    cand = assign.join(
-        F.broadcast(probes), "cent_id"
-    )  # corpus side stays put; probes are tiny
-    cv = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv")
-    )
-    scored = cand.join(cv, id_col).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+        def assign_part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _rows_matrix(pdf["v"], _dims)
+                out = pdf[[id_col, "v"]].copy()
+                out["cent_id"] = _argmin_cells(V, cents_local)
+                yield out
+
+        assign = corpus_v.mapInPandas(
+            assign_part, f"{id_col} long, v array<double>, cent_id long"
+        )
+
+        cent = corpus.sparkSession.createDataFrame(
+            cents, "cent_id bigint, cw array<double>"
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        qw = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+        probes = (
+            q.join(F.broadcast(cent))
+            .select(
+                "query_id", "qv", "cent_id",
+                cosine(F.col("qv"), F.col("cw")).alias("qcos"),
+            )
+            .withColumn("prn", F.row_number().over(qw))
+            .where(F.col("prn") <= nprobe)
+            .select("query_id", "qv", "cent_id")
+        )
+
+        cand = assign.join(
+            F.broadcast(probes), "cent_id"
+        )  # corpus side stays put; probes are tiny
+        scored = cand.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        result = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+        # materialize the (≤ n_queries·k)-row answer while the cache is
+        # hot so unpersist can't trigger a source rescan later
+        return result.localCheckpoint(eager=True)
+    finally:
+        corpus_v.unpersist()

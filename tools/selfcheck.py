@@ -76,6 +76,11 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     from etl_pipline_ibrd_loan_system_spark.queries import REGISTRY_ERRORS
     failed = []
+    if only:
+        for name in sorted(only - set(qs)):
+            # a typoed name must not count as passed (it would never run)
+            print(f"FAIL  {name}: unknown query name")
+            failed.append(name)
     for mod, tb in REGISTRY_ERRORS.items():
         print(f"FAIL  registry import {mod}:\n{tb}")
         failed.append(f"registry:{mod}")
