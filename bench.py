@@ -2,13 +2,18 @@
 
 Runs the representative query set at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Each query executes to completion via the
-`noop` sink (full computation, no driver-side result transfer) three
+`noop` sink (full computation, no driver-side result transfer) four
 times: a cold pass (JIT + first-touch I/O, reported as `cold_value`)
-and two steady-state passes on freshly built plans (per-query min
-reported, damping shuffle jitter; summed as `value`). Output:
+and three steady-state passes on freshly built plans. Per-query min is
+the headline (damps shuffle jitter; summed as `value`); the median is
+reported alongside (`queries_median` / `median_value`) so cross-round
+noise is self-evident, and `loadavg` records machine contention at
+run time. Output:
 
     {"metric": "...", "value": <steady total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "cold_value": <cold total sec>,
+     "queries": {...per-query min sec...},
+     "median_value": <steady median total>, "queries_median": {...},
+     "cold_value": <cold total sec>, "loadavg": [1m, 5m, 15m],
      "sf": 0.1}
 """
 
@@ -55,7 +60,9 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    load_start = os.getloadavg()
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -71,13 +78,15 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()  # drop warm-up persists: isolate queries
-        best = float("inf")
-        for _ in range(2):  # min of two steady passes damps shuffle jitter
+        passes = []
+        for _ in range(3):  # min damps shuffle jitter; median shows it
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            passes.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        passes.sort()
+        timings[name] = round(passes[0], 3)
+        medians[name] = round(passes[len(passes) // 2], 3)
 
     print(
         json.dumps(
@@ -86,7 +95,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "median_value": round(sum(medians.values()), 3),
+                "queries_median": medians,
                 "cold_value": round(sum(cold.values()), 3),
+                "loadavg": [round(x, 2) for x in load_start],
                 "sf": sf,
             }
         )

@@ -96,17 +96,33 @@ def _features_sql(dim: int = 16) -> str:
         f"i -> ascii(text[i])))::DOUBLE" for j in range(dim)
     )
     return f"""
-    SELECT doc_id AS media_id, [{comps}] AS feature FROM documents
+    WITH feats AS (
+      SELECT doc_id AS media_id, [{comps}] AS feature FROM documents
+    )
+    SELECT media_id,
+           CAST(generate_subscripts(feature, 1) - 1 AS BIGINT) AS dim_idx,
+           unnest(feature) AS value
+    FROM feats
     """
 
 
 @query("mm4_byte_features", sql=_features_sql())
 def mm4_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strided byte features via vectorized numpy in mapInPandas; oracle
-    recomputes each stride sum from text code points."""
+    recomputes each stride sum from text code points. Reshaped to one
+    (media_id, dim_idx, value) row per vector component — the driver's
+    canonicalizer cannot sort array cells, so the registered surface is
+    scalar-only (extract_features still returns the vector column)."""
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(
+    out = multimodal.extract_features(
         multimodal.with_media(docs, "text", "doc_id"), dim=16
+    )
+    return out.select("media_id", F.posexplode("feature")).select(
+        "media_id",
+        F.col("pos").cast("bigint").alias("dim_idx"),
+        F.col("col").alias("value"),
     )
 
 

@@ -128,17 +128,29 @@ def tx4_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(range(1, len(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS s
       FROM toks WHERE len(toks) >= 3
+    ), sk AS (
+      SELECT doc_id,
+             list_slice(list_sort(list_distinct(list_transform(s,
+               x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))), 1, 4)
+               AS sketch
+      FROM sh
     )
     SELECT doc_id,
-           list_slice(list_sort(list_distinct(list_transform(s,
-             x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)))), 1, 4)
-             AS sketch
-    FROM sh
+           CAST(generate_subscripts(sketch, 1) - 1 AS BIGINT) AS pos,
+           unnest(sketch) AS fp
+    FROM sk
     """,
 )
 def tx5_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow sketch, reshaped to one (doc_id, pos, fp) row per sketch
+    entry: the driver's canonicalizer sorts rows with pandas over every
+    column and cannot order array cells, so the registered surface is
+    scalar-only (the array-returning operator API is unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
-    return textstats.winnow_fingerprints(docs, "text", "doc_id", n=3, k=4)
+    out = textstats.winnow_fingerprints(docs, "text", "doc_id", n=3, k=4)
+    return out.select("doc_id", F.posexplode("sketch")).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), F.col("col").alias("fp")
+    )
 
 
 @query(
@@ -149,7 +161,7 @@ def tx5_winnow_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(list_distinct(toks))) AS sum_uniq_tokens,
+           CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS sum_uniq_tokens,
            MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars
     FROM base GROUP BY lang
     """,

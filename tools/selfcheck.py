@@ -35,17 +35,39 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c])
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "tolist") and not isinstance(v, str) else v
-            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 
+def _array_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list-like cells. The driver's canonicalizer sorts
+    rows with pandas over every column and raises `unhashable type: list`
+    on these — selfcheck must fail them too, not coerce them (the r3
+    tx5/mm4 failures were invisible locally because the old normalize()
+    silently tuple-ized lists)."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and nonnull.map(
+                lambda v: isinstance(v, (list, tuple, dict))
+                or (hasattr(v, "tolist") and not isinstance(v, (str, bytes)))
+            ).any():
+                bad.append(c)
+    return bad
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
+    bad = sorted(set(_array_cols(sdf)) | set(_array_cols(odf)))
+    if bad:
+        problems.append(
+            f"array/map-typed result columns {bad}: the driver's canonicalizer "
+            "cannot sort list cells - reshape to scalar rows (posexplode / "
+            "unnest WITH ORDINALITY) in the registered query wrapper"
+        )
+        return problems
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         return problems
