@@ -113,7 +113,11 @@ def _argmin_cells(V, cents: list[tuple[int, list[float]]]):
 
 def _rows_matrix(series, dims: int):
     """pandas array<double> column -> n×dims float64 matrix; raises on a
-    ragged row instead of letting short vectors silently truncate."""
+    ragged row instead of letting short vectors silently truncate, and on
+    non-finite components: np.floor(NaN).astype(int64) in the Lloyd
+    quantizer yields platform-dependent garbage silently, whereas the
+    oracle's CAST(FLOOR(NaN) AS BIGINT) raises — a NaN embedding must
+    fail loudly and identically on both engines."""
     import numpy as np
 
     sizes = {len(v) for v in series}
@@ -124,7 +128,13 @@ def _rows_matrix(series, dims: int):
         )
     if not sizes:
         return np.zeros((0, dims))
-    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+    M = np.array([np.asarray(v, dtype=np.float64) for v in series])
+    if not np.isfinite(M).all():
+        raise ValueError(
+            "ivf: non-finite embedding component (NaN/Inf) — the integer "
+            "quantizer cannot represent it; clean the corpus first"
+        )
+    return M
 
 
 # Lloyd centroid updates, cross-engine exact. A float mean would make the
@@ -239,13 +249,15 @@ def lloyd_iterate(
 def nan_guard_sql(expr: str) -> str:
     """Pin the oracle's argmax NaN ordering to Spark's.
 
-    Spark picks the best centroid via array_min over (-cos, cent_id)
-    structs (_assign_expr_sql), which sorts NaN LAST (never chosen unless
-    every cosine is NaN); DuckDB's
-    plain ORDER BY cos DESC sorts NaN FIRST. Mapping NaN to -1e308 in the
-    oracle's ordering key makes a zero-norm vector (cos = 0/0) resolve to
-    the same cell in both engines: lowest cent_id when all-NaN, never the
-    NaN cell otherwise."""
+    Spark-side cell assignment is the _argmin_cells mapInPandas kernel
+    (strict-improvement scan over -cos in ascending cent_id), where a NaN
+    cosine never wins a comparison — unless EVERY cosine is NaN, in which
+    case the kernel falls back to the lowest cent_id. DuckDB's plain
+    ORDER BY cos DESC sorts NaN FIRST (NaN compares largest). Mapping NaN
+    to -1e308 in the oracle's ordering key makes a zero-norm vector
+    (cos = 0/0) resolve to the same cell in both engines: lowest cent_id
+    when all-NaN, never the NaN cell otherwise. The Spark probes window
+    applies the same guard to its qcos sort key."""
     return f"(CASE WHEN isnan({expr}) THEN -1e308 ELSE {expr} END)"
 
 
@@ -315,9 +327,9 @@ def ivf_topk(
     assignment is a projection against literal centroids, the candidate
     join broadcasts the tiny probe set, and the vector rides along to the
     re-rank. `dims` is derived from the seed vectors when None; an
-    explicit value that contradicts the data raises (and the assignment
-    expression re-checks size(v) per row) instead of letting
-    element_at() silently NULL out components past the true length."""
+    explicit value that contradicts the data raises, and _rows_matrix
+    re-checks every row's size (and finiteness) inside the Arrow batches
+    instead of letting short vectors silently truncate or pad."""
     corpus_v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -370,7 +382,14 @@ def ivf_topk(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        qw = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+        # NaN-never-wins, pinned identically to _argmin_cells and the
+        # oracle's nan_guard_sql: a zero-norm centroid (cos = 0/0 = NaN)
+        # must not be probed first just because both engines sort NaN as
+        # the largest double in DESC order.
+        qcos_guard = F.when(F.isnan("qcos"), F.lit(-1e308)).otherwise(F.col("qcos"))
+        qw = Window.partitionBy("query_id").orderBy(
+            F.desc(qcos_guard), F.asc("cent_id")
+        )
         probes = (
             q.join(F.broadcast(cent))
             .select(

@@ -67,7 +67,7 @@ _LLOYD_CTES, _LLOYD_FINAL = similarity.lloyd_oracle_ctes(
         SELECT c.vec_id, cent_id,
                row_number() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY {_cos('cv', 'cw')} DESC, cent_id ASC
+                 ORDER BY {similarity.nan_guard_sql(_cos('cv', 'cw'))} DESC, cent_id ASC
                ) AS rn
         FROM c CROSS JOIN centroids
       ) WHERE rn = 1
@@ -77,7 +77,7 @@ _LLOYD_CTES, _LLOYD_FINAL = similarity.lloyd_oracle_ctes(
         SELECT query_id, qv, cent_id,
                row_number() OVER (
                  PARTITION BY query_id
-                 ORDER BY {_cos('qv', 'cw')} DESC, cent_id ASC
+                 ORDER BY {similarity.nan_guard_sql(_cos('qv', 'cw'))} DESC, cent_id ASC
                ) AS prn
         FROM q CROSS JOIN centroids
       ) WHERE prn <= 2
