@@ -103,16 +103,23 @@ def dedupe_staging(
     Two staging rows with the same key but different attrs would otherwise
     BOTH classify (e.g. both `new`) and both insert as current versions,
     violating the 'one current row per business key' invariant. The winner
-    is the attr-wise smallest row (row_number over a deterministic order) —
-    arbitrary but stable; feeds with a meaningful recency column should
-    pre-sort/filter upstream. The window partitions BY KEY, so no task ever
-    sees more than one key's duplicates."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in attr_cols])
+    is the attr-wise smallest row — arbitrary but stable; feeds with a
+    meaningful recency column should pre-sort/filter upstream.
+
+    Implemented as groupBy(key).min(struct(attrs)): struct comparison is
+    field-by-field in declaration order with NULLs smallest, the same
+    winner a row_number window over `ORDER BY attrs ASC NULLS FIRST`
+    picks — but min() is a partial aggregate, so each map task collapses
+    its local duplicates BEFORE the shuffle and no task ever sorts a
+    whole key group. On an SCD load whose staging feed is mostly repeats
+    (the common case), the shuffle carries one row per (task, key)
+    instead of the raw feed."""
+    packed = F.struct(*[F.col(c) for c in attr_cols])
     return (
-        staging.select(key, *attr_cols)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        staging.select(key, packed.alias("__attrs"))
+        .groupBy(key)
+        .agg(F.min("__attrs").alias("__attrs"))
+        .select(key, *[F.col(f"__attrs.{c}").alias(c) for c in attr_cols])
     )
 
 
