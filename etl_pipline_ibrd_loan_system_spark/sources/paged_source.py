@@ -54,6 +54,44 @@ class OffsetStore:
         os.replace(tmp, self.path)  # atomic
 
 
+def http_json_page_fetcher(
+    url_template: str,
+    schema,
+    rows_key: str | None = None,
+    timeout: float = 10.0,
+) -> PageFetcher:
+    """The reference's actual transport (`pyspark_dag2.py:52-77`: one
+    `requests.get` per `top`/`skip` page) on stdlib urllib — no external
+    dependency. `url_template` is formatted with `{offset}` and `{limit}`;
+    the response body is either a bare JSON list of records or a dict
+    holding the list under `rows_key` (the catalog API wraps rows in an
+    envelope). Returns None on an empty page so the ingest loop stops.
+
+    The fetch is DRIVER-side: one page per micro-batch is the reference's
+    cadence, and a page (50k rows) is driver-sized by design. Bulk
+    backfills should use rest_datasource's one-partition-per-page reader
+    (HTTP mode) so executors fetch pages concurrently instead."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    fields = [f.name for f in st.fields]
+
+    def fetch(spark: SparkSession, offset: int, limit: int) -> DataFrame | None:
+        import urllib.request
+
+        url = url_template.format(offset=offset, limit=limit)
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        rows = payload if rows_key is None else payload.get(rows_key, [])
+        if not rows:
+            return None
+        return spark.createDataFrame(
+            [tuple(rec.get(f) for f in fields) for rec in rows], schema=st
+        )
+
+    return fetch
+
+
 def parquet_page_fetcher(path: str, order_col: str) -> PageFetcher:
     """Deterministic 'API dump' pager for tests: rows [offset, offset+limit)
     of `path` ordered by `order_col` — emulates the REST `top`/`skip` paging

@@ -98,23 +98,46 @@ def make_paged_jsonl_datasource():
             return iter(rows)
 
     class PagedJsonlReader(DataSourceReader):
+        """One input partition per page. Transport is either a staged
+        local directory (`path`) or HTTP (`url` — a template formatted
+        with `{page}`, fetched with stdlib urllib INSIDE the executor
+        task): executors pull pages concurrently, Spark retries a failed
+        fetch per-task, and no page ever accumulates on the driver —
+        the scale-out version of the reference's sequential
+        `requests.get` loop (`pyspark_dag2.py:52-77`)."""
+
         def __init__(self, schema, options):
             self.schema_obj = schema
             self.path = options.get("path")
+            self.url_template = options.get("url")
             self.n_pages = int(options.get("npages", "0"))
+            self.timeout = float(options.get("timeout", "10"))
 
         def partitions(self):
             # one partition per page == the reference's top/skip windows
             return [InputPartition(i) for i in range(self.n_pages)]
 
-        def read(self, partition):
-            import json
+        def _page_lines(self, page):
+            if self.url_template:
+                import urllib.request
+
+                url = self.url_template.format(page=page)
+                with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                    yield from resp.read().decode("utf-8").splitlines()
+                return
             import os
 
+            with open(
+                os.path.join(self.path, f"page-{page}.jsonl"), encoding="utf-8"
+            ) as fh:
+                yield from (line for line in fh)
+
+        def read(self, partition):
+            import json
+
             fields = [f.name for f in self.schema_obj.fields]
-            page_path = os.path.join(self.path, f"page-{partition.value}.jsonl")
-            with open(page_path, encoding="utf-8") as fh:
-                for line in fh:
+            for line in self._page_lines(partition.value):
+                if line.strip():
                     rec = json.loads(line)
                     yield tuple(rec.get(f) for f in fields)
 
@@ -147,6 +170,21 @@ def read_pages(
     return (
         spark.read.format(FORMAT_NAME)
         .option("path", path)
+        .option("npages", str(n_pages))
+        .option("schema", schema)
+        .load()
+    )
+
+
+def read_pages_http(
+    spark: SparkSession, url_template: str, n_pages: int, schema: str
+) -> DataFrame:
+    """`spark.read.format("paged_jsonl")` fetching each page over HTTP in
+    its own executor task; `url_template` is formatted with `{page}`."""
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("url", url_template)
         .option("npages", str(n_pages))
         .option("schema", schema)
         .load()
