@@ -9,9 +9,11 @@ Reference parity:
   and per-row JDBC UPDATE is precisely the anti-pattern that caps the
   reference at single-node throughput.
 
-The JDBC wrappers are thin passes over `DataFrameWriter.jdbc` (no SQL
-Server in the test container — exercised only by unit-importing; the
-parquet/table sinks below carry the tested write semantics).
+The JDBC wrappers are thin passes over `DataFrameWriter.jdbc`. No SQL
+Server exists in the test container, but the suite round-trips them
+against EMBEDDED Derby (on Spark's own classpath, `jdbc:derby:<dir>`),
+so overwrite/append/idempotent-append semantics are proven against a
+real database, not import-only.
 
 Scale notes: `partitioned_overwrite` writes with explicit partition
 columns so downstream scans prune; `idempotent_append` makes micro-batch
@@ -33,6 +35,34 @@ def jdbc_overwrite(df: DataFrame, url: str, table: str, properties: dict | None 
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """A7: append over JDBC (reference hourly micro-batch commit)."""
     df.write.jdbc(url=url, table=table, mode="append", properties=properties or {})
+
+
+def jdbc_idempotent_append(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_col: str,
+    properties: dict | None = None,
+) -> int:
+    """A7 at-least-once-safe variant: anti-join the batch against the
+    keys already in the JDBC table, append only the fresh rows. Returns
+    rows written. The existing-side read projects ONLY the key column —
+    with a pushed-down projection that becomes `SELECT key FROM table`
+    at the database, not a full-table transfer. A missing table means a
+    first run: everything is fresh."""
+    props = properties or {}
+    try:
+        existing = spark.read.jdbc(url=url, table=table, properties=props).select(
+            key_col
+        )
+    except Exception:
+        existing = None
+    fresh = df if existing is None else df.join(existing, key_col, "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.jdbc(url=url, table=table, mode="append", properties=props)
+    return n
 
 
 def fast_load(df: DataFrame, path: str) -> None:

@@ -46,3 +46,58 @@ def test_idempotent_append_skips_seen_keys(spark, sf_dir, tmp_path):
     extra = region.limit(1).withColumn("r_regionkey", F.lit(9999))
     n3 = sinks.idempotent_append(spark, extra, path, "r_regionkey")
     assert n3 == 1
+
+
+# -- JDBC round trips against embedded Derby (VERDICT r3 item 5) --------
+# Derby ships on Spark's classpath (metastore dependency), so A6/A7 get a
+# real database round trip with zero extra dependencies or network: the
+# embedded driver runs inside the same JVM the executors use.
+
+def _derby(tmp_path):
+    url = f"jdbc:derby:{tmp_path}/derby_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    return url, props
+
+
+def test_jdbc_overwrite_round_trip(spark, sf_dir, tmp_path):
+    url, props = _derby(tmp_path)
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    sinks.jdbc_overwrite(region, url, "region_a6", properties=props)
+    # overwrite again: still exactly one copy
+    sinks.jdbc_overwrite(region, url, "region_a6", properties=props)
+    back = spark.read.jdbc(url=url, table="region_a6", properties=props)
+    assert back.count() == region.count()
+    assert sorted(r[0] for r in back.select("r_regionkey").collect()) == sorted(
+        r[0] for r in region.select("r_regionkey").collect()
+    )
+
+
+def test_jdbc_append_accumulates(spark, sf_dir, tmp_path):
+    url, props = _derby(tmp_path)
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    sinks.jdbc_overwrite(region, url, "region_a7", properties=props)
+    sinks.jdbc_append(region, url, "region_a7", properties=props)
+    back = spark.read.jdbc(url=url, table="region_a7", properties=props)
+    assert back.count() == region.count() * 2
+
+
+def test_jdbc_idempotent_append_skips_seen_keys(spark, sf_dir, tmp_path):
+    url, props = _derby(tmp_path)
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n1 = sinks.jdbc_idempotent_append(
+        spark, region, url, "region_idem", "r_regionkey", properties=props
+    )
+    assert n1 == region.count()
+    # replaying the same micro-batch writes nothing
+    n2 = sinks.jdbc_idempotent_append(
+        spark, region, url, "region_idem", "r_regionkey", properties=props
+    )
+    assert n2 == 0
+    # a fresh key goes through
+    extra = region.limit(1).withColumn("r_regionkey", F.lit(9999))
+    n3 = sinks.jdbc_idempotent_append(
+        spark, extra, url, "region_idem", "r_regionkey", properties=props
+    )
+    assert n3 == 1
+    back = spark.read.jdbc(url=url, table="region_idem", properties=props)
+    assert back.count() == region.count() + 1
