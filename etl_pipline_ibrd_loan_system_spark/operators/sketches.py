@@ -292,3 +292,194 @@ def _joinpred(a: str, b: str, cols: Sequence[str]) -> str:
 
 def _joincols(a: str, b: str, cols: Sequence[str]) -> str:
     return ", ".join(f"{a}.{c} AS {c}" for c in cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation in sublinear state.
+#
+# At 100 TB an exact per-key frequency table shuffles every distinct key;
+# the count-min sketch caps the shuffled state at d*w counter cells no
+# matter how many keys exist. Each map task pre-aggregates its local
+# (row, depth) increments, the shuffle carries <= d*w rows per task, and
+# the counter table is small enough to BROADCAST back to the probe side —
+# the estimate join never shuffles the key stream. Overestimation is
+# bounded by e*N/w with probability 1 - e^-d (Cormode & Muthukrishnan,
+# J.Algorithms 55(1), 2005); estimates here replay bit-for-bit in the
+# oracle because row hashing reuses the repo-wide 60-bit md5 hash with a
+# per-depth salt.
+
+CM_D = 4     # sketch depth (independent hash rows)
+CM_W = 256   # sketch width (cells per row)
+
+
+def _salted_cell_spark(key: Column, salt: str, w: int) -> Column:
+    return (
+        shared_hash60(F.concat(F.lit(salt), key.cast("string"))) % w
+    ).cast("bigint")
+
+
+def _salted_cell_sql(key: str, salt: str, w: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % {w}"
+    )
+
+
+def countmin_counters(
+    df: DataFrame, key_col: str, d: int = CM_D, w: int = CM_W
+) -> DataFrame:
+    """(j, cell, cnt) counter table, one row per touched cell (<= d*w)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("j"),
+                _salted_cell_spark(F.col(key_col), f"cm{j}|", w).alias("cell"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("s"))
+        .select("s.j", "s.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = CM_D,
+    w: int = CM_W,
+) -> DataFrame:
+    """Point-query the sketch for every distinct key in `keys`:
+    est = min over depths of the key's cell counter. The counter table
+    (<= d*w rows) is broadcast; the probe side never shuffles."""
+    counters = countmin_counters(df, key_col, d, w)
+    probe_rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("j"),
+                _salted_cell_spark(F.col(key_col), f"cm{j}|", w).alias("cell"),
+            )
+            for j in range(d)
+        ]
+    )
+    probes = (
+        keys.select(key_col)
+        .distinct()
+        .select(F.col(key_col), F.explode(probe_rows).alias("s"))
+        .select(key_col, "s.j", "s.cell")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["j", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
+def countmin_oracle_sql(
+    src: str, probe_src: str, key: str, d: int = CM_D, w: int = CM_W
+) -> str:
+    """DuckDB replay generated from the same loops as the Spark plan."""
+    inc = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_salted_cell_sql(key, f'cm{j}|', w)} AS cell "
+        f"FROM {src}"
+        for j in range(d)
+    )
+    pr = " UNION ALL ".join(
+        f"SELECT {key}, {j} AS j, {_salted_cell_sql(key, f'cm{j}|', w)} AS cell "
+        f"FROM (SELECT DISTINCT {key} FROM {probe_src})"
+        for j in range(d)
+    )
+    return f"""
+    counters AS (
+      SELECT j, cell, COUNT(*)::BIGINT AS cnt FROM ({inc}) GROUP BY j, cell
+    ),
+    probes AS ({pr})
+    SELECT p.{key}, MIN(COALESCE(c.cnt, 0)) AS est_count
+    FROM probes p LEFT JOIN counters c ON p.j = c.j AND p.cell = c.cell
+    GROUP BY p.{key}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership in sublinear state.
+#
+# The filter state is the DISTINCT set of set bit positions (<= m rows of
+# one bigint) rather than a packed bitmap: identical semantics, mergeable
+# through a groupBy, trivially broadcastable, and cross-engine exact with
+# no 64-bit shift edge cases. Build aggregates the corpus once
+# (map-side-combined distinct), probe broadcasts the <= m-row bit set and
+# never shuffles the key stream. A key is `maybe_member` iff ALL of its k
+# positions are set — false positives at the standard (1 - e^-kn/m)^k
+# rate, never false negatives, and bit-for-bit identical in the oracle
+# (same salted md5 hash).
+
+BF_M = 4096  # filter bits
+BF_K = 4     # hash functions
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = BF_M, k: int = BF_K
+) -> DataFrame:
+    """The filter: DISTINCT positions set by the corpus keys (<= m rows)."""
+    pos = F.array(
+        *[_salted_cell_spark(F.col(key_col), f"bf{j}|", m) for j in range(k)]
+    )
+    return (
+        df.select(F.explode(pos).alias("pos")).distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m: int = BF_M,
+    k: int = BF_K,
+) -> DataFrame:
+    """(key, maybe_member) for every distinct key in `keys`."""
+    bits = bloom_bits(df, key_col, m, k).withColumn("__set", F.lit(1))
+    pos = F.array(
+        *[_salted_cell_spark(F.col(key_col), f"bf{j}|", m) for j in range(k)]
+    )
+    probes = (
+        keys.select(key_col)
+        .distinct()
+        .select(F.col(key_col), F.explode(pos).alias("pos"))
+    )
+    return (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy(key_col)
+        .agg(
+            (F.min(F.when(F.col("__set").isNotNull(), 1).otherwise(0)) == 1).alias(
+                "maybe_member"
+            )
+        )
+    )
+
+
+def bloom_oracle_sql(
+    src: str, probe_src: str, key: str, m: int = BF_M, k: int = BF_K
+) -> str:
+    """DuckDB replay generated from the same loops as the Spark plan."""
+    setpos = " UNION ALL ".join(
+        f"SELECT {_salted_cell_sql(key, f'bf{j}|', m)} AS pos FROM {src}"
+        for j in range(k)
+    )
+    pr = " UNION ALL ".join(
+        f"SELECT {key}, {_salted_cell_sql(key, f'bf{j}|', m)} AS pos "
+        f"FROM (SELECT DISTINCT {key} FROM {probe_src})"
+        for j in range(k)
+    )
+    return f"""
+    bits AS (SELECT DISTINCT pos FROM ({setpos})),
+    bprobes AS ({pr})
+    SELECT p.{key},
+           MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+             AS maybe_member
+    FROM bprobes p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY p.{key}
+    """

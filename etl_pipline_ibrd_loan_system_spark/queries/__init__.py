@@ -37,6 +37,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tx5_winnow_sketch",
     "tx6_quality_by_lang",
     "mm4_byte_features",
+    # -- new this round: first driver exposure --
+    "sk3_countmin_freq",
+    "sk4_bloom_membership",
     # -- parked beyond slot 50 in r3 (green r2): rotate back in --
     "a1_paged_datasource",
     "b14_json_extract",

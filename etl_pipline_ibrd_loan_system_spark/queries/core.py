@@ -956,3 +956,52 @@ def sk2_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-sort counterpart)."""
     ev = load_table(spark, sf_dir, "events")
     return histogram_quantiles(ev, "value", ["event_type"])
+
+
+# --- SK3/SK4: frequency + membership sketches ------------------------------
+# Like sk1, both replay bit-for-bit in the oracle: Spark plan and DuckDB
+# SQL are generated from the same Python loops over the same salted
+# 60-bit md5 hash, so the approximation itself is hash-checked.
+
+from ..operators.sketches import (  # noqa: E402
+    bloom_oracle_sql,
+    bloom_probe,
+    countmin_estimate,
+    countmin_oracle_sql,
+)
+
+
+@query(
+    "sk3_countmin_freq",
+    sql="WITH "
+    + countmin_oracle_sql("lineitem", "lineitem", "l_suppkey")
+    .strip()
+    .removeprefix(""),
+)
+def sk3_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for every supplier key in lineitem:
+    sketch state is d*w = 1024 counter cells regardless of key count, the
+    counter table broadcasts back to the probe, and the key stream never
+    shuffles. Overestimate-only, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return countmin_estimate(li, li, "l_suppkey")
+
+
+@query(
+    "sk4_bloom_membership",
+    sql="WITH "
+    + bloom_oracle_sql(
+        "(SELECT o_custkey AS c_custkey FROM orders)", "customer", "c_custkey"
+    ).strip(),
+)
+def sk4_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership: build the filter over customers WITH orders,
+    probe EVERY customer key. Customers with orders always test true;
+    a deterministic, oracle-identical false-positive set tests true
+    without orders — never a false negative. The <= m-row bit set is
+    broadcast; neither side's key stream shuffles for the probe."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    return bloom_probe(orders, cust, "c_custkey")

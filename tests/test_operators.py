@@ -224,3 +224,55 @@ def test_histogram_quantiles_null_safe_and_oracle_exact(spark):
         ).fetchall()
     }
     assert oracle == with_nulls  # bit-identical, including with NULLs present
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CMS guarantee: est >= true count for every key (overestimate-only),
+    and est is exact when no other key collides in all d rows."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        countmin_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = countmin_estimate(li, li, "l_suppkey")
+    true = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_n"))
+    joined = est.join(true, "l_suppkey").collect()
+    assert len(joined) == true.count()
+    assert all(r.est_count >= r.true_n for r in joined)
+
+
+def test_countmin_counter_state_is_bounded(spark, sf_dir):
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        CM_D,
+        CM_W,
+        countmin_counters,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    assert countmin_counters(li, "l_suppkey").count() <= CM_D * CM_W
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every key actually in the build set must test maybe_member=true."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    out = bloom_probe(orders, cust, "c_custkey")
+    with_orders = {r.c_custkey for r in orders.distinct().collect()}
+    rows = out.collect()
+    assert {r.c_custkey for r in rows} == {
+        r.c_custkey for r in cust.select("c_custkey").distinct().collect()
+    }
+    for r in rows:
+        if r.c_custkey in with_orders:
+            assert r.maybe_member, f"false negative on {r.c_custkey}"
