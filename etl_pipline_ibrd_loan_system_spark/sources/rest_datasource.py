@@ -8,11 +8,11 @@ PARTITION: executors fetch pages in parallel, Spark handles retries
 per-task, and the result is an ordinary DataFrame feeding the one
 continuous plan — no driver accumulation, no XCom.
 
-`page_url_template` abstracts the transport: the test/container
-implementation reads `page-N.jsonl` files from a directory; the HTTP
-variant is the same class with `urllib` in `read()` (the network is
-deliberately absent here). Pages are independent, so throughput scales
-with executors, bounded only by the API's rate limit.
+Transport is an option: `path` reads staged `page-N.jsonl` files from a
+directory; `url` (a template with `{page}`) fetches each page with
+stdlib urllib INSIDE the executor task — tested against a localhost
+HTTP server in `tests/test_http_source.py`. Pages are independent, so
+throughput scales with executors, bounded only by the API's rate limit.
 
 The DataSource class is built by a FACTORY inside a function scope so
 cloudpickle ships it by value to Python workers — no package import
