@@ -7,13 +7,16 @@ times: a cold pass (JIT + first-touch I/O, reported as `cold_value`)
 and three steady-state passes on freshly built plans. Per-query min is
 the headline (damps shuffle jitter; summed as `value`); the median is
 reported alongside (`queries_median` / `median_value`) so cross-round
-noise is self-evident, and `loadavg` records machine contention at
-run time. Output:
+noise is self-evident, and `loadavg_start` / `loadavg_end` record machine
+contention at run start AND after the last query (a multi-minute run
+can drift). Output:
 
     {"metric": "...", "value": <steady total sec>, "unit": "sec",
      "queries": {...per-query min sec...},
      "median_value": <steady median total>, "queries_median": {...},
-     "cold_value": <cold total sec>, "loadavg": [1m, 5m, 15m],
+     "cold_value": <cold total sec>,
+     "loadavg": [1m, 5m, 15m at start],
+     "loadavg_end": [1m, 5m, 15m after the loop],
      "sf": 0.1}
 """
 
@@ -99,6 +102,7 @@ def main() -> None:
                 "queries_median": medians,
                 "cold_value": round(sum(cold.values()), 3),
                 "loadavg": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

@@ -973,10 +973,7 @@ from ..operators.sketches import (  # noqa: E402
 
 @query(
     "sk3_countmin_freq",
-    sql="WITH "
-    + countmin_oracle_sql("lineitem", "lineitem", "l_suppkey")
-    .strip()
-    .removeprefix(""),
+    sql="WITH " + countmin_oracle_sql("lineitem", "lineitem", "l_suppkey").strip(),
 )
 def sk3_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency estimates for every supplier key in lineitem:

@@ -82,7 +82,17 @@ def http_json_page_fetcher(
         url = url_template.format(offset=offset, limit=limit)
         with urllib.request.urlopen(url, timeout=timeout) as resp:
             payload = json.loads(resp.read().decode("utf-8"))
-        rows = payload if rows_key is None else payload.get(rows_key, [])
+        if rows_key is None:
+            rows = payload
+        elif rows_key not in payload:
+            # a missing/renamed envelope key must fail loudly — treating it
+            # as an empty page would silently end ingestion as "drained"
+            raise KeyError(
+                f"page payload has no {rows_key!r} key (got "
+                f"{sorted(payload)[:10]}); API envelope changed?"
+            )
+        else:
+            rows = payload[rows_key]
         if not rows:
             return None
         return spark.createDataFrame(

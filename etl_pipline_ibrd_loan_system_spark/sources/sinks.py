@@ -26,6 +26,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Database-specific "relation does not exist" markers. Only these make
+#: a failed existing-keys read mean "first run, everything is fresh";
+#: any other failure (connection, auth, timeout) must re-raise, or the
+#: idempotent append silently degrades to plain append — duplicating
+#: rows on exactly the retry path it exists to protect.
+_MISSING_TABLE_MARKERS = (
+    "does not exist",          # Derby / Postgres message text
+    "42x05",                   # Derby SQLState: table/view not found
+    "42p01",                   # Postgres SQLState: undefined_table
+    "invalid object name",     # SQL Server
+    "table or view not found", # Spark catalog phrasing
+    "1146",                    # MySQL ER_NO_SUCH_TABLE
+)
+
+
+def _is_missing_table(exc: Exception) -> bool:
+    return any(m in str(exc).lower() for m in _MISSING_TABLE_MARKERS)
+
 
 def jdbc_overwrite(df: DataFrame, url: str, table: str, properties: dict | None = None) -> None:
     """A6: full-table overwrite over JDBC (reference staging-table load)."""
@@ -56,12 +74,21 @@ def jdbc_idempotent_append(
         existing = spark.read.jdbc(url=url, table=table, properties=props).select(
             key_col
         )
-    except Exception:
+    except Exception as exc:
+        if not _is_missing_table(exc):
+            raise
         existing = None
     fresh = df if existing is None else df.join(existing, key_col, "left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.jdbc(url=url, table=table, mode="append", properties=props)
+    # persist so count and write see ONE evaluation of the anti-join —
+    # re-reading the JDBC keys between the two actions could both skew
+    # the returned count and let a concurrently-inserted key through.
+    fresh = fresh.persist()
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.jdbc(url=url, table=table, mode="append", properties=props)
+    finally:
+        fresh.unpersist()
     return n
 
 
@@ -86,12 +113,19 @@ def idempotent_append(
     pruning reaches the parquet scan)."""
     try:
         existing = spark.read.parquet(path).select(key_col)
-    except Exception:
+    except Exception as exc:
+        msg = str(exc).lower()
+        if "path does not exist" not in msg and "unable to infer schema" not in msg:
+            raise
         existing = None
     fresh = df if existing is None else df.join(existing, key_col, "left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(path)
+    fresh = fresh.persist()  # one evaluation for both count and write
+    try:
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(path)
+    finally:
+        fresh.unpersist()
     return n
 
 
