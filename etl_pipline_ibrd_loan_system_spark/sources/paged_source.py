@@ -70,7 +70,8 @@ def http_json_page_fetcher(
     The fetch is DRIVER-side: one page per micro-batch is the reference's
     cadence, and a page (50k rows) is driver-sized by design. Bulk
     backfills should use rest_datasource's one-partition-per-page reader
-    (HTTP mode) so executors fetch pages concurrently instead."""
+    (HTTP mode, batch or streaming — the partitioned stream reader
+    fetches pages executor-side too) so executors fetch concurrently."""
     from pyspark.sql.types import StructType
 
     st = StructType.fromDDL(schema) if isinstance(schema, str) else schema

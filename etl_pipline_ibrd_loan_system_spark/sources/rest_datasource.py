@@ -14,6 +14,13 @@ stdlib urllib INSIDE the executor task — tested against a localhost
 HTTP server in `tests/test_http_source.py`. Pages are independent, so
 throughput scales with executors, bounded only by the API's rate limit.
 
+STREAMING uses the same partitioned fan-out: the default stream reader
+(`PagedJsonlPartitionedStreamReader`) probes availability driver-side
+(listdir / HTTP HEAD — metadata only) and fetches every page of the
+micro-batch executor-side via `partitions(start, end)`. `mode=simple`
+opts back into the driver-side Simple reader for the reference's exact
+one-page-per-run cadence.
+
 The DataSource class is built by a FACTORY inside a function scope so
 cloudpickle ships it by value to Python workers — no package import
 needed executor-side (same constraint as operators/multimodal.py).
@@ -31,21 +38,117 @@ def make_paged_jsonl_datasource():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
 
-    class PagedJsonlStreamReader(SimpleDataSourceStreamReader):
-        """Streaming variant: offset = next page index — the reference's
-        Airflow-Variable resume cursor (`pyspark_dag2.py:40-42,70-74`) as
-        a first-class Structured Streaming offset, checkpointed and
-        replayable by Spark itself.
+    def _page_lines(path, url_template, timeout, page):
+        """Shared page transport (batch + streaming, executor-side):
+        either a staged `page-N.jsonl` file or an HTTP GET of the page
+        URL — stdlib urllib only, one fetch per task."""
+        if url_template:
+            import urllib.request
 
-        NOTE: the Simple reader API fetches on the DRIVER per micro-batch
-        — right for API-page-sized batches (the reference's 50k rows).
-        If pages ever outgrow driver memory, switch to
-        DataSourceStreamReader.partitions() so each page (range) is read
-        by an executor, exactly like the batch reader above."""
+            url = url_template.format(page=page)
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                yield from resp.read().decode("utf-8").splitlines()
+            return
+        import os
+
+        with open(
+            os.path.join(path, f"page-{page}.jsonl"), encoding="utf-8"
+        ) as fh:
+            yield from (line for line in fh)
+
+    class PagedJsonlPartitionedStreamReader(DataSourceStreamReader):
+        """Streaming variant with EXECUTOR-side page fetch: offset = next
+        page index — the reference's Airflow-Variable resume cursor
+        (`pyspark_dag2.py:40-42,70-74`) as a first-class Structured
+        Streaming offset, checkpointed and replayable by Spark itself.
+
+        Unlike the Simple reader (driver-side fetch of the whole batch),
+        `partitions(start, end)` turns every page in the micro-batch into
+        one input partition, so executors fetch pages concurrently and no
+        page body ever lands on the driver. Only the availability PROBE
+        (listdir / HTTP HEAD — metadata, not data) runs driver-side in
+        `latestOffset()`. A micro-batch of P new pages is P parallel
+        tasks; batch memory is bounded per-executor by one page, not
+        per-driver by the batch."""
+
+        def __init__(self, schema, options):
+            self.schema_obj = schema
+            self.path = options.get("path")
+            self.url_template = options.get("url")
+            self.timeout = float(options.get("timeout", "10"))
+            self._known = 0  # probe floor: pages are contiguous from 0
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def _contiguous_available(self):
+            """Count contiguous pages [0, n) available at the source.
+            Monotone (pages never retract), so the returned offset never
+            regresses — safe across checkpoint restarts."""
+            if self.url_template:
+                import urllib.error
+                import urllib.request
+
+                p = self._known
+                while True:
+                    req = urllib.request.Request(
+                        self.url_template.format(page=p), method="HEAD"
+                    )
+                    try:
+                        with urllib.request.urlopen(req, timeout=self.timeout):
+                            pass
+                    except (urllib.error.HTTPError, urllib.error.URLError):
+                        break
+                    p += 1
+                self._known = p
+                return p
+            import os
+            import re
+
+            avail = set()
+            for name in os.listdir(self.path):
+                m = re.fullmatch(r"page-(\d+)\.jsonl", name)
+                if m:
+                    avail.add(int(m.group(1)))
+            p = self._known
+            while p in avail:
+                p += 1
+            self._known = p
+            return p
+
+        def latestOffset(self):
+            return {"page": self._contiguous_available()}
+
+        def partitions(self, start, end):
+            # one input partition per page in [start, end) — the
+            # micro-batch fans out to executors exactly like the batch
+            # reader's top/skip windows
+            return [InputPartition(p) for p in range(start["page"], end["page"])]
+
+        def read(self, partition):
+            import json
+
+            fields = [f.name for f in self.schema_obj.fields]
+            for line in _page_lines(
+                self.path, self.url_template, self.timeout, partition.value
+            ):
+                if line.strip():
+                    rec = json.loads(line)
+                    yield tuple(rec.get(f) for f in fields)
+
+        def commit(self, end):
+            pass  # pages are retained at the source; nothing to clean up
+
+    class PagedJsonlStreamReader(SimpleDataSourceStreamReader):
+        """Driver-side streaming fallback (`mode=simple`), kept for the
+        reference's exact cadence — one 50k-row page per hourly run is
+        driver-sized by design (`pyspark_dag2.py:52-77`). The default
+        streaming path is PagedJsonlPartitionedStreamReader above."""
 
         def __init__(self, schema, options):
             self.schema_obj = schema
@@ -117,26 +220,13 @@ def make_paged_jsonl_datasource():
             # one partition per page == the reference's top/skip windows
             return [InputPartition(i) for i in range(self.n_pages)]
 
-        def _page_lines(self, page):
-            if self.url_template:
-                import urllib.request
-
-                url = self.url_template.format(page=page)
-                with urllib.request.urlopen(url, timeout=self.timeout) as resp:
-                    yield from resp.read().decode("utf-8").splitlines()
-                return
-            import os
-
-            with open(
-                os.path.join(self.path, f"page-{page}.jsonl"), encoding="utf-8"
-            ) as fh:
-                yield from (line for line in fh)
-
         def read(self, partition):
             import json
 
             fields = [f.name for f in self.schema_obj.fields]
-            for line in self._page_lines(partition.value):
+            for line in _page_lines(
+                self.path, self.url_template, self.timeout, partition.value
+            ):
                 if line.strip():
                     rec = json.loads(line)
                     yield tuple(rec.get(f) for f in fields)
@@ -151,6 +241,22 @@ def make_paged_jsonl_datasource():
 
         def reader(self, schema):
             return PagedJsonlReader(schema, self.options)
+
+        def streamReader(self, schema):
+            # default streaming path: executor-side partitioned fetch;
+            # `mode=simple` opts into the driver-side Simple reader
+            # (pyspark falls back to simpleStreamReader on
+            # NotImplementedError)
+            if self.options.get("mode", "").lower() == "simple":
+                from pyspark.errors import PySparkNotImplementedError
+
+                # the exact error type datasource_internal._streamReader
+                # catches to fall back to simpleStreamReader()
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return PagedJsonlPartitionedStreamReader(schema, self.options)
 
         def simpleStreamReader(self, schema):
             return PagedJsonlStreamReader(schema, self.options)

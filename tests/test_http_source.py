@@ -129,3 +129,76 @@ def test_datasource_http_mode_one_partition_per_page(api, spark):
     assert len(rows) == 237
     assert sorted(r.id for r in rows) == list(range(237))
     assert [f.name for f in df.schema.fields] == ["id", "name"]
+
+
+def test_streaming_http_pages_fetch_executor_side(spark, tmp_path):
+    """A2 at scale: the PARTITIONED stream reader over HTTP — the driver
+    only probes page existence (HEAD); each micro-batch's pages are
+    GET-fetched inside executor tasks, one partition per page. Growing
+    the API between batches delivers the new pages exactly once."""
+    state = _ApiState()
+    state.rows = _rows(200)  # 4 page-aligned pages: pages stay immutable
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _page_body(self):
+            u = urlparse(self.path)
+            if not (u.path.startswith("/pages/page-") and u.path.endswith(".jsonl")):
+                return None
+            page = int(u.path[len("/pages/page-") : -len(".jsonl")])
+            chunk = state.rows[page * PAGE_SIZE : (page + 1) * PAGE_SIZE]
+            if not chunk:
+                return None
+            return "\n".join(json.dumps(r) for r in chunk).encode("utf-8")
+
+        def do_HEAD(self):  # the driver-side availability probe
+            body = self._page_body()
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+
+        def do_GET(self):  # the executor-side page fetch
+            body = self._page_body()
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/pages/page-{{page}}.jsonl"
+
+    rest_datasource.register(spark)
+    stream = (
+        spark.readStream.format(rest_datasource.FORMAT_NAME)
+        .option("url", url)
+        .option("schema", SCHEMA)
+        .load()
+    )
+    batches: list[tuple[int, int]] = []  # (rows, partitions) per micro-batch
+
+    def probe(batch_df, _bid):
+        batches.append((batch_df.count(), batch_df.rdd.getNumPartitions()))
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert batches[0] == (200, 4)  # 4 pages -> 4 executor-side tasks
+        state.rows.extend(_rows(PAGE_SIZE, start=200))  # API grows one page
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        srv.shutdown()
+    assert batches[-1] == (PAGE_SIZE, 1)  # exactly the new page, once

@@ -154,3 +154,84 @@ def test_streaming_datasource_resumes_offsets(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert sorted(got) == [0, 1, 2, 3, 4]  # new page once, no replays
+
+
+def test_streaming_partitioned_reader_fans_pages_to_tasks(spark, tmp_path):
+    """The default stream reader is the PARTITIONED one: a micro-batch of
+    P pages arrives as P input partitions (executor-side fetch), not as a
+    driver-materialized row list."""
+    import json
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.rest_datasource import (
+        make_paged_jsonl_datasource,
+    )
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"page-{i}.jsonl"), "w") as fh:
+            for x in range(i * 10, i * 10 + 10):
+                fh.write(json.dumps({"doc_id": x}) + "\n")
+
+    spark.dataSource.register(make_paged_jsonl_datasource())
+    stream = (
+        spark.readStream.format("paged_jsonl")
+        .option("path", src)
+        .option("schema", "doc_id bigint")
+        .load()
+    )
+    seen: list[tuple[int, int]] = []  # (rows, partitions) per micro-batch
+
+    def probe(batch_df, _bid):
+        seen.append((batch_df.count(), batch_df.rdd.getNumPartitions()))
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen and seen[0] == (30, 3)  # 3 pages -> 3 partitions, 30 rows
+
+
+def test_streaming_simple_mode_still_supported(spark, tmp_path):
+    """`mode=simple` keeps the driver-side SimpleDataSourceStreamReader
+    path alive (the reference's one-page-per-run cadence)."""
+    import json
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.rest_datasource import (
+        make_paged_jsonl_datasource,
+    )
+
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    with open(os.path.join(src, "page-0.jsonl"), "w") as fh:
+        for x in range(5):
+            fh.write(json.dumps({"doc_id": x}) + "\n")
+
+    spark.dataSource.register(make_paged_jsonl_datasource())
+    stream = (
+        spark.readStream.format("paged_jsonl")
+        .option("path", src)
+        .option("mode", "simple")
+        .option("schema", "doc_id bigint")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("paged_stream_simple")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.table("paged_stream_simple").collect()}
+    finally:
+        q.stop()
+    assert got == {0, 1, 2, 3, 4}
