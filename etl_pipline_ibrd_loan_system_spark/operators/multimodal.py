@@ -11,13 +11,16 @@ columnar batches). Operators:
 - decode_media (mapInPandas)       Arrow-batched Python decode path
 - extract_features (mapInPandas)   strided byte-histogram features
 
-The actual pixel/sample decode is STUBBED: real codecs (PIL/ffmpeg/
-torchaudio) are not in this container. `decode_media` tries to import
-PIL and falls back to a clearly-marked deterministic fake that computes
-real byte-level statistics from the actual binary payload — so the
+Decode support is tiered by format. PNG payloads get a REAL decode —
+a stdlib-only reader (zlib for IDAT, filters 0-4 unfiltered per the
+PNG spec) that reports the IHDR dimensions and true pixel sum, proven
+against hand-encoded images in tests/test_multimodal_png.py. Audio/
+video codecs (ffmpeg/torchaudio) are not in this container, so every
+non-PNG payload falls back to a clearly-marked byte-stats path that
+still computes real statistics of the actual binary payload — the
 Spark-side plumbing (schema, Arrow batch shape, partition streaming,
-UDF signature) is fully real and oracle-checkable, while the codec call
-is one function swap away.
+UDF signature) is identical on both tiers, and swapping in a full
+codec is one function edit.
 
 Scale notes: mapInPandas streams Arrow batches per partition
 (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak memory —
@@ -98,48 +101,113 @@ def frame_sample(df: DataFrame, every: int = 5) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder (no codec libs in this container): returns REAL
-    byte-level stats of the payload; a production build replaces this
-    one function with PIL/ffmpeg and keeps every other line."""
-    return {"n_bytes": len(payload), "byte_sum": sum(payload)}
-
-
 def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode over (media_id, data, meta). Output schema is
     fixed (DECODED_SCHEMA); batches stream per-partition so memory is
-    bounded by the Arrow batch size, not partition size."""
-    try:  # pragma: no cover - PIL absent by design
-        import PIL  # noqa: F401
+    bounded by the Arrow batch size, not partition size.
 
-        raise NotImplementedError(
-            "real image decode not wired; swap _fake_decode for PIL here"
-        )
-    except ImportError:
-        pass
+    Payloads are SNIFFED, not trusted: a payload carrying the PNG
+    signature is actually decoded (stdlib zlib + per-row unfiltering,
+    PNG filters 0-4, 8-bit depth, color types 0/2/4/6) and reports the
+    IHDR width/height and the true decoded pixel sum as `width`/
+    `height`/`byte_sum`. Everything else — text stand-ins, audio, video,
+    exotic PNG variants (interlaced, paletted, 16-bit) — takes the
+    byte-stats fallback: metadata dimensions pass through and `byte_sum`
+    is the raw payload byte sum. Either way the operator never throws on
+    a malformed payload (a 100 TB corpus always has some)."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        # inline _fake_decode: the closure must be SELF-CONTAINED — a
-        # reference to a module-level function would make cloudpickle
-        # import this package on executor workers, which fails when the
-        # driver runs from a cwd outside the repo
-        def decode(payload: bytes) -> dict:
-            return {"n_bytes": len(payload), "byte_sum": sum(payload)}
+        # the closure must be SELF-CONTAINED — a reference to a
+        # module-level function would make cloudpickle import this
+        # package on executor workers, which fails when the driver runs
+        # from a cwd outside the repo
+
+        def decode_png(payload: bytes):
+            """(width, height, pixel_sum) or None if not a decodable PNG."""
+            import struct
+            import zlib
+
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            try:
+                pos, width, height, idat = 8, None, None, []
+                bit_depth = color_type = interlace = None
+                while pos + 8 <= len(payload):
+                    (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                    ctype = payload[pos + 4 : pos + 8]
+                    data = payload[pos + 8 : pos + 8 + length]
+                    if ctype == b"IHDR":
+                        width, height, bit_depth, color_type, _, _, interlace = (
+                            struct.unpack(">IIBBBBB", data)
+                        )
+                    elif ctype == b"IDAT":
+                        idat.append(data)
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + length  # len + type + data + crc
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+                if not (width and height and idat) or channels is None:
+                    return None
+                if bit_depth != 8 or interlace != 0:
+                    return None  # palette/16-bit/Adam7: fallback tier
+                raw = zlib.decompress(b"".join(idat))
+                stride = width * channels
+                if len(raw) != (stride + 1) * height:
+                    return None
+                # unfilter (PNG spec 9.2): prev = reconstructed prior row
+                px_sum = 0
+                prev = bytearray(stride)
+                for y in range(height):
+                    base = y * (stride + 1)
+                    ftype = raw[base]
+                    line = bytearray(raw[base + 1 : base + 1 + stride])
+                    if ftype == 1:  # Sub
+                        for i in range(channels, stride):
+                            line[i] = (line[i] + line[i - channels]) & 0xFF
+                    elif ftype == 2:  # Up
+                        for i in range(stride):
+                            line[i] = (line[i] + prev[i]) & 0xFF
+                    elif ftype == 3:  # Average
+                        for i in range(stride):
+                            a = line[i - channels] if i >= channels else 0
+                            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                    elif ftype == 4:  # Paeth
+                        for i in range(stride):
+                            a = line[i - channels] if i >= channels else 0
+                            b = prev[i]
+                            c = prev[i - channels] if i >= channels else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                            line[i] = (line[i] + pr) & 0xFF
+                    elif ftype != 0:
+                        return None
+                    px_sum += sum(line)
+                    prev = line
+                return width, height, px_sum
+            except Exception:
+                return None  # malformed payload: byte-stats tier
 
         for b in batches:
-            stats = [decode(bytes(p)) for p in b["data"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": b["media_id"],
-                    "fmt": [m["fmt"] for m in b["meta"]],
-                    "n_bytes": [s["n_bytes"] for s in stats],
-                    "byte_sum": [s["byte_sum"] for s in stats],
-                    "width": [m["width"] for m in b["meta"]],
-                    "height": [m["height"] for m in b["meta"]],
-                }
-            )
+            out = {k: [] for k in ("media_id", "fmt", "n_bytes", "byte_sum", "width", "height")}
+            for mid, payload, meta in zip(b["media_id"], b["data"], b["meta"]):
+                payload = bytes(payload)
+                png = decode_png(payload)
+                out["media_id"].append(mid)
+                out["fmt"].append(meta["fmt"])
+                out["n_bytes"].append(len(payload))
+                if png is not None:
+                    w, h, px = png
+                    out["byte_sum"].append(px)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                else:
+                    out["byte_sum"].append(sum(payload))
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 

@@ -249,3 +249,123 @@ def scd2_apply(
 
     parts = [history, untouched, unchanged, t1_updated, t2_closed, fresh]
     return reduce(DataFrame.unionByName, parts)
+
+
+def _null_safe_differs_sql(left: str, right: str, cols: Sequence[str]) -> str:
+    """SQL twin of _any_differs: any column null-safely different."""
+    if not cols:
+        return "FALSE"
+    return " OR ".join(f"NOT ({left}.{c} <=> {right}.{c})" for c in cols)
+
+
+def scd2_merge_sql(
+    dim_table: str,
+    staging_source: str,
+    key: str,
+    t1_cols: Sequence[str] = (),
+    t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (),
+    asof: str = "1970-01-01",
+    sk_col: str = "sk",
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+    current_col: str = "is_current",
+    key_type: str = "bigint",
+) -> str:
+    """The MERGE INTO twin of scd2_apply — the production path on a
+    Delta/Iceberg table, replacing the reference's per-row UPDATE
+    commands (`project SSIS::bor_dim.dtsx:454,566`) with ONE declarative
+    statement the table format executes as a distributed join + rewrite
+    of only the touched files.
+
+    Single-statement SCD2 via the merge-key trick: staging enters the
+    USING side twice — once keyed (matches the current dim row: closes a
+    T2 change, overwrites T1 columns in place, no-ops when unchanged)
+    and once with a NULL merge key for T2-changed rows only (never
+    matches, falls through to INSERT as the fresh current version).
+    Brand-new keys match nothing and insert directly. Dimension keys
+    absent from staging are untouched, exactly like scd2_apply.
+
+    `staging_source` must already be one-row-per-key (dedupe_staging);
+    surrogate keys use the `hash` strategy (`xxhash64(key, asof)`) —
+    the strategy SCALE.md prescribes at scale anyway, since MERGE offers
+    no global row_number. Semantics mirror scd2_apply slice-for-slice;
+    the overwrite-rebuild remains the sandbox-executable twin (no Delta
+    here), so this generator is validated by parser + text tests and by
+    shape parity with the rebuild's branches.
+    """
+    attrs = [*t1_cols, *t2_cols, *fixed_cols]
+    t2_pred_sd = _null_safe_differs_sql("s", "d", t2_cols)
+    t2_pred_du = _null_safe_differs_sql("d", "u", t2_cols)
+    t1_pred_du = _null_safe_differs_sql("d", "u", t1_cols)
+    attr_list = ", ".join(f"s.{c}" for c in attrs)
+    insert_cols = ", ".join([sk_col, key, *attrs, start_col, end_col, current_col])
+    insert_vals = ", ".join(
+        [
+            f"xxhash64(u.{key}, '{asof}')",
+            f"u.{key}",
+            *[f"u.{c}" for c in attrs],
+            f"DATE'{asof}'",
+            "CAST(NULL AS DATE)",
+            "TRUE",
+        ]
+    )
+    t1_sets = ", ".join(f"d.{c} = u.{c}" for c in t1_cols)
+    when_t1 = (
+        f"WHEN MATCHED AND ({t1_pred_du}) THEN UPDATE SET {t1_sets}\n" if t1_cols else ""
+    )
+    return (
+        f"MERGE INTO {dim_table} AS d\n"
+        f"USING (\n"
+        f"  SELECT s.{key} AS __merge_key, s.{key}, {attr_list}\n"
+        f"  FROM {staging_source} AS s\n"
+        f"  UNION ALL\n"
+        f"  SELECT CAST(NULL AS {key_type}) AS __merge_key, s.{key}, {attr_list}\n"
+        f"  FROM {staging_source} AS s\n"
+        f"  JOIN {dim_table} AS d ON s.{key} = d.{key} AND d.{current_col}\n"
+        f"  WHERE {t2_pred_sd}\n"
+        f") AS u\n"
+        f"ON d.{key} = u.__merge_key AND d.{current_col}\n"
+        f"WHEN MATCHED AND ({t2_pred_du}) THEN UPDATE SET\n"
+        f"  d.{end_col} = DATE'{asof}', d.{current_col} = FALSE\n"
+        f"{when_t1}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols})\n"
+        f"VALUES ({insert_vals})"
+    )
+
+
+def scd2_apply_merge(
+    spark,
+    dim_table: str,
+    staging: DataFrame,
+    key: str,
+    t1_cols: Sequence[str] = (),
+    t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (),
+    asof: str = "1970-01-01",
+    **kwargs,
+) -> str:
+    """Run the MERGE twin against a catalog table that supports MERGE
+    (Delta/Iceberg). Dedupes staging, registers it as a temp view, and
+    executes the generated statement. Returns the SQL it ran.
+
+    The sandbox has no MERGE-capable table format, so this path is
+    exercised by tests only up to statement generation + parsing; on a
+    v1 (parquet) table Spark itself rejects the MERGE and we surface
+    that with the overwrite-rebuild pointer instead of a raw error."""
+    attrs = [*t1_cols, *t2_cols, *fixed_cols]
+    view = "__scd2_staging"
+    dedupe_staging(staging, key, attrs).createOrReplaceTempView(view)
+    sql = scd2_merge_sql(
+        dim_table, view, key, t1_cols, t2_cols, fixed_cols, asof, **kwargs
+    )
+    try:
+        spark.sql(sql)
+    except Exception as exc:
+        raise RuntimeError(
+            f"MERGE INTO failed on {dim_table!r} — the table format must "
+            "support MERGE (Delta/Iceberg). On plain parquet use "
+            "scd2_apply (overwrite-rebuild), which is semantically "
+            "identical."
+        ) from exc
+    return sql
