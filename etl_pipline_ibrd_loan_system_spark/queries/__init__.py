@@ -21,6 +21,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 REGISTRY_ERRORS: dict[str, str] = {}
 
+# Queries DECLARED non-SQL-expressible (custom stateful streaming,
+# iterative algorithms): registering one without an oracle is only legal
+# if its name is listed here — selfcheck fails the registry otherwise,
+# so an accidentally-dropped oracle can't silently downgrade a query to
+# the driver's weaker rows-only check. Currently EVERY query carries an
+# oracle; keep it that way unless genuinely impossible.
+ROWS_ONLY: frozenset[str] = frozenset()
+
 # The driver's correctness gate checks the FIRST 50 registry entries (every
 # recorded round stopped at exactly entry 50 regardless of per-query cost).
 # Round-5 rotation (VERDICT r4 "Next round" #1): the 25 queries parked

@@ -101,3 +101,46 @@ def test_jdbc_idempotent_append_skips_seen_keys(spark, sf_dir, tmp_path):
     assert n3 == 1
     back = spark.read.jdbc(url=url, table="region_idem", properties=props)
     assert back.count() == region.count() + 1
+
+
+def test_jdbc_idempotent_append_replays_after_partial_write(spark, sf_dir, tmp_path):
+    """Failure injection (VERDICT r4 item 6): a batch dies mid-write —
+    some rows are committed, the offset cursor never advances, and the
+    whole batch is replayed. The replay must append exactly the missing
+    rows: no duplicates, no loss."""
+    url, props = _derby(tmp_path)
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    keys = sorted(r[0] for r in region.select("r_regionkey").collect())
+    # crash after 3 of 5 rows landed (plain append = the partial commit)
+    partial = region.where(F.col("r_regionkey").isin(keys[:3]))
+    sinks.jdbc_append(partial, url, "region_crash", properties=props)
+    # replay of the FULL batch — at-least-once delivery after the crash
+    n = sinks.jdbc_idempotent_append(
+        spark, region, url, "region_crash", "r_regionkey", properties=props
+    )
+    assert n == 2  # only the rows the crash lost
+    back = spark.read.jdbc(url=url, table="region_crash", properties=props)
+    assert back.count() == region.count()
+    assert sorted(r[0] for r in back.select("r_regionkey").collect()) == keys
+    # second replay is a clean no-op
+    assert (
+        sinks.jdbc_idempotent_append(
+            spark, region, url, "region_crash", "r_regionkey", properties=props
+        )
+        == 0
+    )
+
+
+def test_jdbc_idempotent_append_surfaces_read_failures(spark, sf_dir, tmp_path):
+    """ADVICE r4: a failing existing-keys read that is NOT a missing
+    table (here: unreachable database) must raise, never silently treat
+    the batch as all-fresh."""
+    import pytest
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    bad_url = f"jdbc:derby:{tmp_path}/nonexistent_db"  # no ;create=true
+    with pytest.raises(Exception, match="(?i)not found|failed"):
+        sinks.jdbc_idempotent_append(
+            spark, region, bad_url, "region_x", "r_regionkey",
+            properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )

@@ -96,8 +96,20 @@ def main() -> int:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    from etl_pipline_ibrd_loan_system_spark.queries import REGISTRY_ERRORS
+    from etl_pipline_ibrd_loan_system_spark.queries import REGISTRY_ERRORS, ROWS_ONLY
     failed = []
+    # registry lint (VERDICT r4 item 7): every query needs an oracle or an
+    # explicit rows-only declaration — fail fast, before anything runs
+    for name in qs:
+        if name not in oracles and name not in ROWS_ONLY:
+            print(
+                f"FAIL  {name}: no oracle_sql and not declared in "
+                "queries.ROWS_ONLY - add the oracle or the declaration"
+            )
+            failed.append(f"lint:{name}")
+    for name in sorted(ROWS_ONLY - set(qs)):
+        print(f"FAIL  ROWS_ONLY declares unknown query {name!r}")
+        failed.append(f"lint:{name}")
     if only:
         for name in sorted(only - set(qs)):
             # a typoed name must not count as passed (it would never run)
