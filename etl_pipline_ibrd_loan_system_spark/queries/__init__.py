@@ -77,6 +77,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a1_paged_datasource",
     "c4_scd_classify",
     "mm4_byte_features",
+    # -- slots 33-50 pinned EXPLICITLY (r4-green, unchanged modules) so
+    #    new query registrations can never silently shift the window --
+    "b1_isin_snapshot_filter",
+    "b2_drop_columns",
+    "b3_lowercase_strings",
+    "d2_count_by_group",
+    "b4_dict_recode",
+    "b5_conditional_overwrite",
+    "b6_null_fill",
+    "b7_map_encode",
+    "b8_derived_arithmetic",
+    "b11_cast_projection",
+    "c1_lookup_current_slice",
+    "c3_role_playing_dates",
+    "d1_distinct_projection",
+    "d3_sum_by_group",
+    "d4_avg_by_group",
+    "d5_product_measure",
+    "d6_distinct_count",
+    "d7_year_timeseries",
 )
 
 

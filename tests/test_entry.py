@@ -39,3 +39,26 @@ def test_aliases_match_oracle_sql(spark, sf_dir):
             assert re.search(rf"\b{re.escape(c.lower())}\b", sql_low), (
                 f"{name}: column {c} not present in oracle SQL"
             )
+
+
+def test_driver_window_is_fully_pinned():
+    """The driver checks the FIRST 50 registry entries. DRIVER_PRIORITY
+    pins all 50 explicitly; every name must resolve, with no dupes —
+    a new query registration must land beyond the window, never shift it."""
+    from etl_pipline_ibrd_loan_system_spark.queries import DRIVER_PRIORITY
+
+    qs = entrymod.queries()
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    missing = [n for n in DRIVER_PRIORITY if n not in qs]
+    assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
+    assert list(qs)[:50] == list(DRIVER_PRIORITY)
+
+
+def test_rows_only_declarations_resolve():
+    from etl_pipline_ibrd_loan_system_spark.queries import ROWS_ONLY
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert ROWS_ONLY <= set(qs)
+    # every registered query has an oracle unless declared rows-only
+    assert set(qs) - set(oracles) <= ROWS_ONLY
