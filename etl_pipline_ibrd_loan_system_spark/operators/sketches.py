@@ -483,3 +483,42 @@ def bloom_oracle_sql(
     FROM bprobes p LEFT JOIN bits b ON p.pos = b.pos
     GROUP BY p.{key}
     """
+
+
+def bloom_semijoin(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    m: int = BF_M,
+    k: int = BF_K,
+) -> DataFrame:
+    """Bloom semi-join pushdown — SCALE.md's "classic 100 TB use" made
+    a first-class operator. Build the filter over the SMALL side's keys,
+    carry it to the fact scan as a ≤m-char bitmask LITERAL (driver
+    state, like the IVF centroids), and drop non-member rows inside the
+    scan's codegen'd filter BEFORE any join machinery runs; the exact
+    `left_semi` afterwards removes the Bloom's false positives, so the
+    output is row-for-row the plain semi-join (the oracle). The win at
+    scale: the expensive side of the join sees only ~|match| + FP rows
+    instead of the full fact — the same shape Spark's own
+    `spark.sql.optimizer.runtime.bloomFilter` injects, but explicit,
+    deterministic and oracle-checkable.
+
+    The prefilter is pure codegen (substring into the mask literal at k
+    salted-hash positions), no shuffle, no broadcast join; the bitmask
+    collect is m bits of driver state regardless of dim cardinality."""
+    from functools import reduce as _reduce
+
+    set_pos = {r[0] for r in bloom_bits(dim_keys, key_col, m, k).collect()}
+    mask = "".join("1" if i in set_pos else "0" for i in range(m))
+    cells = [_salted_cell_spark(F.col(key_col), f"bf{j}|", m) for j in range(k)]
+    member = _reduce(
+        Column.__and__,
+        [
+            F.substring(F.lit(mask), (c + 1).cast("int"), F.lit(1)) == "1"
+            for c in cells
+        ],
+    )
+    return fact.filter(member).join(
+        dim_keys.select(key_col).distinct(), key_col, "left_semi"
+    )

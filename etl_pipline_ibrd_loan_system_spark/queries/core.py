@@ -1002,3 +1002,37 @@ def sk4_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     return bloom_probe(orders, cust, "c_custkey")
+
+
+# --- SK5: Bloom semi-join pushdown (the scan-level filter at 100 TB) -----
+
+
+@query(
+    "sk5_bloom_semijoin",
+    sql=f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+    GROUP BY l_returnflag
+    """,
+)
+def sk5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact rows semi-joined to a supplier subset THROUGH the Bloom
+    prefilter: the <=4096-bit mask travels to the lineitem scan as a
+    codegen'd literal predicate (no shuffle, no broadcast join), the
+    exact left_semi afterwards removes false positives, so the result
+    equals the plain semi-join the oracle runs. The aggregate proves
+    row-for-row equality cheaply."""
+    from ..operators.sketches import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        bloom_semijoin(li, sup, "l_suppkey")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )
