@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..functions.exact import dsum, sql_dsum
@@ -42,6 +43,37 @@ def _stream_partitions(spark: SparkSession, n: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _events_stream_factory(spark: SparkSession, sf_dir: str, prefix: str):
+    """Stage the events parquet behind a file-stream source directory and
+    return a zero-arg factory producing fresh streaming DataFrames.
+
+    Mirrors catalog.load_table's ts normalization exactly: older testdata
+    stores `ts` as TIMESTAMP(NANOS) parquet (read as long via
+    `nanosAsLong`, rebuilt with integer division); current testdata stores
+    micros TIMESTAMP_NTZ, which the streaming surface additionally casts
+    to TIMESTAMP: watermarks/event-time reject TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the session timezone is
+    pinned UTC (session.py:40) so the cast preserves wall-clock values
+    bit-exactly vs the DuckDB oracle."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
+
+    def stream() -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(stage_dir)
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    return stream
+
+
 def _agg(events: DataFrame) -> DataFrame:
     out = tumbling_window_agg(
         events,
@@ -62,17 +94,7 @@ def h1_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s1_tumbling_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming run of the same operator: parquet file source,
     complete-output memory sink, drained synchronously."""
-    import tempfile
-
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
-    # the file-stream source wants a directory; stage a symlink
-    stage_dir = tempfile.mkdtemp(prefix="s1_events_")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    if "ts" in [f.name for f in raw_schema.fields]:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _events_stream_factory(spark, sf_dir, "s1_events_")()
     with _stream_partitions(spark):
         q = run_stream_to_memory(_agg(stream), "s1_windows", output_mode="complete")
         try:
@@ -168,17 +190,9 @@ def st1_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) through a real
     stream: first event per user across micro-batches; oracle is the
     equivalent argmin SQL."""
-    import tempfile
-
     from ..streaming.microbatch import stateful_first_event
 
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="st1_events_")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _events_stream_factory(spark, sf_dir, "st1_events_")()
     out = stateful_first_event(stream, "user_id", "ts", "event_id")
     with _stream_partitions(spark):
         q = run_stream_to_memory(out, "st1_first", output_mode="append")
@@ -198,17 +212,9 @@ def sd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the emitted key set equals batch DISTINCT — which is the oracle;
     only the key columns are projected because WHICH physical row wins
     per key is arrival-order-dependent, the key set is not."""
-    import tempfile
-
     from ..streaming.microbatch import run_stream_to_memory, streaming_dedup
 
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="sd1_events_")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
-    stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = _events_stream_factory(spark, sf_dir, "sd1_events_")()
     out = streaming_dedup(
         stream, ["user_id", "event_type"], "ts", watermark="365 days"
     ).select("user_id", "event_type")
@@ -236,20 +242,9 @@ def ss1_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     10 minutes after a click by the same user. The full-range watermark
     makes the emitted set equal the batch interval join — the oracle; in
     production the watermark bounds both sides' join state instead."""
-    import tempfile
-
     from ..streaming.microbatch import interval_join, run_stream_to_memory
 
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(path).schema
-    stage_dir = tempfile.mkdtemp(prefix="ss1_events_")
-    os.symlink(path, os.path.join(stage_dir, "events.parquet"))
-
-    def stream():
-        s = spark.readStream.schema(raw_schema).parquet(stage_dir)
-        return s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
+    stream = _events_stream_factory(spark, sf_dir, "ss1_events_")
     clicks = stream().where(F.col("event_type") == "click")
     errors = stream().where(F.col("event_type") == "error")
     joined = interval_join(
