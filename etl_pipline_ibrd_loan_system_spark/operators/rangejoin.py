@@ -1,0 +1,63 @@
+"""Binned range join: point-in-interval joins without the cartesian.
+
+Spark has no native range-join optimization (Databricks' range-join hint
+is proprietary); the naive `p.value BETWEEN i.lo AND i.hi` theta join
+degenerates to BroadcastNestedLoopJoin (every point probes every
+interval) or, worse, a cartesian shuffle when neither side is small. The
+classic fix — used by every large-scale spatial/temporal joiner — is bin
+expansion:
+
+  1. pick a bin width W;
+  2. explode each interval into the bins it overlaps
+     (floor(lo/W) .. floor(hi/W)) — fan-out = interval_len/W + 1;
+  3. map each point to its single bin floor(value/W);
+  4. equi-join on the bin key (hash join, shuffle or broadcast);
+  5. re-apply the exact predicate to discard same-bin near-misses.
+
+Cost model: bin width trades interval fan-out against per-bin candidate
+density. W ≈ median interval length keeps both ~O(1). The join becomes a
+plain equi-join that Catalyst/AQE handle like any other — broadcastable,
+skew-splittable, co-partitionable.
+
+Not reference-derived (the reference has only equi lookups — SURVEY.md
+§2.C); this is the range-predicate capability a training pipeline needs
+for windowed joins against score bands, time bands, or bucketed features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def binned_range_join(
+    points: DataFrame,
+    point_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every point row to every interval row with lo <= point < hi,
+    via bin expansion (see module doc). Returns all columns of both
+    inputs. `bin_width` must be > 0; intervals are half-open [lo, hi).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(float(bin_width))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("bigint"),
+                # hi is exclusive, but a point in hi's bin can still be < hi
+                F.floor(F.col(hi_col) / w).cast("bigint"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bin", F.floor(F.col(point_col) / w).cast("bigint"))
+    joined = pt.join(iv, "__bin", how).where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bin")

@@ -1,0 +1,204 @@
+"""Text preparation operators for training-data pipelines: repetition
+filters, PII scrubbing, and sequence chunking.
+
+Not reference-derived (the reference's text surface is lowercase/replace/
+fill — SURVEY.md §2.B); this is the document-prep family a 100 TB LLM
+corpus pipeline needs, in the spirit of the Gopher/C4 quality rules.
+Everything is built-in Catalyst expressions (split / higher-order array
+functions / regexp_*) — zero Python UDFs, so the hot path stays inside
+whole-stage codegen and replays exactly in ANSI SQL for the oracle gate.
+
+- repetition_signals   duplicate-n-gram fraction + top-n-gram char share
+                       (Gopher-style repetition detectors)
+- pii_scrub            regex redaction with per-pattern match counts
+- chunk_by_tokens      overlapping fixed-token-window chunks (sequence
+                       prep for training); one posexplode, bounded per doc
+
+Scale notes: all three are embarrassingly parallel per-row projections —
+no shuffle anywhere. repetition_signals is O(n_ngrams * n_distinct) per
+document in the top-share scan, bounded by document length (not corpus
+size); chunk_by_tokens' explode emits ceil(n/stride) rows per doc, each
+capped at `chunk` tokens. At 100 TB these run scan-speed with predicate
+pushdown below them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when < n tokens)."""
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str, n: int = 2, max_dup_frac: float = 0.5
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    - n_ngrams        word n-gram count
+    - dup_ngram_frac  1 - distinct/total n-grams (repetition density)
+    - top_ngram_char_frac  chars covered by the single most frequent
+                      n-gram / chars across all n-gram occurrences —
+                      computed as a max over the DISTINCT n-gram list, so
+                      no argmax struct gymnastics and no shuffle
+    - keep            dup_ngram_frac <= max_dup_frac (the filter verdict)
+
+    Documents with fewer than `n` tokens get NULL fractions and keep=true
+    (too short to measure repetition, not evidence of it).
+    """
+    base = df.select(F.col(id_col), _ngrams(_toks(F.col(text_col)), n).alias("__g"))
+    g = F.col("__g")
+    total = F.size(g)
+    distinct = F.array_distinct(g)
+    dup_frac = F.when(
+        total > 0, F.lit(1.0) - F.size(distinct).cast("double") / total
+    )
+    # chars in occurrences of the most frequent n-gram; only the MAX is
+    # needed (not which n-gram), so a plain array_max over ints suffices
+    top_chars = F.array_max(
+        F.transform(
+            distinct,
+            lambda x: F.size(F.filter(g, lambda y: y == x)) * F.length(x),
+        )
+    )
+    all_chars = F.length(F.concat_ws("", g))
+    top_frac = F.when(total > 0, top_chars.cast("double") / all_chars)
+    return base.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_ngrams"),
+        dup_frac.alias("dup_ngram_frac"),
+        top_frac.alias("top_ngram_char_frac"),
+        F.coalesce(dup_frac <= max_dup_frac, F.lit(True)).alias("keep"),
+    )
+
+
+# Redaction patterns a real pipeline ships with. RE2-compatible (DuckDB)
+# AND java.util.regex-compatible (Spark): character classes, bounded
+# repetition and \\b word boundaries only — no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "phone": "\\+?[0-9][0-9() -]{6,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, id_col: str, patterns: dict[str, str]
+) -> DataFrame:
+    """Redact every regex in `patterns` (applied in dict order, each
+    replaced with `<NAME>`) and count matches per pattern.
+
+    Counts are taken on the ORIGINAL text so an earlier redaction can't
+    hide a later pattern's matches; replacement is sequential so the
+    scrubbed text is deterministic. Pure per-row projection — the 100 TB
+    path is scan-speed, no shuffle, no UDF.
+    """
+    t = F.lower(F.col(text_col))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(
+            f"n_{name}"
+        )
+        for name, pat in patterns.items()
+    ]
+    scrubbed = t
+    for name, pat in patterns.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+def chunk_by_tokens(
+    df: DataFrame, text_col: str, id_col: str, chunk: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows (training
+    sequence prep): chunk k covers tokens [k*stride, k*stride + chunk).
+
+    One row per chunk via posexplode; every token lands in at least one
+    chunk (stride <= chunk). Output: (id, chunk_id, n_tokens, chunk_text).
+    The explode fan-out is ceil(n_tokens/stride) per document — bounded by
+    document length, embarrassingly parallel, no shuffle.
+    """
+    if stride > chunk:
+        raise ValueError("stride must be <= chunk (gaps would drop tokens)")
+    base = df.select(F.col(id_col), _toks(F.col(text_col)).alias("__toks")).where(
+        F.size("__toks") > 0
+    )
+    toks = F.col("__toks")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+        lambda s: F.struct(
+            F.least(F.lit(chunk), F.size(toks) - s).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk)).alias("chunk_text"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k characteristic terms per group by a log-free tf-idf variant.
+
+    tf  = occurrences of token within the group
+    df_ = number of DOCUMENTS (corpus-wide) containing the token
+    score = tf / df_  (single IEEE division — bit-identical cross-engine;
+            log-idf is monotone-decreasing in df_ just like 1/df_, so the
+            per-group ranking intent is preserved while staying exactly
+            replayable — ln() last-ulp behavior is libm-dependent)
+
+    Plan shape: one explode feeding TWO hash aggregations (token counts
+    per group; distinct-doc counts per token), joined on token. Partial
+    aggregation collapses each partition's token stream to its vocabulary
+    before either shuffle, and the final per-group top-k goes through a
+    bounded rank over (group, score) — vocabulary-sized, not stream-sized.
+    """
+    toks = _toks(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.col(group_col), F.explode(toks).alias("token")
+    )
+    tf = exploded.groupBy(group_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        exploded.select(F.col(id_col), "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(docfreq, "token").select(
+        F.col(group_col),
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "token", "tf", "df", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -77,18 +77,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a1_paged_datasource",
     "c4_scd_classify",
     "mm4_byte_features",
-    # -- slots 33-50 pinned EXPLICITLY (r4-green, unchanged modules) so
-    #    new query registrations can never silently shift the window --
+    # -- queries NEW in round 5 (prep family): first driver exposure --
+    "tx8_repetition_filter",
+    "tx9_pii_scrub",
+    "tx10_token_chunks",
+    "tx11_tfidf_topk",
+    "sp1_hash_split",
+    "sp2_stratified_sample",
+    "pk1_sequence_packing",
+    "j2_binned_range_join",
+    # -- slots 41-50 pinned EXPLICITLY (r4-green, unchanged modules) so
+    #    new query registrations can never silently shift the window;
+    #    the b2-b8/b11 fillers from the earlier round-5 rotation ceded
+    #    their slots to the new prep queries above (they stay r4-green
+    #    with unchanged modules + selfcheck coverage) --
     "b1_isin_snapshot_filter",
-    "b2_drop_columns",
-    "b3_lowercase_strings",
     "d2_count_by_group",
-    "b4_dict_recode",
-    "b5_conditional_overwrite",
-    "b6_null_fill",
-    "b7_map_encode",
-    "b8_derived_arithmetic",
-    "b11_cast_projection",
     "c1_lookup_current_slice",
     "c3_role_playing_dates",
     "d1_distinct_projection",
@@ -137,7 +141,7 @@ def load_registry():
 
     for mod in ("star_queries", "measure_queries", "dedup_queries",
                 "text_queries", "similarity_queries", "multimodal_queries",
-                "stream_queries"):
+                "stream_queries", "prep_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

@@ -1,0 +1,281 @@
+"""Dataset-preparation query catalog: repetition filters, PII scrub,
+chunking, splits/sampling, sequence packing, TF-IDF, range join.
+
+Every oracle replays the exact Catalyst expression in DuckDB SQL so the
+gate checks bit-identical values. Cross-engine notes: all fractions are a
+single IEEE division (identical rounding both engines); hash decisions go
+through the shared 60-bit md5 key (`CAST('0x'||substr(md5(x),1,15) AS
+BIGINT)` == Spark `conv(substring(md5(x),1,15),16,10)`); DuckDB
+`regexp_replace` needs the 'g' flag to match Spark's replace-all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dsum, sql_dsum
+from ..operators import rangejoin, sampling, textprep
+from . import query
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "tx8_repetition_filter",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                  ELSE []::VARCHAR[] END AS g
+      FROM base
+    )
+    SELECT doc_id,
+           len(g)::BIGINT AS n_ngrams,
+           CASE WHEN len(g) > 0
+                THEN 1.0 - len(list_distinct(g))::DOUBLE / len(g) END
+             AS dup_ngram_frac,
+           CASE WHEN len(g) > 0
+                THEN list_max(list_transform(list_distinct(g),
+                       x -> len(list_filter(g, y -> y = x)) * length(x)
+                     ))::DOUBLE
+                     / length(list_aggregate(g, 'string_agg', '')) END
+             AS top_ngram_char_frac,
+           coalesce(
+             (1.0 - len(list_distinct(g))::DOUBLE / len(g)) <= 0.5, true
+           ) AS keep
+    FROM g
+    """,
+)
+def tx8_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate-bigram fraction
+    and most-frequent-bigram character share, plus the keep verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textprep.repetition_signals(docs, "text", "doc_id", n=2, max_dup_frac=0.5)
+
+
+_PII = {**textprep.PII_PATTERNS, "entity": "\\b(customer|supplier)\\b"}
+
+
+def _pii_sql() -> str:
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS n_{name}"
+        for name, pat in _PII.items()
+    )
+    scrub = "lower(text)"
+    for name, pat in _PII.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {scrub} AS scrubbed
+    FROM documents
+    """
+
+
+@query("tx9_pii_scrub", sql=_pii_sql())
+def tx9_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction pass (emails / phones / an entity denylist that
+    actually fires on this corpus) with per-pattern match counts taken on
+    the original text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textprep.pii_scrub(docs, "text", "doc_id", _PII)
+
+
+@query(
+    "tx10_token_chunks",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+      WHERE len({_TOKS}) > 0
+    ), c AS (
+      SELECT doc_id,
+             list_transform(range(0, len(toks), 12),
+                            s -> least(16, len(toks) - s)) AS ns,
+             list_transform(range(0, len(toks), 12),
+                            s -> array_to_string(
+                                   list_slice(toks, s + 1, s + 16), ' ')) AS ts
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(ns, 1) - 1 AS BIGINT) AS chunk_id,
+           CAST(unnest(ns) AS BIGINT) AS n_tokens,
+           unnest(ts) AS chunk_text
+    FROM c
+    """,
+)
+def tx10_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 16-token windows with stride 12 (training sequence
+    chunking); every token lands in at least one chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textprep.chunk_by_tokens(docs, "text", "doc_id", chunk=16, stride=12)
+
+
+@query(
+    "sp1_hash_split",
+    sql=f"""
+    SELECT doc_id,
+           bkt AS split_bucket,
+           CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             {_HASH60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+               AS bkt
+      FROM documents
+    )
+    """,
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment from the id hash —
+    adding documents later never moves an existing one between splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, "doc_id").select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+_SAMPLE_FRACS = {"en": 0.25, "de": 0.5}
+_SAMPLE_DEFAULT = 0.75
+_PRECISION = 1_000_000
+
+
+@query(
+    "sp2_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang, sample_bucket
+    FROM (
+      SELECT doc_id, lang,
+             {_HASH60.format(x="'sample:' || CAST(doc_id AS VARCHAR)")}
+               % {_PRECISION} AS sample_bucket
+      FROM documents
+    )
+    WHERE sample_bucket < CASE lang
+        WHEN 'de' THEN {int(0.5 * _PRECISION)}
+        WHEN 'en' THEN {int(0.25 * _PRECISION)}
+        ELSE {int(0.75 * _PRECISION)} END
+    """,
+)
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free deterministic stratified sample: per-language keep
+    fractions decided row-locally from the id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", _SAMPLE_FRACS, "doc_id", default_frac=_SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+@query(
+    "pk1_sequence_packing",
+    sql=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {_HASH60.format(x="'pack:' || CAST(doc_id AS VARCHAR)")} % 8
+               AS pack_bucket
+      FROM documents
+    )
+    SELECT doc_id, pack_bucket, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (
+                         PARTITION BY pack_bucket ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens) / 256) AS BIGINT) AS seq_id
+    FROM b
+    """,
+)
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 256-token sequence packing across 8 parallel hash buckets —
+    the only shuffle is the skew-free bucket key."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return sampling.pack_sequences(
+        base, "doc_id", "n_tokens", budget=256, n_buckets=8
+    )
+
+
+@query(
+    "tx11_tfidf_topk",
+    sql=f"""
+    WITH ex AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT lang, token, COUNT(*) AS tf FROM ex GROUP BY lang, token
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df
+      FROM (SELECT DISTINCT doc_id, token FROM ex) GROUP BY token
+    ), s AS (
+      SELECT lang, token, tf, df, tf::DOUBLE / df AS score
+      FROM tf JOIN dfreq USING (token)
+    )
+    SELECT * FROM (
+      SELECT lang, token, tf, df, score,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY score DESC, token
+             ) AS BIGINT) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def tx11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 characteristic terms per language by the log-free tf-idf
+    variant tf/df (see operators.textprep.tfidf_topk for why no ln)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textprep.tfidf_topk(docs, "text", "doc_id", "lang", k=10)
+
+
+# Non-uniform, partially overlapping price bands — non-uniform so the
+# range join is NOT expressible as a single floor(price/W) equi-map
+# (that degenerate case needs no bin expansion).
+_BANDS: list[tuple[int, float, float]] = [
+    (0, 0.0, 10_000.0),
+    (1, 5_000.0, 25_000.0),
+    (2, 20_000.0, 60_000.0),
+    (3, 50_000.0, 120_000.0),
+    (4, 100.0, 1_000.0),
+]
+
+
+def _bands_sql() -> str:
+    rows = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+    return f"(VALUES {rows}) AS bands(band_id, lo, hi)"
+
+
+@query(
+    "j2_binned_range_join",
+    sql=f"""
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           COUNT(*) AS n_points,
+           {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    JOIN {_bands_sql()}
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    """,
+)
+def j2_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join of every lineitem price into overlapping
+    non-uniform bands, executed as a binned equi-join (no nested-loop /
+    cartesian) — operators.rangejoin.binned_range_join."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(_BANDS, "band_id bigint, lo double, hi double")
+    joined = rangejoin.binned_range_join(
+        lineitem, "l_extendedprice", bands, "lo", "hi", bin_width=8192.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        dsum("l_extendedprice", "sum_price"),
+    )

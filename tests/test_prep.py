@@ -1,0 +1,246 @@
+"""Dataset-prep operator tests: repetition filter, PII scrub, chunking,
+splits/sampling, sequence packing, TF-IDF, binned range join.
+
+Oracle value-parity is covered by tools/selfcheck + the driver gate;
+these tests pin the PROPERTIES and the PHYSICAL PLANS the oracle can't
+see: chunk coverage, split stability under corpus growth, packing budget
+invariants, and the range join compiling to a hash equi-join instead of
+a nested loop.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+from etl_pipline_ibrd_loan_system_spark.operators import (
+    rangejoin,
+    sampling,
+    textprep,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- textprep
+
+
+def test_repetition_signals_detect_repeated_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six seven"),
+            (3, "x"),  # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textprep.repetition_signals(df, "text", "doc_id").collect()
+    }
+    assert rows[1]["dup_ngram_frac"] == pytest.approx(0.8)  # 5 bigrams, 1 distinct
+    assert not rows[1]["keep"]
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["keep"]
+    assert rows[3]["n_ngrams"] == 0
+    assert rows[3]["dup_ngram_frac"] is None
+    assert rows[3]["keep"]  # too short to measure, not evidence of spam
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail Bob@Example.com or call +1 (555) 123-4567 now")],
+        "doc_id long, text string",
+    )
+    row = textprep.pii_scrub(df, "text", "doc_id", textprep.PII_PATTERNS).collect()[0]
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 1
+    assert "<EMAIL>" in row["scrubbed"] and "<PHONE>" in row["scrubbed"]
+    assert "example.com" not in row["scrubbed"]
+    assert "555" not in row["scrubbed"]
+
+
+def test_chunks_cover_every_token_and_respect_size(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunk, stride = 16, 12
+    out = textprep.chunk_by_tokens(docs, "text", "doc_id", chunk, stride)
+    stats = (
+        out.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("max_n"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.size(F.split("chunk_text", " "))).alias("max_words"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.size(
+                    F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+                ).alias("n_toks"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert r["max_n"] <= chunk and r["max_words"] <= chunk
+        # every token covered: k chunks at stride s reach (k-1)*s + chunk
+        assert (r["n_chunks"] - 1) * stride + chunk >= r["n_toks"]
+
+    def test_stride_gap_rejected():
+        with pytest.raises(ValueError):
+            textprep.chunk_by_tokens(docs, "text", "doc_id", chunk=8, stride=9)
+
+    test_stride_gap_rejected()
+
+
+def test_tfidf_topk_ranks_group_heavy_terms_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "aaa aaa aaa common"),
+            (2, "g1", "aaa common"),
+            (3, "g2", "bbb bbb common"),
+            (4, "g2", "bbb common"),
+        ],
+        "doc_id long, grp string, text string",
+    )
+    out = textprep.tfidf_topk(df, "text", "doc_id", "grp", k=1).collect()
+    best = {r["grp"]: r["token"] for r in out}
+    # 'common' appears in every doc (df=4) and loses to the group terms
+    assert best == {"g1": "aaa", "g2": "bbb"}
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_hash_split_is_stable_under_corpus_growth(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    full = sampling.hash_split(docs, "doc_id").select("doc_id", "split")
+    half = sampling.hash_split(
+        docs.where(F.col("doc_id") % 2 == 0), "doc_id"
+    ).select("doc_id", "split")
+    # assignments of the subset rows are identical to their full-corpus ones
+    moved = (
+        full.alias("f")
+        .join(half.alias("h"), "doc_id")
+        .where(F.col("f.split") != F.col("h.split"))
+        .count()
+    )
+    assert moved == 0
+    counts = dict(full.groupBy("split").count().collect())
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_hash_split_rejects_bad_percents(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "id", {"train": 60, "test": 30})
+
+
+def test_stratified_sample_fraction_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 0.5}, "doc_id", default_frac=0.75
+    )
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert a == b  # rerun-identical set
+    totals = dict(docs.groupBy("lang").count().collect())
+    kept = dict(out.groupBy("lang").count().collect())
+    # realized fraction near target (hash-uniform Bernoulli, small n: wide tol)
+    for lang, frac in (("en", 0.25), ("de", 0.5)):
+        if totals.get(lang, 0) >= 50:
+            assert abs(kept.get(lang, 0) / totals[lang] - frac) < 0.2
+
+
+def test_pack_sequences_budget_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    base = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+    out = sampling.pack_sequences(base, "doc_id", "n_tokens", budget, n_buckets=4)
+    seqs = (
+        out.groupBy("pack_bucket", "seq_id")
+        .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest"))
+        .collect()
+    )
+    assert seqs
+    for r in seqs:
+        # greedy concat-and-cut: a sequence overhangs the budget by less
+        # than its last document, never more
+        assert r["total"] < budget + r["biggest"]
+    # every doc packed exactly once
+    assert out.count() == base.count()
+    # seq ids dense from 0 within each bucket
+    per_bucket = out.groupBy("pack_bucket").agg(
+        F.min("seq_id").alias("lo"), F.countDistinct("seq_id").alias("n"),
+        F.max("seq_id").alias("hi"),
+    )
+    for r in per_bucket.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+
+
+# ---------------------------------------------------------------- rangejoin
+
+
+def test_binned_range_join_matches_theta_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10_000.0), (1, 5_000.0, 25_000.0), (2, 100.0, 1_000.0)],
+        "band_id bigint, lo double, hi double",
+    )
+    binned = rangejoin.binned_range_join(
+        lineitem, "l_extendedprice", bands, "lo", "hi", bin_width=4096.0
+    )
+    naive = lineitem.join(
+        bands,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    got = {
+        (r["band_id"], r["n"]) for r in
+        binned.groupBy("band_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r["band_id"], r["n"]) for r in
+        naive.groupBy("band_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got
+
+
+def test_binned_range_join_plans_as_hash_join(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 10_000.0), (1, 5_000.0, 25_000.0)],
+        "band_id bigint, lo double, hi double",
+    )
+    plan = _plan(
+        rangejoin.binned_range_join(
+            lineitem, "l_extendedprice", bands, "lo", "hi", bin_width=8192.0
+        )
+    )
+    # the whole point: an equi-join on the bin key, never a nested loop
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_rejects_bad_width(spark):
+    df = spark.range(1).withColumn("v", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        rangejoin.binned_range_join(df, "v", df, "id", "v", bin_width=0)

@@ -110,6 +110,14 @@ def main() -> int:
     for name in sorted(ROWS_ONLY - set(qs)):
         print(f"FAIL  ROWS_ONLY declares unknown query {name!r}")
         failed.append(f"lint:{name}")
+    # a typoed DRIVER_PRIORITY name is silently skipped by _driver_order,
+    # shrinking the driver's 50-slot window with no error anywhere
+    from etl_pipline_ibrd_loan_system_spark.queries import DRIVER_PRIORITY
+
+    for name in DRIVER_PRIORITY:
+        if name not in qs:
+            print(f"FAIL  DRIVER_PRIORITY names unknown query {name!r}")
+            failed.append(f"lint:{name}")
     if only:
         for name in sorted(only - set(qs)):
             # a typoed name must not count as passed (it would never run)
