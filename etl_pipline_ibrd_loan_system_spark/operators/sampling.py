@@ -92,6 +92,85 @@ def stratified_sample(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Weighted corpus interleaving: emit a deterministic sort key under
+    which sources appear in proportion to their weights.
+
+    Each row gets rank r within its source (ordered by id hash — a
+    deterministic shuffle) and interleave_key = r / weight. Sorting the
+    corpus by interleave_key yields the classic weighted round-robin: a
+    weight-3 source contributes ~3 rows for every row of a weight-1
+    source, uniformly along the whole training order rather than in
+    source-sized blocks.
+
+    The output is the KEY, not a global row number: Spark's orderBy on it
+    is a distributed range-partition sort (TeraSort shape), while a
+    global row_number would funnel everything through one window task.
+    The per-source rank window shuffles by source — at 100 TB with few
+    huge sources, pre-split each source into hash sub-buckets and rank
+    within (source, bucket); proportions are preserved in expectation.
+    """
+    w = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        w = F.when(cond, float(wt)) if w is None else w.when(cond, float(wt))
+    w = F.lit(float(default_weight)) if w is None else w.otherwise(float(default_weight))
+    rk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            _bucket(F.col(id_col), salt, 1 << 40), F.col(id_col)
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        rk.cast("bigint").alias("rank_in_source"),
+        (rk.cast("double") / w).alias("interleave_key"),
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-source token-budget curation: take documents best-quality
+    first until the source's token budget is spent (greedy knapsack —
+    the standard data-mixture recipe "top up each domain to N tokens").
+
+    A document is kept iff the running token total up to and including
+    it (quality-descending, id as tiebreak) stays within the budget.
+    One shuffle on the source key; the cumulative window is per-source.
+    Same skew note as mix_sources: at 100 TB, sub-bucket huge sources
+    and give each sub-bucket budget/n_buckets tokens.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(n_tokens_col)).over(w)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
+            F.col(quality_col),
+            cum.cast("bigint").alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -152,6 +152,36 @@ def chunk_by_tokens(
     )
 
 
+def vocab_encode(
+    df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Encode documents to token-id sequences against a vocabulary
+    DataFrame (token, rank): id = rank for in-vocab tokens, 0 = UNK.
+
+    Output is one (id, pos, token, token_id) row per token occurrence —
+    scalar rows, not arrays, so the result is canonicalizable and
+    directly writable as a training shard. The vocabulary join is
+    broadcast (a vocab is KBs-to-MBs even at 1M entries); the explode is
+    the only fan-out and it is bounded per document. At 100 TB this is
+    scan-speed: no shuffle of the token stream, ever.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = df.select(F.col(id_col), _toks(F.col(text_col)).alias("__toks"))
+    exploded = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "token")
+    )
+    v = vocab.select(
+        F.col("token"), F.col("rank").cast("bigint").alias("token_id")
+    )
+    return exploded.join(broadcast(v), "token", "left").select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        "token",
+        F.coalesce("token_id", F.lit(0)).alias("token_id"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     text_col: str,

@@ -237,6 +237,110 @@ def tx11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.tfidf_topk(docs, "text", "doc_id", "lang", k=10)
 
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 0.5}
+_MIX_HASH = _HASH60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "mx1_corpus_mix",
+    sql=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_MIX_HASH} % {1 << 40}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rk AS BIGINT) AS rank_in_source,
+           rk::DOUBLE / CASE source
+             WHEN 'src0' THEN 3.0
+             WHEN 'src1' THEN 2.0
+             WHEN 'src2' THEN 0.5
+             ELSE 1.0 END AS interleave_key
+    FROM r
+    """,
+)
+def mx1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus interleaving key: sorting by interleave_key yields
+    sources in proportion to their weights, uniformly along the training
+    order (operators.sampling.mix_sources)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mix_sources(docs, "source", "doc_id", _MIX_WEIGHTS)
+
+
+@query(
+    "mx2_token_budget_select",
+    sql=f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}) AS quality
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM sig
+    )
+    SELECT * FROM c WHERE cum_tokens <= 600
+    """,
+)
+def mx2_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget curation: best-quality documents first
+    (quality = distinct-token ratio) until each source's 600-token budget
+    is spent (operators.sampling.token_budget_select)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "quality"
+        ),
+    )
+    return sampling.token_budget_select(
+        sig, "source", "doc_id", "n_tokens", "quality", budget=600
+    )
+
+
+@query(
+    "tx12_vocab_encode",
+    sql=f"""
+    WITH vocab AS (
+      SELECT token, CAST(rank AS BIGINT) AS token_id FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rank
+        FROM (
+          SELECT token, COUNT(*) AS n
+          FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+          GROUP BY token
+        )
+      ) WHERE rank <= 50
+    ), tok AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+             unnest(toks) AS token
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT t.doc_id, t.pos, t.token, COALESCE(v.token_id, 0) AS token_id
+    FROM tok t LEFT JOIN vocab v USING (token)
+    """,
+)
+def tx12_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + encode against the corpus top-50 vocabulary (broadcast
+    join; id 0 = UNK) — one scalar row per token occurrence, the shape a
+    training shard writer consumes."""
+    from ..operators.textstats import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, "text", k=50)
+    return textprep.vocab_encode(docs, "text", "doc_id", vocab)
+
+
 # Non-uniform, partially overlapping price bands — non-uniform so the
 # range join is NOT expressible as a single floor(price/W) equi-map
 # (that degenerate case needs no bin expansion).

@@ -244,3 +244,86 @@ def test_binned_range_join_rejects_bad_width(spark):
     df = spark.range(1).withColumn("v", F.col("id").cast("double"))
     with pytest.raises(ValueError):
         rangejoin.binned_range_join(df, "v", df, "id", "v", bin_width=0)
+
+
+# ------------------------------------------------------------- mixing/encode
+
+
+def test_mix_sources_proportions_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.mix_sources(
+        docs, "source", "doc_id", {"src0": 3.0, "src2": 0.5}
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # sorting by interleave_key: among the first K rows, weight-3 src0
+    # appears ~3x as often as a weight-1 source
+    ordered = sorted(rows, key=lambda r: (r["interleave_key"], r["source"]))
+    head = ordered[:80]
+    n_src0 = sum(r["source"] == "src0" for r in head)
+    n_src1 = sum(r["source"] == "src1" for r in head)
+    n_src2 = sum(r["source"] == "src2" for r in head)
+    assert n_src0 > n_src1 > n_src2
+    # deterministic across replans
+    again = sorted(
+        out.collect(), key=lambda r: (r["interleave_key"], r["source"])
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in ordered]
+
+
+def test_token_budget_select_respects_budget(spark):
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 100, 0.9),
+            (2, "a", 100, 0.8),
+            (3, "a", 100, 0.7),
+            (4, "b", 250, 0.5),
+            (5, "b", 100, 0.4),
+        ],
+        "doc_id long, source string, n_tokens long, quality double",
+    )
+    out = sampling.token_budget_select(
+        df, "source", "doc_id", "n_tokens", "quality", budget=250
+    )
+    kept = {r["doc_id"]: r for r in out.collect()}
+    # source a: docs 1,2 fit (200 <= 250), doc 3 would exceed
+    # source b: doc 4 alone fills the budget exactly; doc 5 would exceed
+    assert set(kept) == {1, 2, 4}
+    assert kept[2]["cum_tokens"] == 200 and kept[4]["cum_tokens"] == 250
+    per_source = (
+        out.groupBy("source").agg(SF.sum("n_tokens").alias("t")).collect()
+    )
+    assert all(r["t"] <= 250 for r in per_source)
+
+
+def test_vocab_encode_ids_and_unk(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.textstats import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa zz")],
+        "doc_id long, text string",
+    )
+    vocab = vocab_topk(df, "text", k=2)  # aa(3), bb/cc/zz tie -> bb by token
+    out = textprep.vocab_encode(df, "text", "doc_id", vocab).collect()
+    by_key = {(r["doc_id"], r["pos"]): (r["token"], r["token_id"]) for r in out}
+    assert by_key[(1, 0)] == ("aa", 1)
+    assert by_key[(1, 1)] == ("bb", 2)
+    assert by_key[(1, 3)] == ("cc", 0)  # out-of-vocab -> UNK
+    assert by_key[(2, 1)] == ("zz", 0)
+    # positions dense per doc, every occurrence encoded
+    assert sorted(p for d, p in by_key if d == 1) == [0, 1, 2, 3]
+
+
+def test_vocab_encode_plans_as_broadcast_join(spark, sf_dir):
+    from etl_pipline_ibrd_loan_system_spark.operators.textstats import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(
+        textprep.vocab_encode(
+            docs, "text", "doc_id", vocab_topk(docs, "text", k=50)
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "token stream is being shuffled"
