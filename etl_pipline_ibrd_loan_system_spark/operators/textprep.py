@@ -58,7 +58,13 @@ def repetition_signals(
     Documents with fewer than `n` tokens get NULL fractions and keep=true
     (too short to measure repetition, not evidence of it).
     """
-    base = df.select(F.col(id_col), _ngrams(_toks(F.col(text_col)), n).alias("__g"))
+    # materialize tokens BEFORE the n-gram lambda references them —
+    # passing the raw split expression into _ngrams inlines the tokenizer
+    # into every element_at, re-tokenizing O(n) times per row (same trap
+    # documented at textstats.quality_score / dedup.word_shingles;
+    # measured ~18x on this operator at sf0.1)
+    toked = df.select(F.col(id_col), _toks(F.col(text_col)).alias("__toks"))
+    base = toked.select(F.col(id_col), _ngrams(F.col("__toks"), n).alias("__g"))
     g = F.col("__g")
     total = F.size(g)
     distinct = F.array_distinct(g)
@@ -66,12 +72,27 @@ def repetition_signals(
         total > 0, F.lit(1.0) - F.size(distinct).cast("double") / total
     )
     # chars in occurrences of the most frequent n-gram; only the MAX is
-    # needed (not which n-gram), so a plain array_max over ints suffices
-    top_chars = F.array_max(
-        F.transform(
-            distinct,
-            lambda x: F.size(F.filter(g, lambda y: y == x)) * F.length(x),
-        )
+    # needed (not which n-gram). Sort the n-grams and fold a run-length
+    # accumulator — O(n log n) per document, where the naive max-over-
+    # distinct-of-count scan is O(n x n_distinct) (quadratic on long
+    # documents — real corpora have 10^3-10^4 n-grams per doc, and this
+    # runs per ROW at 100 TB). The oracle replays the naive form: same
+    # value, independently computed.
+    top_chars = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+            F.greatest(
+                acc["best"],
+                (F.when(x == acc["prev"], acc["run"] + 1).otherwise(1))
+                * F.length(x),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     all_chars = F.length(F.concat_ws("", g))
     top_frac = F.when(total > 0, top_chars.cast("double") / all_chars)
