@@ -86,3 +86,41 @@ def m6_dashboard_visual(spark: SparkSession, sf_dir: str) -> DataFrame:
         year_range=(1993, 1997),
     )
     return out
+
+
+@query(
+    "m7_incremental_rollup",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def m7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate: history and the new batch are
+    folded into PARTIAL state independently and merged associatively —
+    the oracle recomputes from the full table, proving
+    merge(partial(old), partial(new)) == partial(all) bit-for-bit
+    (operators.rollup; decimal-space sums make the identity exact).
+    The refresh cost at 100 TB is the new partition + the rollup table,
+    never history."""
+    from ..operators.rollup import finalize_rollup, merge_rollups, partial_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    history = events.where(F.col("ts") < cut)
+    fresh = events.where(F.col("ts") >= cut)
+    merged = merge_rollups(
+        [
+            partial_rollup(history, ["event_type"], "value"),
+            partial_rollup(fresh, ["event_type"], "value"),
+        ],
+        ["event_type"],
+    )
+    return finalize_rollup(merged, ["event_type"])

@@ -107,3 +107,83 @@ def test_forward_fill_idempotent_and_correct(spark, vals):
     # idempotence: filling a filled column changes nothing
     refilled = forward_fill(filled, order_by=["ord"], target="v")
     assert {r.ord: r.v for r in refilled.collect()} == got
+
+
+# ----------------------------------------------------------- rollup merge
+
+rows_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_st, cut=st.integers(0, 30))
+def test_rollup_merge_is_split_invariant(spark, rows, cut):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) for ANY split
+    point — the associativity that makes incremental maintenance exact
+    (decimal sums; double partials would fail this on batch boundaries)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    cut = min(cut, len(rows))
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = spark.createDataFrame(rows[:cut] or [("zz", 0.0)], "k string, v double")
+    b = spark.createDataFrame(rows[cut:] or [("zz", 0.0)], "k string, v double")
+    if not rows[:cut]:
+        a = a.where("k <> 'zz'")
+    if not rows[cut:]:
+        b = b.where("k <> 'zz'")
+    direct = finalize_rollup(partial_rollup(df, ["k"], "v"), ["k"]).collect()
+    merged = finalize_rollup(
+        merge_rollups(
+            [partial_rollup(a, ["k"], "v"), partial_rollup(b, ["k"], "v")], ["k"]
+        ),
+        ["k"],
+    ).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+# ----------------------------------------------------------- chunk coverage
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(1, 20),
+    overlap_frac=st.floats(0.0, 0.99),
+)
+def test_chunks_cover_all_tokens_any_geometry(spark, n_tokens, chunk, overlap_frac):
+    """Every token index appears in ≥1 chunk for ANY (chunk, stride≤chunk)
+    geometry; chunk k starts exactly at k*stride."""
+    from etl_pipline_ibrd_loan_system_spark.operators.textprep import (
+        chunk_by_tokens,
+    )
+
+    stride = max(1, int(chunk * (1 - overlap_frac)))
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_by_tokens(df, "text", "doc_id", chunk, stride).collect()
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * stride
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) == r["n_tokens"] <= chunk
+        assert toks == [f"t{i}" for i in range(start, start + len(toks))]
+        covered.update(range(start, start + len(toks)))
+    assert covered == set(range(n_tokens))
