@@ -1036,3 +1036,37 @@ def sk5_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
     )
+
+
+@query(
+    "e6_lead_lag_deltas",
+    sql="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           value - lag(value) OVER w AS value_delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def e6_lead_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas (lag/lead family): inter-event gap in exact
+    integer microseconds (unix_micros subtraction — no float time math),
+    value delta, and the following event's type. One shuffle on user_id;
+    per-user slices sort locally — the standard sessionization precursor,
+    scale notes as h3/e1b (bounded-cardinality partition key)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros rejects TIMESTAMP_NTZ; the session TZ is pinned UTC so
+    # the cast is wall-clock exact (same convention as stream_queries)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    return events.select(
+        "event_id",
+        "user_id",
+        gap.alias("gap_us"),
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

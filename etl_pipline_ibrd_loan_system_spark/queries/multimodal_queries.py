@@ -150,3 +150,51 @@ def mm5_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("new_width"),
         F.col("meta.height").alias("new_height"),
     )
+
+
+def _mm6_sql(dim: int = 16) -> str:
+    comps = ", ".join(
+        f"list_sum(list_transform(range({1 + j}, length(text) + 1, {dim}), "
+        f"i -> ascii(text[i])))::DOUBLE" for j in range(dim)
+    )
+    rng = f"range(1, {dim + 1})"
+    cos = (
+        f"list_sum(list_transform({rng}, i -> a.v[i] * b.v[i]))"
+        f" / (sqrt(list_sum(list_transform({rng}, i -> a.v[i] * a.v[i])))"
+        f" * sqrt(list_sum(list_transform({rng}, i -> b.v[i] * b.v[i]))))"
+    )
+    return f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, source, [{comps}] AS v FROM documents
+    )
+    SELECT * FROM (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, {cos} AS cos_sim
+      FROM feats a JOIN feats b
+        ON a.source = b.source AND a.media_id < b.media_id
+    ) WHERE cos_sim >= 0.999
+    """
+
+
+@query("mm6_media_neardup", sql=_mm6_sql())
+def mm6_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: the multimodal byte-feature
+    extractor (Arrow mapInPandas, mm4's vectorized kernel) feeds the
+    dedup family's blocked-cosine pair search — the composition a real
+    pipeline runs to dedup images before training. Blocked by source
+    (the upload-origin prior); at 100 TB the block key bounds the
+    quadratic term exactly as in dd6, and the feature extraction is the
+    same single scan mm4 already pays."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(
+        multimodal.with_media(docs, "text", "doc_id"), dim=16
+    )
+    blocked = feats.join(
+        docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
+    )
+    return dedup.embedding_blocked_pairs(
+        blocked, "media_id", "feature", block_col="source", threshold=0.999
+    )
