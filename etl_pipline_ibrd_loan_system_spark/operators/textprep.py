@@ -173,6 +173,41 @@ def chunk_by_tokens(
     )
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing
+    ANY word n-gram with the benchmark set (the standard 13-gram overlap
+    rule; n is a parameter because toy corpora need smaller n).
+
+    Plan shape for 100 TB: the benchmark is tiny by definition, so its
+    distinct n-gram set BROADCASTS; the training side explodes to grams
+    and left_semi-probes the broadcast to find contaminated ids (train
+    grams never shuffle), then one left_anti removes them. Cost = one
+    scan of train + benchmark-sized state per executor.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df: DataFrame) -> DataFrame:
+        toked = df.select(F.col(id_col), _toks(F.col(text_col)).alias("__toks"))
+        return toked.select(
+            F.col(id_col), F.explode(_ngrams(F.col("__toks"), n)).alias("gram")
+        )
+
+    bench_grams = grams(bench).select("gram").distinct()
+    contaminated = (
+        grams(train)
+        .join(broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def vocab_encode(
     df: DataFrame, text_col: str, id_col: str, vocab: DataFrame
 ) -> DataFrame:

@@ -383,3 +383,38 @@ def j2_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@query(
+    "dc1_ngram_decontaminate",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+               AS gram
+      FROM t WHERE len(toks) >= 4
+    ), bg AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0
+    ), contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+      WHERE g.doc_id % 37 <> 0
+    )
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 37 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def dc1_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 37th document stands in for the
+    held-out benchmark; training documents sharing any word 4-gram with
+    it are dropped (textprep.ngram_decontaminate — broadcast benchmark
+    gram set, train grams never shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return textprep.ngram_decontaminate(
+        train, bench, "text", "doc_id", n=4
+    ).select("doc_id", "n_chars")

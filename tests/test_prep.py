@@ -327,3 +327,19 @@ def test_vocab_encode_plans_as_broadcast_join(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "token stream is being shuffled"
+
+
+def test_ngram_decontaminate_drops_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "xx alpha beta gamma delta yy"),   # contains a bench 4-gram
+            (2, "alpha beta zz gamma delta"),      # shared words, no 4-gram
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textprep.ngram_decontaminate(train, bench, "text", "doc_id", n=4)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
