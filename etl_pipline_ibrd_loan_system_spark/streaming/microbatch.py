@@ -187,3 +187,49 @@ def interval_join(
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {upper}"
         ),
     )
+
+
+def streaming_rollup(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incrementally-maintained aggregate through a real stream: each
+    micro-batch folds into PARTIAL rollup state (operators.rollup) and
+    merges with the parquet state table — read-merge-overwrite, with the
+    merged result materialized (localCheckpoint) BEFORE the overwrite so
+    the write never scans the files it replaces.
+
+    Per-batch cost is batch-size + group-cardinality, independent of
+    history — the streaming twin of m7's batch identity
+    merge(partial(old), partial(new)) == partial(all). Restart safety:
+    Spark's checkpoint makes batch delivery exactly-once into this
+    function; the state overwrite is atomic at the _SUCCESS-marker level
+    (a production deployment points this at a Delta/Iceberg table for
+    transactional swaps — the merge logic is identical).
+    """
+    from ..operators.rollup import merge_rollups, partial_rollup
+
+    def upd(batch_df: DataFrame, _epoch: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        delta = partial_rollup(batch_df, keys, value_col)
+        # explicit first-run probe — a bare except around the read would
+        # silently reset state on ANY transient read failure (the
+        # jdbc_idempotent_append lesson from ADVICE r4)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            merged = merge_rollups([spark.read.parquet(state_dir), delta], keys)
+        else:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -142,3 +142,54 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         ) == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
+    """foreachBatch incremental rollup: after draining a multi-batch
+    stream, the maintained state equals a full-table recompute — the
+    streaming twin of m7's merge identity. maxFilesPerTrigger=1 forces
+    one micro-batch per staged file, so the merge path (not just the
+    first-batch path) is exercised."""
+    from etl_pipline_ibrd_loan_system_spark.operators.rollup import (
+        finalize_rollup,
+        partial_rollup,
+    )
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "roll_src")
+    state = str(tmp_path / "roll_state")
+    ckpt = str(tmp_path / "roll_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(t0, 10), (t0 + dt.timedelta(hours=1), 20)],
+        [(t0, 5), (t0 + dt.timedelta(hours=2), -3)],
+        [(t0 + dt.timedelta(hours=3), 7)],
+    ]
+    for rows in batches:
+        _write(spark, rows, src)
+    events = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("k", (F.col("v") % 2 == 0).cast("string"))
+    )
+    q = streaming_rollup(events, ["k"], "v", state, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        tuple(r)
+        for r in finalize_rollup(spark.read.parquet(state), ["k"]).collect()
+    }
+    full = spark.createDataFrame(
+        [r for b in batches for r in b], SCHEMA
+    ).withColumn("k", (F.col("v") % 2 == 0).cast("string"))
+    want = {
+        tuple(r)
+        for r in finalize_rollup(partial_rollup(full, ["k"], "v"), ["k"]).collect()
+    }
+    assert got == want and got
