@@ -1070,3 +1070,96 @@ def e6_lead_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+# --- q3/q5: classic multi-join analytics (TPC-H shapes; join-order and
+# broadcast behavior are the evidence — Catalyst reorders and broadcasts
+# the dimension sides, the fact streams through one stage) --------------
+
+
+@query(
+    "q3_shipping_priority",
+    sql=f"""
+    SELECT l_orderkey,
+           {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))", 'revenue', cast=False)},
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-06-30'
+      AND l_shipdate > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3 shape: segment-filtered customers -> orders -> lineitem,
+    top-10 unshipped orders by revenue. Catalyst broadcasts the filtered
+    customer and order-key sides; the top-10 executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    l_orderkey tiebreak makes the cut deterministic."""
+    cut = F.lit("1996-06-30").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue", cast_to=None))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql=f"""
+    SELECT n_name,
+           {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))", 'revenue', cast=False)}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 shape: 6-way join (fact + 5 dimension-ish sides) with the
+    local-supplier condition c_nationkey = s_nationkey. All non-lineitem
+    sides broadcast; the lineitem scan streams through a single stage —
+    the same star-join property the c2 cascade gate asserts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(nation, sup.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue", cast_to=None))
+    )

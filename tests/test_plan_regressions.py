@@ -59,6 +59,10 @@ def test_tx7_no_window_exec(spark, sf_dir, registry):
     "c1_lookup_current_slice",
     "c2_lookup_cascade",
     "c3_role_playing_dates",
+    # multi-join analytics (TPC-H q3/q5 shapes): every non-fact side must
+    # broadcast so the fact scan streams through one stage
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ])
 def test_star_lookups_broadcast(spark, sf_dir, registry, name):
     plan = _plan(registry[name](spark, sf_dir))
