@@ -42,9 +42,16 @@ def binned_range_join(
     """Join every point row to every interval row with lo <= point < hi,
     via bin expansion (see module doc). Returns all columns of both
     inputs. `bin_width` must be > 0; intervals are half-open [lo, hi).
+
+    Inner join only: the exact-predicate re-filter after the bin join
+    would silently drop the NULL-extended rows of any outer variant
+    (an outer range join needs the filter folded into the join condition
+    instead — not implemented until something needs it).
     """
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if how != "inner":
+        raise ValueError("binned_range_join supports how='inner' only")
     w = F.lit(float(bin_width))
     iv = intervals.withColumn(
         "__bin",
