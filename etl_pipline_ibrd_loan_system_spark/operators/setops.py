@@ -33,3 +33,15 @@ def union_pages(
 def union_all(pages: Iterable[DataFrame]) -> DataFrame:
     """F2 — dataflow-style Union All (SSIS `bor_dim.dtsx:1448+`)."""
     return reduce(DataFrame.unionByName, pages)
+
+
+def union_evolving(pages: Iterable[DataFrame]) -> DataFrame:
+    """Schema-drift tolerant UNION ALL: later pages may add or drop
+    columns (API envelope evolution — the failure mode a long-lived paged
+    ingest WILL hit); missing columns null-fill via
+    `unionByName(allowMissingColumns=True)`. The result schema is the
+    union of all page schemas in first-seen column order. Narrow op, no
+    shuffle — identical scale behavior to union_pages."""
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), pages
+    )

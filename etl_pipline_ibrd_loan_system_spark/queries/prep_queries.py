@@ -418,3 +418,29 @@ def dc1_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.ngram_decontaminate(
         train, bench, "text", "doc_id", n=4
     ).select("doc_id", "n_chars")
+
+
+@query(
+    "f6_union_evolving_schema",
+    sql="""
+    SELECT * FROM (
+      SELECT doc_id, lang, NULL AS quality_tier FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, lang, source AS quality_tier FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    """,
+)
+def f6_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: page 2 carries a column page 1 lacks (API
+    envelope evolution mid-ingest); unionByName(allowMissingColumns)
+    null-fills — operators.setops.union_evolving."""
+    from ..operators.setops import union_evolving
+
+    docs = load_table(spark, sf_dir, "documents")
+    page1 = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    page2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("source").alias("quality_tier")
+    )
+    return union_evolving([page1, page2])
