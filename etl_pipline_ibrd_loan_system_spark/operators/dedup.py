@@ -319,6 +319,78 @@ def embedding_blocked_pairs(
     )
 
 
+def normalized_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+    band_q: float = 0.05,
+) -> DataFrame:
+    """Blocked cosine near-dup with two scale levers over
+    embedding_blocked_pairs, at identical recall:
+
+    1. Vectors are L2-NORMALIZED once per row before the self-join, so
+       the per-pair test is ONE dot product instead of dot + two norms
+       (3x fewer interpreted ops on the quadratic term).
+    2. Within each block, candidates are restricted to pairs agreeing on
+       a quantized leading unit-component band (+-1 adjacency). This is
+       recall-PRESERVING for thresholds near 1: cos >= t implies
+       |u_a - u_b| <= sqrt(2-2t) per component, so band width
+       band_q > sqrt(2-2t) guarantees band difference <= 1 (t=0.999 ->
+       0.0447 < 0.05). The one-sided {b-1, b, b+1} explode matches each
+       qualifying unordered pair exactly once.
+
+    On corpora whose vectors cluster tightly in direction (every pair
+    near the threshold) the band prunes little — near-threshold dense
+    clusters are inherently ~quadratic within block; see SCALE.md. On
+    real corpora (sparse direction space) the band multiplies the block
+    reduction.
+    """
+    if band_q <= (2 - 2 * threshold) ** 0.5:
+        raise ValueError("band_q must exceed sqrt(2-2*threshold) for recall 1.0")
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    u = F.transform(v, lambda x: x / norm)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        u.alias("u"),
+        F.floor(F.element_at(u, 1) / band_q).cast("bigint").alias("band"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("blk").alias("blk_a"),
+        F.col("u").alias("u_a"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band_a"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("u").alias("u_b"),
+        F.col("band").alias("band_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("u_a"), F.col("u_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("band_a") == F.col("band_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", dot.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def _arrow_signatures(
     df: DataFrame,
     id_col: str,

@@ -152,25 +152,34 @@ def mm5_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mm6_sql(dim: int = 16) -> str:
+def _mm6_sql(dim: int = 16, q: float = 0.05) -> str:
     comps = ", ".join(
         f"list_sum(list_transform(range({1 + j}, length(text) + 1, {dim}), "
         f"i -> ascii(text[i])))::DOUBLE" for j in range(dim)
     )
     rng = f"range(1, {dim + 1})"
-    cos = (
-        f"list_sum(list_transform({rng}, i -> a.v[i] * b.v[i]))"
-        f" / (sqrt(list_sum(list_transform({rng}, i -> a.v[i] * a.v[i])))"
-        f" * sqrt(list_sum(list_transform({rng}, i -> b.v[i] * b.v[i]))))"
-    )
     return f"""
     WITH feats AS (
       SELECT doc_id AS media_id, source, [{comps}] AS v FROM documents
+    ), n AS (
+      SELECT media_id, source,
+             list_transform(v, x ->
+               x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+      FROM feats
+    ), base AS (
+      SELECT media_id, source, u,
+             CAST(floor(u[1] / {q}) AS BIGINT) AS band
+      FROM n
     )
     SELECT * FROM (
-      SELECT a.media_id AS id_a, b.media_id AS id_b, {cos} AS cos_sim
-      FROM feats a JOIN feats b
-        ON a.source = b.source AND a.media_id < b.media_id
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             list_sum(list_transform({rng}, i -> a.u[i] * b.u[i])) AS cos_sim
+      FROM (SELECT media_id, source, u,
+                   unnest([band - 1, band, band + 1]) AS band_a
+            FROM base) a
+      JOIN base b
+        ON a.source = b.source AND a.band_a = b.band
+       AND a.media_id < b.media_id
     ) WHERE cos_sim >= 0.999
     """
 
@@ -179,11 +188,12 @@ def _mm6_sql(dim: int = 16) -> str:
 def mm6_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate MEDIA detection: the multimodal byte-feature
     extractor (Arrow mapInPandas, mm4's vectorized kernel) feeds the
-    dedup family's blocked-cosine pair search — the composition a real
-    pipeline runs to dedup images before training. Blocked by source
-    (the upload-origin prior); at 100 TB the block key bounds the
-    quadratic term exactly as in dd6, and the feature extraction is the
-    same single scan mm4 already pays."""
+    dedup family's normalized banded-cosine pair search — the
+    composition a real pipeline runs to dedup images before training.
+    Blocked by source (the upload-origin prior) x quantized leading
+    unit-component (recall-preserving at this threshold:
+    dedup.normalized_banded_pairs); vectors normalize once per row so
+    the per-pair test is a single dot product."""
     from pyspark.sql import functions as F
 
     from ..operators import dedup
@@ -199,6 +209,6 @@ def mm6_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the Arrow decode/extract runs ONCE per row, not once per side —
     # same diamond-DAG rule as the dedup shingle pipeline (SCALE.md)
     blocked = blocked.persist()
-    return dedup.embedding_blocked_pairs(
+    return dedup.normalized_banded_pairs(
         blocked, "media_id", "feature", block_col="source", threshold=0.999
     )
