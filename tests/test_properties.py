@@ -187,3 +187,45 @@ def test_chunks_cover_all_tokens_any_geometry(spark, n_tokens, chunk, overlap_fr
         assert toks == [f"t{i}" for i in range(start, start + len(toks))]
         covered.update(range(start, start + len(toks)))
     assert covered == set(range(n_tokens))
+
+
+# ------------------------------------------------- prefix-filter theorem
+
+docs_st = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=3, max_size=12),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_st, thresh=st.sampled_from([0.3, 0.5, 0.7]))
+def test_prefix_filtered_jaccard_equals_brute_force(spark, docs, thresh):
+    """prefix_filtered_jaccard_pairs must emit EXACTLY the brute-force
+    pair set for any corpus and threshold — the prefix-filter recall
+    theorem, exercised on random short token streams (which maximize
+    shared shingles and boundary-size pairs)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks), "blk") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in prefix_filtered_jaccard_pairs(
+            df, "text", "doc_id", "lang", n=3, threshold=thresh
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", "lang", n=3, threshold=thresh
+        ).collect()
+    }
+    assert fast == brute
