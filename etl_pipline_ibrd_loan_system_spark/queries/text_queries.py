@@ -205,3 +205,41 @@ def tx7_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters (top-50 tokens by frequency)."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.vocab_topk(docs, "text", k=50)
+
+
+@query(
+    "tx13_vocab_stats",
+    sql=f"""
+    WITH counts AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents)
+      GROUP BY lang, token
+    )
+    SELECT lang,
+           COUNT(*) AS vocab_size,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           CAST(SUM(n) AS BIGINT) AS token_total
+    FROM counts GROUP BY lang
+    """,
+)
+def tx13_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics (corpus reporting): vocabulary
+    size, hapax legomena count (singleton tokens — the Zipf tail a
+    tokenizer trainer watches), total token volume. The explode
+    partial-aggregates to per-partition vocabularies before the one
+    (lang, token) shuffle; the final rollup is vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+    counts = (
+        docs.select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_count"),
+        F.sum("n").cast("bigint").alias("token_total"),
+    )
