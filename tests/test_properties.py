@@ -229,3 +229,49 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark, docs, thresh):
         ).collect()
     }
     assert fast == brute
+
+
+# ---------------------------------------------- banded-cosine recall theorem
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(1, 9), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_normalized_banded_pairs_recall_theorem(spark, vecs):
+    """The +-1 quantized-component band must not lose any pair the
+    brute-force blocked cosine finds (recall 1.0 theorem at band_q >
+    sqrt(2-2t)). Pair sets compared, not cos values (the two formulas
+    round differently); pairs within 1e-9 of the threshold under either
+    formula are excluded as float-boundary noise."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        embedding_blocked_pairs,
+        normalized_banded_pairs,
+    )
+
+    t = 0.97
+    rows = [(i, [float(x) for x in v], "b") for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>, blk string")
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in normalized_banded_pairs(
+            df, "vid", "vec", "blk", threshold=t, band_q=0.25
+        ).collect()
+        if abs(r["cos_sim"] - t) > 1e-9
+    }
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_blocked_pairs(
+            df, "vid", "vec", "blk", threshold=t
+        ).collect()
+        if abs(r["cos_sim"] - t) > 1e-9
+    }
+    assert banded == brute
