@@ -1163,3 +1163,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue", cast_to=None))
     )
+
+
+@query(
+    "j1b_asof_tolerance",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side,
+             CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, event_id, ts
+      FROM events WHERE event_type = 'error'
+    ), f AS (
+      SELECT *,
+             last_value(r_id IGNORE NULLS) OVER w AS m_id,
+             last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+      FROM u
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, side
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(m_ts) <= 7200000000::BIGINT
+                THEN m_id END AS last_error_id
+    FROM f WHERE side = 1
+    """,
+)
+def j1b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j1 with bounded staleness: a click only matches an error at most
+    2 hours old — older matches null out exactly as if absent (the
+    sensor-join semantics; operators.asof.asof_join tolerance_seconds,
+    same single key-window, no extra shuffle)."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("last_error_id")
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", ts="ts", suffix="",
+        tolerance_seconds=7200,
+    )
+    return out.select("event_id", "user_id", "ts", "last_error_id")
