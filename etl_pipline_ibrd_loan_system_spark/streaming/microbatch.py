@@ -101,7 +101,15 @@ def stateful_first_event(
     emits the FIRST event per key across all micro-batches (state = one
     boolean per key; memory bounded by distinct keys, not events).
     Works on a streaming DataFrame; demonstrates the arbitrary-state
-    API the built-in operators can't express."""
+    API the built-in operators can't express.
+
+    NOTE: Spark 4's successor API (transformWithStateInPandas + typed
+    ValueState on RocksDB) was evaluated in round 5 and is the right
+    target on a real cluster, but its driver-side pre-init Python
+    worker crashes in this sandbox before user code runs (same failure
+    with string and StructType state schemas, no surfaced traceback) —
+    so the engine stays on applyInPandasWithState, which is stable
+    here and semantically equivalent for this operator."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
