@@ -6,12 +6,17 @@ recent right row with the same key and right.ts <= left.ts.
 
 Implementation (no range explosion, no per-key collect):
   1. tag both inputs and union them on (key, ts) — one dataset, one
-     schema, right-side payload columns null on left rows;
+     schema, the right-side payload packed into ONE struct column that
+     is null on left rows;
   2. window partitioned by key, ordered by (ts, side) with side
      ordering putting the right row FIRST on ties (<= semantics):
-     `last(right_payload, ignorenulls=True)` over unbounded-preceding
-     forward-fills each left row with the latest right payload;
-  3. keep the left rows.
+     `last(right_struct, ignorenulls=True)` over unbounded-preceding
+     forward-fills each left row with the latest right ROW — a single
+     struct fill, so every payload column (and the matched timestamp
+     the tolerance gate checks) comes from the SAME right row; per-
+     column fills would mix rows whenever the newest right row carries
+     a null payload value (ADVICE r5);
+  3. keep the left rows and unpack the struct.
 
 Cost: ONE shuffle on the key (the window sort) — same order as the
 equi-join the naive approach would need anyway, with none of the
@@ -43,18 +48,30 @@ def asof_join(
     `tolerance_seconds` bounds match staleness: a matched right row
     older than the tolerance yields nulls, exactly as if it did not
     exist (the sensor-join semantics: a reading too stale is no
-    reading). Implemented by forward-filling the matched right TS
-    alongside the payload and null-gating on the exact integer-
-    microsecond difference — no extra shuffle, same single window."""
+    reading). The matched row's ts travels inside the SAME filled
+    struct as the payload, so the staleness gate always judges the row
+    the payload came from — no extra shuffle, same single window."""
     from pyspark.sql import types as T
 
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    # One struct per right row: (matched ts, every payload column).
+    # Null payload VALUES inside a non-null struct forward-fill as a
+    # unit with the row, so a newer right row with a null payload
+    # correctly yields null (not an older row's stale value).
+    r_struct = F.struct(
+        F.col(ts).alias("__m_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_struct_type = T.StructType(
+        [T.StructField("__m_ts", right.schema[ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tag = left.select(
         F.col(key),
         F.col(ts),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (key, ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r_row"),
     )
     r_tag = right.select(
         F.col(key),
@@ -65,7 +82,7 @@ def asof_join(
             for c in left.columns
             if c not in (key, ts)
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        r_struct.alias("__r_row"),
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts => <= semantics
@@ -74,41 +91,25 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fills = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+    filled = unioned.select(
+        "*", F.last("__r_row", ignorenulls=True).over(w).alias("__m_row")
+    )
+    if tolerance_seconds is None:
+        fresh = F.lit(True)
+    elif isinstance(left.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType)):
+        age = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+            F.col("__m_row.__m_ts").cast("timestamp")
+        )
+        fresh = age <= F.lit(int(tolerance_seconds * 1_000_000))
+    else:  # numeric event time: tolerance in the same unit
+        fresh = (F.col(ts) - F.col("__m_row.__m_ts")) <= F.lit(tolerance_seconds)
+    unpacked = [
+        F.when(fresh, F.col(f"__m_row.{c}")).alias(f"{c}{suffix}")
         for c in right_cols
     ]
-    if tolerance_seconds is None:
-        filled = unioned.select("*", *fills)
-        return filled.filter(F.col("__side") == 1).drop(
-            "__side", *[f"__r_{c}" for c in right_cols]
-        )
-    # carry the matched right row's ts through the same window and gate
-    # every payload column on the staleness bound
-    unioned = unioned.withColumn(
-        "__r___ts", F.when(F.col("__side") == 0, F.col(ts))
+    out = filled.select(
+        *[c for c in filled.columns if c not in ("__side", "__r_row", "__m_row")],
+        *unpacked,
+        F.col("__side"),
     )
-    filled = unioned.select(
-        "*",
-        F.last("__r___ts", ignorenulls=True).over(w).alias("__m_ts"),
-        *fills,
-    )
-    if isinstance(left.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType)):
-        age = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
-            F.col("__m_ts").cast("timestamp")
-        )
-        bound = F.lit(int(tolerance_seconds * 1_000_000))
-    else:  # numeric event time: tolerance in the same unit
-        age = F.col(ts) - F.col("__m_ts")
-        bound = F.lit(tolerance_seconds)
-    fresh = age <= bound
-    fill_names = [f"{c}{suffix}" for c in right_cols]
-    gated = filled.select(
-        # exclude by exact fill-alias name: an endswith(suffix) test would
-        # match EVERY column when suffix is empty
-        *[c for c in filled.columns if c not in set(fill_names)],
-        *[F.when(fresh, F.col(n)).alias(n) for n in fill_names],
-    )
-    return gated.filter(F.col("__side") == 1).drop(
-        "__side", "__r___ts", "__m_ts", *[f"__r_{c}" for c in right_cols]
-    )
+    return out.filter(F.col("__side") == 1).drop("__side")

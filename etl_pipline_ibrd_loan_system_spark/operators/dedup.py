@@ -174,19 +174,15 @@ def minhash_dedup_pairs(
     bucket-join -> exact-verify. Detection probability at j=threshold with
     the defaults: 1-(1-0.8^4)^16 ≈ 0.9998."""
     # Diamond DAG: `shingled` feeds both the signature path and the
-    # verify path, `sigs` feeds both sides of the LSH self-join. Persist
+    # verify path, `sigs` feeds both sides of the LSH self-join. Pin
     # them or every branch re-tokenizes the corpus (2x shingle + 2x
     # signature recompute measured at sf0.1). MEMORY_AND_DISK: at
     # cluster scale the shingle set may exceed memory — spill, never
-    # recompute.
-    from pyspark import StorageLevel
+    # recompute. Pins release at the next registry query (cache.py).
+    from ..cache import pin
 
-    shingled = word_shingles(df, text_col, id_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = minhash_signatures(shingled, id_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    shingled = pin(word_shingles(df, text_col, id_col, n))
+    sigs = pin(minhash_signatures(shingled, id_col, k))
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     return jaccard_verify_pairs(shingled, cands, id_col, threshold)
 
@@ -251,7 +247,7 @@ def prefix_filtered_jaccard_pairs(
     share prefix shingles it degrades toward all-pairs, which is the
     same dense-regime caveat as banding (SCALE.md).
     """
-    from pyspark import StorageLevel
+    from ..cache import pin
 
     shingled = (
         word_shingles(df, text_col, id_col, n)
@@ -268,10 +264,10 @@ def prefix_filtered_jaccard_pairs(
     # prefix length: |S| - ceil(t*|S|) + 1 (ceil via -floor(-x))
     sz = F.size("hs")
     plen = sz + F.floor(-sz * F.lit(float(threshold))).cast("int") + 1
-    sides = shingled.select(
+    sides = pin(shingled.select(
         "id", "blk", "sh", F.size("sh").alias("nsh"),
         F.explode(F.slice("hs", 1, plen)).alias("ph"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     a = sides.select(
         F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
         F.col("sh").alias("sh_a"), F.col("nsh").alias("na"), "ph",
@@ -344,11 +340,9 @@ def simhash_near_pairs(
     """SimHash near-dup: band the fingerprint into `bits/band_bits` chunks;
     by pigeonhole, any pair within `bits/band_bits - 1` differing bits
     shares at least one exact chunk -> bucket-join + hamming verify."""
-    from pyspark import StorageLevel
+    from ..cache import pin
 
-    fps = simhash_64(df, text_col, id_col, bits).persist(
-        StorageLevel.MEMORY_AND_DISK  # feeds both sides of the self-join
-    )
+    fps = pin(simhash_64(df, text_col, id_col, bits))  # both self-join sides
     n_bands = bits // band_bits
     chunks = F.array(
         *[
@@ -589,7 +583,7 @@ def embedding_lsh_pairs(
     # before any vector travels, then vectors join back once per unique
     # pair — cosine is evaluated once per candidate, not once per
     # band-collision (a ~bands-fold saving in shuffle bytes + compute).
-    from pyspark import StorageLevel
+    from ..cache import pin
 
     if arrow_signatures:
         import numpy as np
@@ -605,7 +599,7 @@ def embedding_lsh_pairs(
         sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
             F.col(id_col), chunks.alias("sig")
         )
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)  # buckets x2 + prefilter x2
+    sigs = pin(sigs)  # buckets x2 + prefilter x2
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sig").alias("band", "chunk")
     )
@@ -653,9 +647,9 @@ def embedding_lsh_pairs(
     nrm = F.sqrt(
         F.aggregate(F.transform("nv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    norms = df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
+    norms = pin(df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
         "nid", "nv", nrm.alias("nn")
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # feeds both vector joins
+    ))  # feeds both vector joins
     va = norms.select(
         F.col("nid").alias("id_a"), F.col("nv").alias("v_a"), F.col("nn").alias("n_a")
     )

@@ -191,19 +191,21 @@ def scd2_apply(
     """
     attrs = [*t1_cols, *t2_cols, *fixed_cols]
     dim_cols = dim.columns
-    from pyspark import StorageLevel
 
     # one row per business key FIRST — duplicate-key staging rows would
     # each classify and each insert a current version (invariant breach)
     staging = dedupe_staging(staging, key, attrs)
 
     # four downstream branches (unchanged/T1/T2-close/fresh) filter this
-    # same join result — persist it or the staging⟕dim probe join runs
-    # once per branch (spill-capable, never recompute)
-    classified = scd_classify(
+    # same join result — pin it or the staging⟕dim probe join runs
+    # once per branch (spill-capable, never recompute; released at the
+    # next registry query, cache.py)
+    from ..cache import pin
+
+    classified = pin(scd_classify(
         dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col,
         broadcast_dim=broadcast_dim,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
 
     def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
         return df.select(

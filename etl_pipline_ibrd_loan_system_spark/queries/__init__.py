@@ -113,10 +113,24 @@ def _driver_order(d: dict) -> dict:
 
 
 def query(name: str, sql: str | None = None):
-    """Register a query; `sql=None` -> rows-only check (non-SQL-expressible)."""
+    """Register a query; `sql=None` -> rows-only check (non-SQL-expressible).
+
+    The registered callable releases the PREVIOUS query's cache pins
+    (cache.release_pinned) before building its plan — the cleanup hook
+    in the driver/bench sequential loop that keeps persisted
+    intermediates from accumulating across a session (ADVICE r5)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        from ..cache import release_pinned
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pinned()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLE[name] = sql
         return fn

@@ -205,10 +205,13 @@ def mm6_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = feats.join(
         docs.select(F.col("doc_id").alias("media_id"), "source"), "media_id"
     )
-    # the pair search references `blocked` twice (a x b self-join): persist
+    # the pair search references `blocked` twice (a x b self-join): pin
     # so the Arrow decode/extract runs ONCE per row, not once per side —
-    # same diamond-DAG rule as the dedup shingle pipeline (SCALE.md)
-    blocked = blocked.persist()
+    # same diamond-DAG rule as the dedup shingle pipeline (SCALE.md);
+    # released at the next registry query (cache.py, ADVICE r5)
+    from ..cache import pin
+
+    blocked = pin(blocked)
     return dedup.normalized_banded_pairs(
         blocked, "media_id", "feature", block_col="source", threshold=0.999
     )

@@ -197,6 +197,33 @@ def interval_join(
     )
 
 
+_ROLLUP_POINTER = "_COMMITTED"
+
+
+def _rollup_committed(state_dir: str) -> dict | None:
+    """Read the atomic commit pointer, or None before the first commit."""
+    import json
+    import os
+
+    path = os.path.join(state_dir, _ROLLUP_POINTER)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Load the last COMMITTED rollup state (the only directory a reader
+    may touch — in-progress epoch writes live in sibling dirs the
+    pointer doesn't reference yet)."""
+    import os
+
+    committed = _rollup_committed(state_dir)
+    if committed is None:
+        raise FileNotFoundError(f"no committed rollup state in {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, committed["dir"]))
+
+
 def streaming_rollup(
     stream_df: DataFrame,
     keys: list[str],
@@ -206,38 +233,87 @@ def streaming_rollup(
 ) -> StreamingQuery:
     """Incrementally-maintained aggregate through a real stream: each
     micro-batch folds into PARTIAL rollup state (operators.rollup) and
-    merges with the parquet state table — read-merge-overwrite, with the
-    merged result materialized (localCheckpoint) BEFORE the overwrite so
-    the write never scans the files it replaces.
+    merges with the committed state table (read via read_rollup_state).
 
     Per-batch cost is batch-size + group-cardinality, independent of
     history — the streaming twin of m7's batch identity
-    merge(partial(old), partial(new)) == partial(all). Restart safety:
-    Spark's checkpoint makes batch delivery exactly-once into this
-    function; the state overwrite is atomic at the _SUCCESS-marker level
-    (a production deployment points this at a Delta/Iceberg table for
-    transactional swaps — the merge logic is identical).
+    merge(partial(old), partial(new)) == partial(all).
+
+    Delivery/restart contract (ADVICE r5): foreachBatch is AT-LEAST-ONCE
+    — after a crash Spark re-delivers the last unacknowledged epoch — so
+    the merge must be idempotent per epoch and the state swap must never
+    destroy the previous version:
+      * each epoch writes to its own subdir `v<epoch>` and then commits
+        by atomically replacing a pointer file (`_COMMITTED`, written to
+        a temp name + os.replace) that records {epoch, dir};
+      * a re-delivered epoch (epoch <= committed epoch) is skipped, so
+        the non-transactional double-merge can't double-count;
+      * a crash mid-write leaves the pointer on the previous version —
+        readers never observe a torn overwrite and the next batch merges
+        against intact state (the old read-merge-OVERWRITE shape reset
+        all state to the lone new delta in exactly that crash window).
+    Old versions older than the previous commit are pruned best-effort.
+    A production deployment gets the same guarantee from a Delta/Iceberg
+    MERGE — the merge logic is identical, only the commit protocol moves
+    into the table format.
     """
-    from ..operators.rollup import merge_rollups, partial_rollup
-
-    def upd(batch_df: DataFrame, _epoch: int) -> None:
-        import os
-
-        spark = batch_df.sparkSession
-        delta = partial_rollup(batch_df, keys, value_col)
-        # explicit first-run probe — a bare except around the read would
-        # silently reset state on ANY transient read failure (the
-        # jdbc_idempotent_append lesson from ADVICE r4)
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            merged = merge_rollups([spark.read.parquet(state_dir), delta], keys)
-        else:
-            merged = delta
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
+    def upd(batch_df: DataFrame, epoch: int) -> None:
+        _rollup_update(batch_df, epoch, keys, value_col, state_dir)
 
     return (
         stream_df.writeStream.foreachBatch(upd)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def _rollup_update(
+    batch_df: DataFrame,
+    epoch: int,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+) -> bool:
+    """One epoch of the rollup state machine (streaming_rollup's
+    foreachBatch body, module-level so the replay contract is directly
+    testable). Returns False when the epoch was skipped as re-delivered."""
+    import json
+    import os
+    import shutil
+
+    from ..operators.rollup import merge_rollups, partial_rollup
+
+    spark = batch_df.sparkSession
+    committed = _rollup_committed(state_dir)
+    if committed is not None and epoch <= committed["epoch"]:
+        return False  # re-delivered epoch: already folded into state
+    delta = partial_rollup(batch_df, keys, value_col)
+    # explicit committed-pointer probe — a bare except around the read
+    # would silently reset state on ANY transient read failure (the
+    # jdbc_idempotent_append lesson from ADVICE r4)
+    if committed is not None:
+        prev = spark.read.parquet(os.path.join(state_dir, committed["dir"]))
+        merged = merge_rollups([prev, delta], keys)
+    else:
+        merged = delta
+    # materialize (localCheckpoint) BEFORE writing so the write never
+    # scans files it is about to replace; write the new version dir
+    # fully, then flip the pointer atomically
+    vdir = f"v{epoch}"
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(state_dir, vdir)
+    )
+    tmp = os.path.join(state_dir, f".{_ROLLUP_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": epoch, "dir": vdir}, fh)
+    os.replace(tmp, os.path.join(state_dir, _ROLLUP_POINTER))
+    if committed is not None:  # prune versions behind the previous commit
+        for name in os.listdir(state_dir):
+            if (
+                name.startswith("v")
+                and name not in (vdir, committed["dir"])
+                and name[1:].isdigit()
+                and int(name[1:]) < committed["epoch"]
+            ):
+                shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    return True

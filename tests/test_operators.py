@@ -81,6 +81,43 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_payload_same_row(spark):
+    """The fill is one struct per right ROW: a newer right row whose
+    payload value is null must yield null (never resurrect an older
+    row's value), and the tolerance gate must judge the same row the
+    payload came from (ADVICE r5)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10, "l1"), ("u", 200, "l2")], "k string, ts int, lid string"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, "old"), ("u", 9, None), ("u", 150, None)],
+        "k string, ts int, rid string",
+    )
+    plain = {r.lid: r.rid_asof for r in asof_join(left, right, "k", "ts").collect()}
+    # newest right row at ts<=10 is (9, NULL): null, not "old"
+    assert plain == {"l1": None, "l2": None}
+    tol = {
+        r.lid: r.rid_asof
+        for r in asof_join(left, right, "k", "ts", tolerance_seconds=60).collect()
+    }
+    # l2's match is (150, NULL), age 50 <= 60 -> fresh but null payload;
+    # the pre-fix bug validated "old"'s value against row-150's ts
+    assert tol == {"l1": None, "l2": None}
+
+
+def test_asof_tolerance_gates_stale_rows(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 100, "l1")], "k string, ts int, lid string")
+    right = spark.createDataFrame([("u", 10, "r1")], "k string, ts int, rid string")
+    fresh = asof_join(left, right, "k", "ts", tolerance_seconds=95).collect()
+    stale = asof_join(left, right, "k", "ts", tolerance_seconds=80).collect()
+    assert fresh[0].rid_asof == "r1"
+    assert stale[0].rid_asof is None
+
+
 def test_rolling_agg_frame_and_neighbors(spark):
     from etl_pipline_ibrd_loan_system_spark.operators.window_ops import rolling_agg
 

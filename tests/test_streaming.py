@@ -155,6 +155,7 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
         partial_rollup,
     )
     from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        read_rollup_state,
         streaming_rollup,
     )
 
@@ -183,7 +184,7 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
 
     got = {
         tuple(r)
-        for r in finalize_rollup(spark.read.parquet(state), ["k"]).collect()
+        for r in finalize_rollup(read_rollup_state(spark, state), ["k"]).collect()
     }
     full = spark.createDataFrame(
         [r for b in batches for r in b], SCHEMA
@@ -193,3 +194,48 @@ def test_streaming_rollup_matches_full_recompute(spark, tmp_path):
         for r in finalize_rollup(partial_rollup(full, ["k"], "v"), ["k"]).collect()
     }
     assert got == want and got
+
+
+def test_streaming_rollup_redelivered_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-committed
+    epoch (crash-before-ack replay) must not double-merge its delta, the
+    commit pointer must advance only on NEW epochs, and a stale replay of
+    an older epoch after later commits must also be a no-op."""
+    from etl_pipline_ibrd_loan_system_spark.operators.rollup import (
+        finalize_rollup,
+    )
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        _rollup_committed,
+        _rollup_update,
+        read_rollup_state,
+    )
+
+    state = str(tmp_path / "re_state")
+    (tmp_path / "re_state").mkdir()
+    b0 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 10), (dt.datetime(2024, 1, 1, 1), 20)], SCHEMA
+    ).withColumn("k", F.lit("a"))
+    b1 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 2), 5)], SCHEMA
+    ).withColumn("k", F.lit("a"))
+
+    def totals():
+        return {
+            tuple(r)
+            for r in finalize_rollup(read_rollup_state(spark, state), ["k"]).collect()
+        }
+
+    assert _rollup_update(b0, 0, ["k"], "v", state) is True
+    after_e0 = totals()
+    # crash-replay of epoch 0: skipped, state and pointer untouched
+    assert _rollup_update(b0, 0, ["k"], "v", state) is False
+    assert totals() == after_e0
+    assert _rollup_committed(state)["epoch"] == 0
+    # new epoch merges once
+    assert _rollup_update(b1, 1, ["k"], "v", state) is True
+    after_e1 = totals()
+    assert after_e1 != after_e0
+    # stale replay of epoch 0 AFTER epoch 1 committed: still a no-op
+    assert _rollup_update(b0, 0, ["k"], "v", state) is False
+    assert totals() == after_e1
+    assert _rollup_committed(state)["epoch"] == 1
