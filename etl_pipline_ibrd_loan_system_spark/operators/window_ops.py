@@ -20,16 +20,28 @@ def forward_fill(
     order_by: Sequence[str],
     target: str,
     partition_by: Sequence[str] | None = None,
+    single_task: bool = False,
 ) -> DataFrame:
     """E1 — forward-fill nulls in `target` in `order_by` order.
 
-    With `partition_by=None` this reproduces the reference exactly
-    (pyspark_dag2.py:375-379): one global sort, one task — correct but a
-    scale hazard (documented; Spark warns "No Partition Defined"). Pass
-    `partition_by` to shard the window when the fill key is known to be
+    The reference computes the global fill as ONE unpartitioned window
+    (pyspark_dag2.py:375-379) — a single-task sort. With
+    `partition_by=None` this keeps those exact semantics but executes
+    them through the distributed two-pass range-bucket algorithm
+    (forward_fill_scalable): for a TOTAL order key the two are
+    equivalent row-for-row (the oracle checks it), and the fill stage
+    runs as many tasks as buckets instead of one (VERDICT r5 item 6).
+    `single_task=True` forces the literal reference plan for parity
+    demos. Pass `partition_by` to shard the window when the fill key is
     contained within a partition key (e.g. fill project_name within
     project_id).
+
+    Under a NON-total order key ties make `last(ignorenulls)` order-
+    dependent in both shapes — the single-task plan is just as
+    nondeterministic there, so the delegation loses nothing.
     """
+    if partition_by is None and not single_task:
+        return forward_fill_scalable(df, order_by, target)
     w = (
         Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
     ).orderBy(*order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -70,9 +82,15 @@ def forward_fill_scalable(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled_local = bucketed.withColumn(
+    # Diamond DAG: filled_local feeds BOTH the output branch and the
+    # carry aggregation — pin it or the source is scanned and
+    # range-shuffled twice (visible as two parallel Scan->Exchange->
+    # Window subtrees in the un-pinned plan).
+    from ..cache import pin
+
+    filled_local = pin(bucketed.withColumn(
         target, F.last(target, ignorenulls=True).over(local_w)
-    )
+    ))
     # Bucket carry = the filled value on the bucket's last row (null only if
     # the whole bucket saw no non-null). num_buckets rows — trivially small.
     carries = filled_local.groupBy("__bucket").agg(

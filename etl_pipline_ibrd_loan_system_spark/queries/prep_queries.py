@@ -265,9 +265,49 @@ _MIX_HASH = _HASH60.format(x="'mix:' || CAST(doc_id AS VARCHAR)")
 def mx1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus interleaving key: sorting by interleave_key yields
     sources in proportion to their weights, uniformly along the training
-    order (operators.sampling.mix_sources)."""
+    order (operators.sampling.mix_sources; n_buckets=1 = exact
+    per-source ranks, the oracle-exact twin of mx1b)."""
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.mix_sources(docs, "source", "doc_id", _MIX_WEIGHTS)
+    return sampling.mix_sources(docs, "source", "doc_id", _MIX_WEIGHTS).select(
+        "doc_id", "source", "rank_in_source", "interleave_key"
+    )
+
+
+_MIX_SHARD_HASH = _HASH60.format(x="'mix:shard:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "mx1b_corpus_mix_bucketed",
+    sql=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             {_MIX_SHARD_HASH} % 4 AS mix_bucket,
+             row_number() OVER (
+               PARTITION BY source, {_MIX_SHARD_HASH} % 4
+               ORDER BY {_MIX_HASH} % {1 << 40}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(mix_bucket AS BIGINT) AS mix_bucket,
+           CAST((rk - 1) * 4 + mix_bucket + 1 AS BIGINT) AS rank_in_source,
+           ((rk - 1) * 4 + mix_bucket + 1)::DOUBLE / CASE source
+             WHEN 'src0' THEN 3.0
+             WHEN 'src1' THEN 2.0
+             WHEN 'src2' THEN 0.5
+             ELSE 1.0 END AS interleave_key
+    FROM r
+    """,
+)
+def mx1b_corpus_mix_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mx1's 100 TB shape: ranks computed within (source, hash-bucket)
+    — 4 parallel window tasks per source instead of one, with the
+    emitted rank the unbiased global-rank estimate (VERDICT r5 item 3;
+    the oracle replays the bucketed formula exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mix_sources(
+        docs, "source", "doc_id", _MIX_WEIGHTS, n_buckets=4
+    )
 
 
 @query(
@@ -305,6 +345,52 @@ def mx2_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampling.token_budget_select(
         sig, "source", "doc_id", "n_tokens", "quality", budget=600
+    ).select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+
+
+_BUDGET_HASH = _HASH60.format(x="'budget:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "mx2b_token_budget_bucketed",
+    sql=f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}) AS quality,
+             {_BUDGET_HASH} % 4 AS budget_bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CAST(budget_bucket AS BIGINT) AS budget_bucket,
+             n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source, budget_bucket
+               ORDER BY quality DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM sig
+    )
+    SELECT * FROM c WHERE cum_tokens <= 150
+    """,
+)
+def mx2b_token_budget_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mx2's 100 TB shape: each source's 600-token budget split across 4
+    hash sub-buckets of 150 tokens, each with its own cumulative window
+    — parallel curators, no per-source serialization (VERDICT r5
+    item 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+    sig = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "quality"
+        ),
+    )
+    return sampling.token_budget_select(
+        sig, "source", "doc_id", "n_tokens", "quality", budget=600, n_buckets=4
     )
 
 

@@ -101,6 +101,22 @@ def test_connected_components_multihop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """large-star/small-star halves chains each round (pointer doubling):
+    a 64-node path must converge in O(log n) rounds, not O(n) — the
+    property that cut the dd8 iteration count (VERDICT r5 item 4)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert dedup.LAST_CC_ROUNDS <= 9  # log2(64)=6 + convergence slack
+
+
 def test_embedding_lsh_hamming_prefilter_keeps_exact_dups(emb):
     # exact copies have signature Hamming 0: any cutoff keeps them, and
     # the prefilter collapses the verify stage to near-dups only

@@ -49,6 +49,21 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_e1_fill_stage_is_distributed(spark, sf_dir, registry):
+    """e1 keeps the reference's global-fill SEMANTICS but must execute
+    them through the range-bucketed two-pass plan (VERDICT r5 item 6):
+    the fill stage runs one task per bucket, never one global task, and
+    the plan shows the range repartition feeding bucket-local windows."""
+    df = registry["e1_forward_fill"](spark, sf_dir)
+    plan = _plan(df)
+    assert "rangepartitioning" in plan.lower(), "e1 lost the range-bucket pass"
+    # the full-data window must be partitioned by the range bucket — the
+    # only legal unpartitioned window is the num_buckets-row carry table
+    assert "windowspecdefinition(__bucket" in plan, (
+        "e1's fill window is no longer bucket-partitioned"
+    )
+
+
 def test_tx7_no_window_exec(spark, sf_dir, registry):
     plan = _plan(registry["tx7_vocab_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
