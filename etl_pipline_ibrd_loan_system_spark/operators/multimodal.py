@@ -108,10 +108,13 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     Payloads are SNIFFED, not trusted: a payload carrying the PNG
     signature is actually decoded (stdlib zlib + per-row unfiltering,
-    PNG filters 0-4, 8-bit depth, color types 0/2/4/6) and reports the
-    IHDR width/height and the true decoded pixel sum as `width`/
-    `height`/`byte_sum`. Everything else — text stand-ins, audio, video,
-    exotic PNG variants (interlaced, paletted, 16-bit) — takes the
+    PNG filters 0-4; color types 0/2/3/4/6 at every legal non-
+    interlaced bit depth — grayscale 1/2/4/8/16, paletted 1/2/4/8 via
+    PLTE lookup, truecolor/alpha 8/16) and reports the IHDR width/
+    height and the true decoded pixel sum as `width`/`height`/
+    `byte_sum` (paletted pixels contribute r+g+b of their palette
+    entry; 16-bit samples their full 16-bit value). Everything else —
+    text stand-ins, audio, video, Adam7-interlaced PNG — takes the
     byte-stats fallback: metadata dimensions pass through and `byte_sum`
     is the raw payload byte sum. Either way the operator never throws on
     a malformed payload (a 100 TB corpus always has some)."""
@@ -132,7 +135,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             if payload[:8] != b"\x89PNG\r\n\x1a\n":
                 return None
             try:
-                pos, width, height, idat = 8, None, None, []
+                pos, width, height, idat, plte = 8, None, None, [], None
                 bit_depth = color_type = interlace = None
                 while pos + 8 <= len(payload):
                     (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -142,21 +145,41 @@ def decode_media(df: DataFrame) -> DataFrame:
                         width, height, bit_depth, color_type, _, _, interlace = (
                             struct.unpack(">IIBBBBB", data)
                         )
+                    elif ctype == b"PLTE":
+                        plte = data
                     elif ctype == b"IDAT":
                         idat.append(data)
                     elif ctype == b"IEND":
                         break
                     pos += 12 + length  # len + type + data + crc
-                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+                legal_depths = {
+                    0: (1, 2, 4, 8, 16),
+                    2: (8, 16),
+                    3: (1, 2, 4, 8),
+                    4: (8, 16),
+                    6: (8, 16),
+                }
                 if not (width and height and idat) or channels is None:
                     return None
-                if bit_depth != 8 or interlace != 0:
-                    return None  # palette/16-bit/Adam7: fallback tier
+                if interlace != 0 or bit_depth not in legal_depths[color_type]:
+                    return None  # Adam7 / illegal depth: fallback tier
+                pal_sum = None
+                if color_type == 3:
+                    if plte is None or len(plte) % 3 or not plte:
+                        return None
+                    pal_sum = [
+                        plte[i] + plte[i + 1] + plte[i + 2]
+                        for i in range(0, len(plte), 3)
+                    ]
                 raw = zlib.decompress(b"".join(idat))
-                stride = width * channels
+                # stride = scanline bytes; bpp = filter offset (>=1 byte)
+                stride = (width * channels * bit_depth + 7) // 8
+                bpp = max(1, channels * bit_depth // 8)
                 if len(raw) != (stride + 1) * height:
                     return None
-                # unfilter (PNG spec 9.2): prev = reconstructed prior row
+                # unfilter (PNG spec 9.2): prev = reconstructed prior row;
+                # filters operate on BYTES regardless of sample width
                 px_sum = 0
                 prev = bytearray(stride)
                 for y in range(height):
@@ -164,27 +187,54 @@ def decode_media(df: DataFrame) -> DataFrame:
                     ftype = raw[base]
                     line = bytearray(raw[base + 1 : base + 1 + stride])
                     if ftype == 1:  # Sub
-                        for i in range(channels, stride):
-                            line[i] = (line[i] + line[i - channels]) & 0xFF
+                        for i in range(bpp, stride):
+                            line[i] = (line[i] + line[i - bpp]) & 0xFF
                     elif ftype == 2:  # Up
                         for i in range(stride):
                             line[i] = (line[i] + prev[i]) & 0xFF
                     elif ftype == 3:  # Average
                         for i in range(stride):
-                            a = line[i - channels] if i >= channels else 0
+                            a = line[i - bpp] if i >= bpp else 0
                             line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
                     elif ftype == 4:  # Paeth
                         for i in range(stride):
-                            a = line[i - channels] if i >= channels else 0
+                            a = line[i - bpp] if i >= bpp else 0
                             b = prev[i]
-                            c = prev[i - channels] if i >= channels else 0
+                            c = prev[i - bpp] if i >= bpp else 0
                             p = a + b - c
                             pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                             pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                             line[i] = (line[i] + pr) & 0xFF
                     elif ftype != 0:
                         return None
-                    px_sum += sum(line)
+                    if bit_depth == 16:  # big-endian sample pairs
+                        for i in range(0, stride, 2):
+                            px_sum += (line[i] << 8) | line[i + 1]
+                    elif bit_depth == 8:
+                        if pal_sum is not None:
+                            for idx in line:
+                                if idx >= len(pal_sum):
+                                    return None
+                                px_sum += pal_sum[idx]
+                        else:
+                            px_sum += sum(line)
+                    else:  # 1/2/4-bit samples, MSB-first, row-end padding
+                        nsamp = width * channels
+                        mask = (1 << bit_depth) - 1
+                        per_byte = 8 // bit_depth
+                        si = 0
+                        for byte in line:
+                            for k in range(per_byte - 1, -1, -1):
+                                if si >= nsamp:
+                                    break
+                                s = (byte >> (k * bit_depth)) & mask
+                                if pal_sum is not None:
+                                    if s >= len(pal_sum):
+                                        return None
+                                    px_sum += pal_sum[s]
+                                else:
+                                    px_sum += s
+                                si += 1
                     prev = line
                 return width, height, px_sum
             except Exception:

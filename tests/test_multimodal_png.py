@@ -51,29 +51,52 @@ def _filter_row(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(pixels: np.ndarray, filters=None) -> bytes:
-    """Minimal PNG encoder: pixels is (h, w) gray or (h, w, ch) with
-    ch in {1, 2, 3, 4}; `filters` picks the per-row filter type."""
+def _pack_row(samples, bit_depth: int) -> bytes:
+    """Pack one scanline of integer samples at the given depth
+    (MSB-first for sub-byte depths, big-endian for 16-bit)."""
+    if bit_depth == 16:
+        return b"".join(struct.pack(">H", int(s)) for s in samples)
+    if bit_depth == 8:
+        return bytes(int(s) for s in samples)
+    per_byte = 8 // bit_depth
+    out = bytearray()
+    for i in range(0, len(samples), per_byte):
+        byte = 0
+        for k, s in enumerate(samples[i : i + per_byte]):
+            byte |= int(s) << ((per_byte - 1 - k) * bit_depth)
+        out.append(byte)
+    return bytes(out)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters=None,
+    bit_depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Minimal PNG encoder: pixels is (h, w) gray/indices or (h, w, ch)
+    with ch in {1, 2, 3, 4}; `filters` picks the per-row filter type.
+    With `palette`, pixels are (h, w) palette indices (color type 3);
+    `bit_depth` supports 1/2/4/8/16 where the spec allows."""
+    paletted = palette is not None
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    bpp = ch
+    color_type = 3 if paletted else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    bpp = max(1, ch * bit_depth // 8)
     raw = bytearray()
-    prev = bytes(w * ch)
+    prev = bytes((w * ch * bit_depth + 7) // 8)
     for y in range(h):
-        line = pixels[y].astype(np.uint8).tobytes()
+        line = _pack_row(pixels[y].reshape(-1).tolist(), bit_depth)
         f = (filters or [0])[y % len(filters or [0])]
         raw.append(f)
         raw += _filter_row(f, line, prev, bpp)
         prev = line
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _chunk(b"IEND", b"")
-    )
+    chunks = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if paletted:
+        chunks += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    return chunks + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
 
 
 def _decode(spark, payloads):
@@ -102,6 +125,57 @@ def test_each_filter_type_roundtrips(spark, ftype):
     px = rng.integers(0, 256, size=(6, 17, 3), dtype=np.uint8)
     got = _decode(spark, [encode_png(px, filters=[ftype])])[0]
     assert got.byte_sum == int(px.astype(np.int64).sum())
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_paletted_png_sums_palette_rgb(spark, depth):
+    """Color type 3 (VERDICT r5 item 5): pixels are PLTE indices; the
+    decoded pixel sum is sum(r+g+b) of each pixel's palette entry."""
+    rng = np.random.default_rng(depth)
+    n_entries = 1 << depth
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(n_entries)]
+    idx = rng.integers(0, n_entries, size=(11, 7))
+    got = _decode(
+        spark, [encode_png(idx, filters=[0, 1, 2, 3, 4], bit_depth=depth,
+                           palette=palette)]
+    )[0]
+    assert (got.width, got.height) == (7, 11)
+    want = sum(sum(palette[i]) for i in idx.reshape(-1))
+    assert got.byte_sum == want
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_16bit_png_sums_full_samples(spark, channels):
+    """16-bit depth (VERDICT r5 item 5): big-endian sample pairs; the
+    pixel sum counts full 16-bit values, exercising all five filters
+    with the 2-byte-per-sample filter offset."""
+    rng = np.random.default_rng(20 + channels)
+    px = rng.integers(0, 65536, size=(9, 6, channels))
+    got = _decode(spark, [encode_png(px, filters=[0, 1, 2, 3, 4], bit_depth=16)])[0]
+    assert (got.width, got.height) == (6, 9)
+    assert got.byte_sum == int(px.astype(np.int64).sum())
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_gray_png(spark, depth):
+    """Sub-byte grayscale: MSB-first bit packing with row-end padding
+    (width chosen to not divide evenly into bytes)."""
+    rng = np.random.default_rng(30 + depth)
+    px = rng.integers(0, 1 << depth, size=(5, 13))
+    got = _decode(spark, [encode_png(px, filters=[0, 2], bit_depth=depth)])[0]
+    assert (got.width, got.height) == (13, 5)
+    assert got.byte_sum == int(px.astype(np.int64).sum())
+
+
+def test_interlaced_png_takes_fallback_tier(spark):
+    """Adam7 stays honestly on the byte-stats tier."""
+    px = np.full((4, 4), 9, dtype=np.uint8)
+    good = encode_png(px)
+    # flip the IHDR interlace byte (last IHDR payload byte) + fix CRC
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    patched = good[:8] + _chunk(b"IHDR", ihdr) + good[8 + 12 + 13:]
+    got = _decode(spark, [patched])[0]
+    assert got.byte_sum == sum(patched)  # fallback, not a decode
 
 
 def test_non_png_payload_keeps_byte_stats_tier(spark):
