@@ -9,7 +9,17 @@ the headline (damps shuffle jitter; summed as `value`); the median is
 reported alongside (`queries_median` / `median_value`) so cross-round
 noise is self-evident, and `loadavg_start` / `loadavg_end` record machine
 contention at run start AND after the last query (a multi-minute run
-can drift). Output:
+can drift).
+
+LOAD GATE (VERDICT r5: two noisy rounds in a row must not hide a real
+regression): before measuring, wait for the 1-minute loadavg to fall
+below $SPARK_GRAFT_LOAD_GATE (default 2.5), polling up to
+$SPARK_GRAFT_LOAD_WAIT seconds (default 240 — this VM's loadavg can
+floor at 3+ from D-state kernel threads, so an aggressive gate would
+stall every round). The run proceeds either way — the driver must
+always get its JSON line — but records how long it waited and whether
+the gate was still exceeded at start, so a number taken on a loaded
+machine is self-labeled rather than silently trusted. Output:
 
     {"metric": "...", "value": <steady total sec>, "unit": "sec",
      "queries": {...per-query min sec...},
@@ -17,6 +27,7 @@ can drift). Output:
      "cold_value": <cold total sec>,
      "loadavg": [1m, 5m, 15m at start],
      "loadavg_end": [1m, 5m, 15m after the loop],
+     "load_gate": {"threshold": 2.5, "waited_sec": N, "exceeded": bool},
      "sf": 0.1}
 """
 
@@ -52,9 +63,25 @@ HEADLINE = [
 ]
 
 
+def _load_gate() -> dict:
+    """Block (bounded) until the machine is quiet enough to measure."""
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.5"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "240"))
+    waited = 0.0
+    while os.getloadavg()[0] > threshold and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+    return {
+        "threshold": threshold,
+        "waited_sec": round(waited),
+        "exceeded": os.getloadavg()[0] > threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    gate = _load_gate()
 
     from etl_pipline_ibrd_loan_system_spark.session import get_session
 
@@ -103,6 +130,7 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "loadavg": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "load_gate": gate,
                 "sf": sf,
             }
         )

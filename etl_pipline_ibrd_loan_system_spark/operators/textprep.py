@@ -288,3 +288,55 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(group_col, "token", "tf", "df", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def chunk_boilerplate_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk: int = 16,
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style cross-document span dedup, over non-overlapping
+    `chunk`-token windows (this corpus has no newlines, so the token
+    window stands in for the "line"): a chunk whose exact text appears
+    in >= `min_docs` DISTINCT documents is boilerplate (navigation
+    chrome, license headers, templated spans), and each document
+    reports how much of it is boilerplate plus the keep verdict.
+
+    Output: (id, n_chunks, n_boilerplate_chunks, boilerplate_frac,
+    keep) with keep = boilerplate_frac < 0.5.
+
+    Scale shape: chunks explode 1/chunk-th of the token stream; the
+    frequent-chunk set aggregates with map-side partial counts on the
+    chunk hash (never the chunk text) and is SMALL by construction —
+    boilerplate is the head of the distribution — so the membership
+    probe back onto each document's chunks is a broadcast-friendly
+    semi-join at 100 TB, not a second full shuffle (same broadcast
+    asymmetry as ngram_decontaminate's benchmark grams).
+    """
+    chunks = chunk_by_tokens(df, text_col, id_col, chunk=chunk, stride=chunk)
+    hashed = chunks.select(
+        F.col(id_col), F.xxhash64("chunk_text").alias("h")
+    )
+    frequent = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("h", F.lit(True).alias("__boiler"))
+    )
+    marked = hashed.join(F.broadcast(frequent), "h", "left")
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("__boiler"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_boilerplate_chunks"),
+    )
+    frac = F.col("n_boilerplate_chunks").cast("double") / F.col("n_chunks")
+    return per_doc.select(
+        F.col(id_col),
+        "n_chunks",
+        "n_boilerplate_chunks",
+        frac.alias("boilerplate_frac"),
+        (frac < 0.5).alias("keep"),
+    )

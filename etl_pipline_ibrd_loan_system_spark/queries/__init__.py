@@ -31,18 +31,61 @@ ROWS_ONLY: frozenset[str] = frozenset()
 
 # The driver's correctness gate checks the FIRST 50 registry entries (every
 # recorded round stopped at exactly entry 50 regardless of per-query cost).
-# Round-5 rotation (VERDICT r4 "Next round" #1): the 25 queries parked
-# outside the r4 window get the slots — the 7 streaming queries have had
-# no driver row since r03, and the 18 others were judge-selfchecked only.
-# Canaries q1/g1/c2 stay in per the verdict, and the queries whose backing
-# modules change THIS round (sk3 oracle string, paged/rest source, SCD,
-# multimodal decode) are pinned inside the window too. Everything parked
-# beyond slot 50 was driver-green in r04 with modules otherwise unchanged,
-# and stays covered by tools/selfcheck.py (identical oracle comparison,
-# array-column-strict since r4).
+# Round-6 rotation (VERDICT r5 "Next round" #1): the 13 queries that have
+# NEVER had a driver row get the slots, plus the canaries the verdict asks
+# to keep (q1/g1/c2), the 2 queries new this round (mx1b/mx2b), and every
+# query whose backing module changed this round — asof.py (j1, j1b),
+# dedup.py pins + the large-star/small-star CC (dd2-dd8), window_ops.py
+# two-pass e1 (e1, e1b, e6), sampling.py sub-bucketing (mx1, mx2, sp1,
+# sp2, pk1), scd.py pin (c4), multimodal.py PNG tiers (mm2, mm4),
+# streaming/microbatch.py rollup commit protocol (h1-h3, s1, st1, sd1,
+# ss1). Everything parked beyond slot 50 was driver-green in r05 with
+# modules otherwise unchanged, and stays covered by tools/selfcheck.py
+# (identical oracle comparison). Queries born THIS round after the window
+# filled (dd9_boilerplate_chunks, e7_pivot_status_by_year,
+# m8_rollup_status_priority, f8_token_set_ops) are first in line for the
+# round-7 rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
-    # -- 7 streaming queries: no driver row since r03 --
+    # -- 13 never-driver-checked queries (r5 additions parked outside
+    #    every window so far): the round's priority --
+    "sk5_bloom_semijoin",
+    "e6_lead_lag_deltas",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "j1b_asof_tolerance",
+    "m7_incremental_rollup",
+    "tx13_vocab_stats",
+    "mm6_media_neardup",
+    "mx1_corpus_mix",
+    "mx2_token_budget_select",
+    "tx12_vocab_encode",
+    "dc1_ngram_decontaminate",
+    "f6_union_evolving_schema",
+    # -- NEW this round: first driver exposure --
+    "mx1b_corpus_mix_bucketed",
+    "mx2b_token_budget_bucketed",
+    # -- canaries (VERDICT r5) --
+    "g1_scd2_apply",
+    "c2_lookup_cascade",
+    # -- modules changed this round: fresh driver exposure --
+    "j1_asof_join",
+    "dd2_ngram_jaccard",
+    "dd3_minhash_lsh",
+    "dd4_simhash",
+    "dd5_simhash_near_pairs",
+    "dd6_embedding_blocked_cosine",
+    "dd7_embedding_lsh_neardup",
+    "dd8_dedup_clusters",
+    "dd1_exact_dedup",
+    "e1_forward_fill",
+    "e1b_forward_fill_scalable",
+    "sp1_hash_split",
+    "sp2_stratified_sample",
+    "pk1_sequence_packing",
+    "c4_scd_classify",
+    "mm2_decode_stats",
+    "mm4_byte_features",
     "h1_tumbling_window_batch",
     "h2_sliding_window_batch",
     "h3_session_window_batch",
@@ -50,57 +93,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st1_stateful_first_event",
     "sd1_streaming_dedup",
     "ss1_stream_stream_interval_join",
-    # -- 18 parked in r4, judge-selfchecked only: need driver rows --
-    "e2_top_n_per_group",
-    "f1_union_pages",
-    "b9_b10_audit_columns",
-    "d8_salted_agg",
-    "j1_asof_join",
-    "dd7_embedding_lsh_neardup",
-    "dd8_dedup_clusters",
-    "tx1_token_stats",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_doc_fingerprint",
-    "tx7_vocab_topk",
-    "sm1_cosine_topk",
-    "sm2_ivf_topk",
-    "mm1_media_catalog",
-    "mm2_decode_stats",
-    "mm3_frame_sample",
-    "mm5_resize_meta",
-    # -- canaries from the r4-green set --
-    "g1_scd2_apply",
-    "c2_lookup_cascade",
-    # -- modules changed in round 5: fresh driver exposure --
-    "sk3_countmin_freq",
-    "a1_paged_datasource",
-    "c4_scd_classify",
-    "mm4_byte_features",
-    # -- queries NEW in round 5 (prep family): first driver exposure --
-    "tx8_repetition_filter",
-    "tx9_pii_scrub",
-    "tx10_token_chunks",
-    "tx11_tfidf_topk",
-    "sp1_hash_split",
-    "sp2_stratified_sample",
-    "pk1_sequence_packing",
-    "j2_binned_range_join",
-    # -- slots 41-50 pinned EXPLICITLY (r4-green, unchanged modules) so
-    #    new query registrations can never silently shift the window;
-    #    the b2-b8/b11 fillers from the earlier round-5 rotation ceded
-    #    their slots to the new prep queries above (they stay r4-green
-    #    with unchanged modules + selfcheck coverage) --
+    # -- slots to 50 pinned EXPLICITLY (r5-green, unchanged modules) so
+    #    new query registrations can never silently shift the window --
     "b1_isin_snapshot_filter",
-    "d2_count_by_group",
-    "c1_lookup_current_slice",
-    "c3_role_playing_dates",
     "d1_distinct_projection",
     "d3_sum_by_group",
-    "d4_avg_by_group",
-    "d5_product_measure",
     "d6_distinct_count",
-    "d7_year_timeseries",
+    "a1_paged_datasource",
+    "j2_binned_range_join",
+    "tx8_repetition_filter",
+    "sk3_countmin_freq",
 )
 
 

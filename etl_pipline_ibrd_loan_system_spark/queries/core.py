@@ -1210,3 +1210,130 @@ def j1b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=7200,
     )
     return out.select("event_id", "user_id", "ts", "last_error_id")
+
+
+# --- E7: PIVOT (status columns per order-year) ----------------------------
+
+
+@query(
+    "e7_pivot_status_by_year",
+    sql=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "f_price")},
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
+           {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "o_price")},
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders,
+           {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", "p_price")}
+    FROM orders GROUP BY order_year
+    """,
+)
+def e7_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per order year, one column pair (count, exact
+    decimal price sum) per order status — Spark's groupBy().pivot() with
+    EXPLICIT pivot values, which skips the extra distinct-values job a
+    valueless pivot needs and keeps the plan a single hash aggregate
+    (the 100 TB shape: pivot cardinality is fixed and tiny, so this is
+    exactly one shuffle on the year key). The oracle replays it as
+    conditional aggregation — the relational identity PIVOT sugars."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+    )
+    pv = (
+        base.groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("p"), 2).cast("double").alias("price"),
+        )
+    )
+    return pv.select(
+        "order_year",
+        F.coalesce("F_orders", F.lit(0)).alias("f_orders"),
+        F.coalesce("F_price", F.lit(0.0)).alias("f_price"),
+        F.coalesce("O_orders", F.lit(0)).alias("o_orders"),
+        F.coalesce("O_price", F.lit(0.0)).alias("o_price"),
+        F.coalesce("P_orders", F.lit(0)).alias("p_orders"),
+        F.coalesce("P_price", F.lit(0.0)).alias("p_price"),
+    )
+
+
+# --- M8: ROLLUP multi-level aggregate (subtotals + grand total) -----------
+
+
+@query(
+    "m8_rollup_status_priority",
+    sql=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def m8_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: (status, priority) detail rows plus per-status subtotals
+    plus the grand total in ONE pass — Spark's rollup() compiles to a
+    single Expand + hash aggregate (each input row contributes to every
+    grouping set map-side), not three scans. grouping_id() disambiguates
+    subtotal rows from genuine NULL group values; Spark and DuckDB use
+    the same leftmost-is-MSB bitmask."""
+    from ..functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+    )
+
+
+# --- F8: INTERSECT / EXCEPT set operators ---------------------------------
+
+
+@query(
+    "f8_token_set_ops",
+    sql="""
+    WITH t0 AS (
+      SELECT DISTINCT unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+      FROM documents WHERE source = 'src0'
+    ), t1 AS (
+      SELECT DISTINCT unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+      FROM documents WHERE source = 'src1'
+    )
+    SELECT token, 'both' AS op FROM (SELECT token FROM t0 INTERSECT SELECT token FROM t1)
+    UNION ALL
+    SELECT token, 'only_src0' AS op FROM (SELECT token FROM t0 EXCEPT SELECT token FROM t1)
+    """,
+)
+def f8_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT surface: vocabulary shared between two sources
+    and vocabulary exclusive to the first, via Spark's intersect() /
+    subtract() (both distinct set semantics, compiled to left-semi /
+    left-anti hash joins over de-duplicated sides — one shuffle each on
+    the token key, no row explosion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != "")
+
+    def vocab(src: str) -> DataFrame:
+        return (
+            docs.where(F.col("source") == src)
+            .select(F.explode(toks).alias("token"))
+            .distinct()
+        )
+
+    t0, t1 = vocab("src0"), vocab("src1")
+    return (
+        t0.intersect(t1).withColumn("op", F.lit("both"))
+        .unionByName(t0.subtract(t1).withColumn("op", F.lit("only_src0")))
+    )

@@ -267,3 +267,73 @@ def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
     return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+# 16 words so the injected banner occupies exactly one non-overlapping
+# 16-token chunk (stride == chunk == 16) in every tainted document
+_BANNER = (
+    "terms of service all rights reserved click here to subscribe "
+    "cookie notice privacy policy applies site"
+)
+
+_D9_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "dd9_boilerplate_chunks",
+    sql=f"""
+    WITH tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_BANNER} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, {_D9_TOKS} AS toks FROM tainted
+      WHERE len({_D9_TOKS}) > 0
+    ), c AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(toks), 16),
+                    s -> array_to_string(list_slice(toks, s + 1, s + 16), ' ')))
+               AS chunk_text
+      FROM t
+    ), freq AS (
+      SELECT chunk_text FROM (
+        SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd FROM c
+        GROUP BY chunk_text
+      ) WHERE nd >= 3
+    ), per AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN f.chunk_text IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_boilerplate_chunks
+      FROM c LEFT JOIN freq f USING (chunk_text)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_chunks, n_boilerplate_chunks,
+           n_boilerplate_chunks::DOUBLE / n_chunks AS boilerplate_frac,
+           (n_boilerplate_chunks::DOUBLE / n_chunks) < 0.5 AS keep
+    FROM per
+    """,
+)
+def dd9_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup (textprep.
+    chunk_boilerplate_filter): non-overlapping 16-token chunks shared by
+    >= 3 distinct documents are boilerplate; per-document boilerplate
+    fraction + keep verdict. Every 5th document is tainted with a fixed
+    16-token banner so the detector has real boilerplate to find; the
+    oracle replays the taint and compares chunk TEXT where Spark
+    compares xxhash64 (collision-free at any realistic corpus size)."""
+    from ..operators import textprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textprep.chunk_boilerplate_filter(
+        tainted, "text", "doc_id", chunk=16, min_docs=3
+    )

@@ -343,3 +343,26 @@ def test_ngram_decontaminate_drops_overlapping_docs(spark):
     )
     out = textprep.ngram_decontaminate(train, bench, "text", "doc_id", n=4)
     assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
+def test_chunk_boilerplate_filter_flags_shared_spans(spark):
+    """A 4-token banner shared by 3 docs is boilerplate; unique text is
+    not; a doc that is ALL boilerplate fails the keep verdict."""
+    banner = "terms of service apply"
+    rows = [
+        (1, banner + " unique words one two three four five six"),  # 3 chunks, 1 boiler
+        (2, banner + " other rare words seven eight nine ten wow"),  # 3 chunks, 1 boiler
+        (3, banner),                               # 1 chunk, all boiler
+        (4, "entirely original text with no repeats"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textprep.chunk_boilerplate_filter(
+            df, "text", "doc_id", chunk=4, min_docs=3
+        ).collect()
+    }
+    assert out[1]["n_boilerplate_chunks"] == 1 and out[1]["keep"]
+    assert out[2]["n_boilerplate_chunks"] == 1 and out[2]["keep"]
+    assert out[3]["boilerplate_frac"] == 1.0 and not out[3]["keep"]
+    assert out[4]["n_boilerplate_chunks"] == 0 and out[4]["keep"]
