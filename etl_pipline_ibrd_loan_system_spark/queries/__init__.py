@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h3_session_window_batch",
     "s1_tumbling_window_stream",
     "st1_stateful_first_event",
+    "st2_stateful_first_event_tws",  # NEW r6: transformWithState unblocked
     "sd1_streaming_dedup",
     "ss1_stream_stream_interval_join",
     # -- slots to 50 pinned EXPLICITLY (r5-green, unchanged modules) so
@@ -102,7 +103,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a1_paged_datasource",
     "j2_binned_range_join",
     "tx8_repetition_filter",
-    "sk3_countmin_freq",
 )
 
 
@@ -157,7 +157,7 @@ def load_registry():
 
     for mod in ("star_queries", "measure_queries", "dedup_queries",
                 "text_queries", "similarity_queries", "multimodal_queries",
-                "stream_queries", "prep_queries"):
+                "stream_queries", "prep_queries", "tpch_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

@@ -203,6 +203,52 @@ def st1_stateful_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st2_stateful_first_event_tws",
+    sql="""
+    SELECT user_id, ts AS first_ts, event_id AS first_id FROM (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st2_stateful_first_event_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME first-event operator through Spark 4's
+    transformWithStateInPandas (typed ValueState on RocksDB) — the
+    stateful-streaming successor API, unblocked in round 6 by
+    root-causing the round-5 "pre-init crash" to a missing
+    google.protobuf runtime (streaming/tws.py, vendor/pbshim). Checked
+    against the identical argmin oracle as st1, proving API parity. On
+    an environment where neither the protobuf runtime nor the shim can
+    import, falls back to the applyInPandasWithState operator — same
+    semantics, same oracle — and says so on stderr."""
+    from ..streaming.tws import (
+        _rocksdb_state_store,
+        stateful_first_event_tws,
+        tws_available,
+    )
+
+    if not tws_available():  # pragma: no cover - sandbox has the shim
+        import sys
+
+        print(
+            "st2: transformWithState unavailable (no protobuf runtime); "
+            "falling back to applyInPandasWithState",
+            file=sys.stderr,
+        )
+        return st1_stateful_first_event(spark, sf_dir)
+
+    stream = _events_stream_factory(spark, sf_dir, "st2_events_")()
+    out = stateful_first_event_tws(stream, "user_id", "ts", "event_id")
+    with _stream_partitions(spark), _rocksdb_state_store(spark):
+        q = run_stream_to_memory(out, "st2_first", output_mode="append")
+        try:
+            return spark.table("st2_first").localCheckpoint(eager=True)
+        finally:
+            q.stop()
+
+
+@query(
     "sd1_streaming_dedup",
     sql="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -104,12 +104,12 @@ def stateful_first_event(
     API the built-in operators can't express.
 
     NOTE: Spark 4's successor API (transformWithStateInPandas + typed
-    ValueState on RocksDB) was evaluated in round 5 and is the right
-    target on a real cluster, but its driver-side pre-init Python
-    worker crashes in this sandbox before user code runs (same failure
-    with string and StructType state schemas, no surfaced traceback) —
-    so the engine stays on applyInPandasWithState, which is stable
-    here and semantically equivalent for this operator."""
+    ValueState on RocksDB) crashed pre-user-code in rounds 4-5; round 6
+    root-caused that to the driver worker's protobuf control channel
+    needing a `google.protobuf` runtime this container doesn't ship,
+    and unblocked it (streaming/tws.py + vendor/pbshim). Both operators
+    now run against the same oracle (st1 here, st2 there); this one is
+    kept as the dependency-free path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):

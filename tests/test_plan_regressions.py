@@ -127,3 +127,48 @@ def test_sk5_bloom_prefilter_is_scan_side(spark, sf_dir, registry):
     assert "element_at" in plan, "Bloom bitmap prefilter disappeared from the plan"
     assert "SortMergeJoin" not in plan, "fact side is being shuffled for the semi-join"
     assert "CartesianProduct" not in plan
+
+
+def test_q18_single_lineitem_scan_and_broadcast(spark, sf_dir, registry):
+    """q18: the HAVING-subquery shape must NOT scan lineitem twice (the
+    naive SQL transliteration aggregates it once in the IN-subquery and
+    re-reads it for the outer sum). One aggregated scan, filtered tiny,
+    broadcast against orders."""
+    plan = _plan(registry["q18_large_volume_customer"](spark, sf_dir))
+    import re
+
+    # Count the detail-section headers "(N) Scan parquet" - the tree view
+    # repeats every node, so a raw substring count doubles each scan.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 3, (
+        f"q18 re-reads a table ({n_scans} scans) - the subquery shape "
+        "regressed:\n" + plan
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_semi_join_projects_keys_only(spark, sf_dir, registry):
+    """q4: the EXISTS semi join must read only (l_orderkey, l_shipdate)
+    from lineitem - a ReadSchema wider than that ships payload columns
+    through the shuffle at 100 TB."""
+    plan = _plan(registry["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_scans = [s for s in scans if "l_orderkey" in s]
+    assert li_scans and all(
+        set(c.split(":")[0] for c in s.split(",")) <= {"l_orderkey", "l_shipdate"}
+        for s in li_scans
+    ), f"lineitem scan reads extra columns: {li_scans}"
+
+
+def test_f9_anti_join_filter_pushed(spark, sf_dir, registry):
+    """f9: the urgent-order predicate must reach the orders scan as a
+    pushed filter, and the anti join must not degrade to a cartesian."""
+    plan = _plan(registry["f9_customers_without_urgent_orders"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "1-URGENT" in plan, "priority filter not visible in the plan"
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
