@@ -43,8 +43,10 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # modules otherwise unchanged, and stays covered by tools/selfcheck.py
 # (identical oracle comparison). Queries born THIS round after the window
 # filled (dd9_boilerplate_chunks, e7_pivot_status_by_year,
-# m8_rollup_status_priority, f8_token_set_ops) are first in line for the
-# round-7 rotation.
+# m8_rollup_status_priority, f8_token_set_ops, q4/q10/q18/f9 TPC-H
+# shapes, e8 unpivot, e9 ntile, d9 filtered aggs, m9 ratio-to-report,
+# f10 array HOFs, tx14 edit distance) are first in line for the round-7
+# rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside
@@ -157,7 +159,8 @@ def load_registry():
 
     for mod in ("star_queries", "measure_queries", "dedup_queries",
                 "text_queries", "similarity_queries", "multimodal_queries",
-                "stream_queries", "prep_queries", "tpch_queries"):
+                "stream_queries", "prep_queries", "tpch_queries",
+                "analytics_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

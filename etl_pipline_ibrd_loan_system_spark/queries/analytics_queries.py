@@ -1,0 +1,248 @@
+"""Analytics-surface widening (round 6): unpivot, ntile, filtered
+aggregates, ratio-to-report, array higher-order functions, edit
+distance.
+
+Each query exercises a distinct engine capability a warehouse user
+reaches for daily, expressed with the built-in JVM operators (zero
+Python UDFs) and paired with a portable DuckDB oracle. Float outputs
+follow the functions/exact.py discipline; divisions happen in double
+space on decimal-exact numerators/denominators so both engines round
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import davg, dsum, sql_davg, sql_dsum
+from . import query
+
+
+@query(
+    "e8_unpivot_part_metrics",
+    sql=f"""
+    WITH long AS (
+      SELECT p_brand, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+      FROM part
+      UNION ALL
+      SELECT p_brand, 'retailprice' AS metric, p_retailprice AS value
+      FROM part
+    )
+    SELECT p_brand, metric, COUNT(*) AS n, {sql_dsum('value', 'total')}
+    FROM long GROUP BY p_brand, metric
+    """,
+)
+def e8_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): part's numeric measures become
+    (metric, value) rows, then aggregate per brand+metric. Spark's
+    native `unpivot` is a zero-shuffle projection (each input row emits
+    k output rows in place) — the only shuffle is the final aggregate,
+    identical to what the wide layout would need. The oracle replays it
+    as the portable UNION ALL long-form."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    long = part.unpivot(
+        ids=["p_brand"],
+        values=["size", "retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "total")
+    )
+
+
+@query(
+    "e9_ntile_quartiles",
+    sql="""
+    SELECT event_type, quartile, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM (
+      SELECT event_type, value,
+             NTILE(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS quartile
+      FROM events
+    )
+    GROUP BY event_type, quartile
+    """,
+)
+def e9_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles per event type with per-bucket extrema. The
+    (value, event_id) order key is total, so bucket boundaries are
+    engine-independent. One shuffle on event_type; each partition's
+    window sorts locally — at 100 TB a heavily-skewed single type wants
+    the e1b-style range-bucket two-pass instead, which is why this
+    partitions by type rather than running one global NTILE."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@query(
+    "d13_filtered_aggregates",
+    sql=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(ROUND(SUM(
+             CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END
+           ), 2) AS DOUBLE) AS open_total,
+           {sql_davg('o_totalprice', 'avg_price')}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def d13_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER-clause counts and a
+    status-gated decimal sum next to an unconditional average, one pass,
+    one shuffle. Spark expresses the filters as count_if / sum(CASE)
+    inside the same hash aggregate — no extra scan per condition (the
+    anti-pattern is one groupBy per predicate unioned after)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_total = F.when(
+        F.col("o_orderstatus") == "O",
+        F.col("o_totalprice").cast("decimal(18,4)"),
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.round(F.sum(open_total), 2).cast("double").alias("open_total"),
+        davg("o_totalprice", "avg_price"),
+    )
+
+
+@query(
+    "m9_ratio_to_report",
+    sql=f"""
+    WITH nat AS (
+      SELECT n_name, r_name,
+             {sql_dsum('o_totalprice', 'nation_total')}
+      FROM orders, customer, nation, region
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+      GROUP BY n_name, r_name
+    )
+    SELECT n_name, r_name, nation_total,
+           ROUND(nation_total / SUM(nation_total) OVER (PARTITION BY r_name), 6)
+             AS region_share
+    FROM nat
+    """,
+)
+def m9_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    volume. Aggregate FIRST (nation grain — tiny), then the window
+    runs over ~25 rows: the whole-partition SUM window never sees the
+    fact table, which is the difference between a 25-row window and a
+    100 TB one. Division happens in double on decimal-exact totals,
+    rounded to 6 places, so both engines emit identical bits."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(dsum("o_totalprice", "nation_total"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.withColumn(
+        "region_share",
+        F.round(F.col("nation_total") / F.sum("nation_total").over(w), 6),
+    )
+
+
+@query(
+    "f10_embedding_component_stats",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(CAST(n_pos AS DOUBLE)), 6) AS avg_n_positive,
+           COUNT(DISTINCT argmax) AS n_distinct_argmax
+    FROM (
+      SELECT label,
+             len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             list_position(embedding, list_max(embedding)) AS argmax
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def f10_embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions on the embedding column, JVM-side:
+    per-vector positive-component count (filter+size) and argmax
+    position (array_position of array_max — exact float equality on
+    identical stored bits, so both engines agree), aggregated per
+    label. This is the no-Python path for vector feature extraction:
+    whole-stage codegen over array<float>, no Arrow transfer, no UDF.
+    avg over integer counts divides in double (exact: small ints)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_pos = F.size(F.filter("embedding", lambda x: x > 0))
+    argmax = F.array_position(F.col("embedding"), F.array_max("embedding"))
+    return (
+        emb.select("label", n_pos.alias("n_pos"), argmax.alias("argmax"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("n_pos").cast("double")), 6).alias(
+                "avg_n_positive"
+            ),
+            F.countDistinct("argmax").alias("n_distinct_argmax"),
+        )
+    )
+
+
+@query(
+    "tx14_edit_distance_neighbors",
+    sql="""
+    SELECT doc_id, next_id,
+           levenshtein(substr(text, 1, 40), substr(next_text, 1, 40)) AS dist
+    FROM (
+      SELECT doc_id, text,
+             LEAD(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS next_id,
+             LEAD(text) OVER (PARTITION BY source ORDER BY doc_id) AS next_text
+      FROM documents
+    )
+    WHERE next_id IS NOT NULL
+    """,
+)
+def tx14_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between source-adjacent documents: LEAD pairs each
+    doc with its successor (per-source window — one shuffle, no self
+    join), then JVM levenshtein on 40-char prefixes. The prefix cap
+    bounds the O(m*n) DP per pair, the pairing bounds pair count to n-1
+    per source — the two levers that keep edit distance feasible at
+    corpus scale (full all-pairs Levenshtein is the textbook
+    non-starter; candidate pairing belongs to the dedup family's
+    banding, dd2-dd5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = docs.select(
+        "doc_id",
+        "text",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("text").over(w).alias("next_text"),
+    ).where(F.col("next_id").isNotNull())
+    return paired.select(
+        "doc_id",
+        "next_id",
+        F.levenshtein(
+            F.substring("text", 1, 40), F.substring("next_text", 1, 40)
+        ).alias("dist"),
+    )
