@@ -371,3 +371,30 @@ def scd2_apply_merge(
             "identical."
         ) from exc
     return sql
+
+
+def scd2_snapshot(
+    dim: DataFrame,
+    asof: str,
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+) -> DataFrame:
+    """Point-in-time read of an SCD2 dimension: the version of each key
+    that was in effect on `asof` (half-open validity [start, end)).
+
+    This is the query side of the SCD2 contract the reference's per-row
+    UPDATE machinery exists to enable (project SSIS::bor_dim.dtsx —
+    EndDate/StartDate column roles): any historical date reconstructs
+    that day's dimension exactly. Keys first valid after `asof` simply
+    drop out; T1-overwritten attributes show their rewritten values
+    (T1 rewrites history by design).
+
+    At scale both predicates are plain column comparisons: stored
+    partitioned/clustered on the date columns (or is_current), they
+    partition-prune, so a snapshot reads only the version slices that
+    can match — never the full history."""
+    d = F.lit(asof).cast("date")
+    return dim.where(
+        (F.col(start_col) <= d)
+        & (F.col(end_col).isNull() | (F.col(end_col) > d))
+    )

@@ -106,9 +106,9 @@ def c4_scd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- G1: full SCD2 apply — the rebuilt dimension -------------------------
 
 
-@query(
-    "g1_scd2_apply",
-    sql=f"""
+# dim1 (post-apply SCD2 state) in portable SQL, shared by the g1
+# full-compare and the g2 as-of snapshot:
+_DIM1_SQL = f"""
     WITH {_FIXTURE_SQL},
     maxsk AS (SELECT COUNT(*) AS m FROM dim0),
     fresh AS (
@@ -117,11 +117,8 @@ def c4_scd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
              DATE '2024-06-01' AS start_date, CAST(NULL AS DATE) AS end_date,
              TRUE AS is_current
       FROM classified WHERE change_type IN ('new', 't2')
-    )
-    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey,
-           CAST(start_date AS VARCHAR) AS start_date,
-           CAST(end_date AS VARCHAR) AS end_date, is_current
-    FROM (
+    ),
+    dim1 AS (
       SELECT sk, s_suppkey, d_name AS s_name, d_acctbal AS s_acctbal,
              d_nationkey AS s_nationkey, start_date,
              CAST(NULL AS DATE) AS end_date, TRUE AS is_current
@@ -138,6 +135,17 @@ def c4_scd_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey, start_date,
              end_date, is_current FROM fresh
     )
+"""
+
+
+@query(
+    "g1_scd2_apply",
+    sql=f"""
+    {_DIM1_SQL}
+    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM dim1
     """,
 )
 def g1_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,6 +160,35 @@ def g1_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim1.withColumn(
         "start_date", F.col("start_date").cast("string")
     ).withColumn("end_date", F.col("end_date").cast("string"))
+
+
+@query(
+    "g2_dim_snapshot_asof",
+    sql=f"""
+    {_DIM1_SQL}
+    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey
+    FROM dim1
+    WHERE start_date <= DATE '2024-03-01'
+      AND (end_date IS NULL OR end_date > DATE '2024-03-01')
+    """,
+)
+def g2_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read: the dimension as it stood between the two
+    loads (2024-03-01). T2-closed versions are still in effect (their
+    half-open validity ends at the second load), second-load versions
+    and new keys drop out, and T1 overwrites show rewritten history —
+    the exact per-column semantics SURVEY §2.G assigns each dim."""
+    from ..operators.scd import scd2_snapshot
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    return scd2_snapshot(dim1, "2024-03-01").select(
+        "sk", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
 
 
 # --- M3: generic dimension build (distinct + dense surrogate key) --------

@@ -1,0 +1,67 @@
+"""Python UDTF surface (Spark 4 user-defined table functions).
+
+One query demonstrates the remaining Python-extension API the engine
+hadn't exercised: a `@udtf` table function lateral-joined per input
+row, Arrow-optimized. The SEMANTICS (fixed-width character chunking
+with overlap) deliberately mirror what built-ins can express — the
+oracle is plain SQL over generate_series — because the point is the
+API plumbing: registration, LATERAL correlation, arrow batch
+transfer, and the planner treating the UDTF as a row-multiplying
+generator.
+
+Production guidance stays what COVERAGE.md §2.I says: chunking at
+100 TB runs on the JVM path (operators/textprep.py::chunk_by_tokens,
+oracle tx10 — sequence+explode, whole-stage codegen). A Python UDTF
+is the escape hatch for generator logic built-ins can't express;
+this file proves the hatch opens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from . import query
+
+CHUNK = 64
+STRIDE = 48
+
+
+@query(
+    "u1_char_chunks_udtf",
+    sql=f"""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, (length(text) - 1) // {STRIDE} + 1)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           substr(text, CAST(i * {STRIDE} + 1 AS INT), {CHUNK}) AS chunk_text
+    FROM idx
+    """,
+)
+def u1_char_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width character chunks via a lateral-joined
+    Python UDTF (`eval` yields one row per chunk). Arrow-optimized so
+    rows cross the Python boundary in columnar batches, and the chunker
+    is stateless per row — each task runs its partition independently,
+    so the operator scales exactly like the explode it mirrors (modulo
+    the Python-worker tax the docstring above warns about)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: bigint, chunk_text: string", useArrow=True)
+    class CharChunker:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, s in enumerate(range(0, len(text), STRIDE)):
+                yield i, text[s : s + CHUNK]
+
+    spark.udtf.register("u1_char_chunker", CharChunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("u1_documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text
+        FROM u1_documents d, LATERAL u1_char_chunker(d.text) c
+        """
+    )
