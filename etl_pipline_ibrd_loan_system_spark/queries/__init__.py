@@ -43,10 +43,12 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # modules otherwise unchanged, and stays covered by tools/selfcheck.py
 # (identical oracle comparison). Queries born THIS round after the window
 # filled (dd9_boilerplate_chunks, e7_pivot_status_by_year,
-# m8_rollup_status_priority, f8_token_set_ops, q4/q10/q18/f9 TPC-H
-# shapes, e8 unpivot, e9 ntile, d9 filtered aggs, m9 ratio-to-report,
-# f10 array HOFs, tx14 edit distance) are first in line for the round-7
-# rotation.
+# m8_rollup_status_priority, f8_token_set_ops, q4/q10/q18/f9 join
+# shapes, e8 unpivot, e9 ntile, d13 filtered aggs, m9 ratio-to-report,
+# f10 array HOFs, tx14 edit distance, tx15 bigram familiarity,
+# g2 SCD snapshot, u1 UDTF chunks) are first in line for the round-7
+# rotation; st2 (transformWithState) took the one vacated slot this
+# round because it proves a previously-blocked API end-to-end.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside

@@ -243,3 +243,65 @@ def tx13_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hapax_count"),
         F.sum("n").cast("bigint").alias("token_total"),
     )
+
+
+@query(
+    "tx15_bigram_familiarity",
+    sql="""
+    WITH pairs AS (
+      SELECT doc_id,
+             substr(text, CAST(i AS INT), 2) AS bigram
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text))) AS i
+        FROM documents WHERE length(text) >= 2
+      )
+    ),
+    model AS (
+      SELECT bigram, COUNT(*) AS freq FROM pairs GROUP BY bigram
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(freq) AS freq_sum,
+           ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4) AS familiarity
+    FROM pairs JOIN model USING (bigram)
+    GROUP BY doc_id
+    """,
+)
+def tx15_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model quality scoring: each document scored by the mean
+    corpus frequency of its character bigrams — the integer-exact core
+    of a KenLM-style n-gram filter (docs whose character sequences are
+    rare in the corpus score low: OCR noise, binary spills, wrong-
+    language fragments). Deliberately avoids log-probabilities in the
+    oracle-checked output: counts are integers and the final division
+    is one IEEE op, so both engines emit identical bits where chained
+    `ln` calls could drift in the last ulp.
+
+    Plan at 100 TB: bigram extraction is a linear projection
+    (sequence+transform+explode, whole-stage codegen, no Python); the
+    model table is bounded by |alphabet|^2 per script (tiny — it
+    aggregates with map-side partial combine and BROADCASTS back), so
+    the per-doc scoring join never shuffles the corpus. The same shape
+    scales to word n-grams with a frequency floor on the model table."""
+    docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 2)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bigram"),
+    )
+    from ..cache import pin
+
+    pairs = pin(pairs)  # feeds both the model build and the scoring join
+    model = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        pairs.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").alias("freq_sum"),
+            F.round(
+                F.sum("freq").cast("double") / F.count(F.lit(1)), 4
+            ).alias("familiarity"),
+        )
+    )

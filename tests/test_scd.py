@@ -204,3 +204,53 @@ def test_merge_on_parquet_table_is_guarded(spark, dims, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS scd_merge_guard_dim")
+
+
+# --- scd2_snapshot (point-in-time read, round 6) ------------------------
+
+
+def test_snapshot_before_history_is_empty(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_snapshot
+
+    *_, dim1 = dims
+    assert scd2_snapshot(dim1, "2023-12-31").count() == 0
+
+
+def test_snapshot_between_loads_reconstructs_first_state(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_snapshot
+
+    *_, dim1 = dims
+    snap = {
+        r["bk"]: (r["name"], r["balance"])
+        for r in scd2_snapshot(dim1, "2024-01-15").collect()
+    }
+    # All four original keys in effect; b5 (born 2024-02-01) absent.
+    assert set(snap) == {"b1", "b2", "b3", "b4"}
+    # T2 attr shows the ORIGINAL version (gamma_renamed starts later) ...
+    assert snap["b3"][0] == "gamma"
+    # ... while the T1 overwrite rewrote history in place.
+    assert snap["b2"][1] == 25.0
+
+
+def test_snapshot_at_most_one_row_per_key_any_date(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_snapshot
+
+    *_, dim1 = dims
+    for d in ("2024-01-01", "2024-01-31", "2024-02-01", "2025-01-01"):
+        dup = (
+            scd2_snapshot(dim1, d)
+            .groupBy("bk")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dup == 0, f"duplicate key in snapshot at {d}"
+
+
+def test_snapshot_today_equals_current_rows(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_snapshot
+
+    *_, dim1 = dims
+    snap = scd2_snapshot(dim1, "2099-01-01").select("sk").collect()
+    cur = dim1.where("is_current").select("sk").collect()
+    assert sorted(r["sk"] for r in snap) == sorted(r["sk"] for r in cur)
