@@ -46,8 +46,9 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # m8_rollup_status_priority, f8_token_set_ops, q4/q10/q18/f9 join
 # shapes, e8 unpivot, e9 ntile, d13 filtered aggs, m9 ratio-to-report,
 # f10 array HOFs, tx14 edit distance, tx15 bigram familiarity,
-# g2 SCD snapshot, u1 UDTF chunks) are first in line for the round-7
-# rotation; st2 (transformWithState) took the one vacated slot this
+# g2 SCD snapshot, u1 UDTF chunks, and the 16 tpch_full.py shapes
+# q2/q6/q7/q8/q9/q11/q12/q13/q14/q15/q16/q17/q19/q21/q22 completing the
+# 22-query inventory) are first in line for the round-7 rotation; st2 (transformWithState) took the one vacated slot this
 # round because it proves a previously-blocked API end-to-end.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
@@ -162,7 +163,7 @@ def load_registry():
     for mod in ("star_queries", "measure_queries", "dedup_queries",
                 "text_queries", "similarity_queries", "multimodal_queries",
                 "stream_queries", "prep_queries", "tpch_queries",
-                "analytics_queries", "udtf_queries"):
+                "tpch_full", "analytics_queries", "udtf_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

@@ -1,0 +1,833 @@
+"""The remaining TPC-H query shapes (round 6) — full 22-shape coverage.
+
+With q1 (core), q3/q5 (core), q4/q10/q18/f9 (tpch_queries), this module
+completes the canonical TPC-H plan-shape inventory: scan-filter-agg
+(q6), two-nation volume join (q7), market-share ratio (q8), profit
+rollup (q9), value-threshold HAVING with a global scalar subquery
+(q11), late-line conditional counts (q12), outer-join count
+distribution (q13), promo ratio (q14), max-revenue scalar subquery
+(q15), distinct-supplier counts with NOT IN (q16), correlated-avg
+quantity gate (q17), disjunctive OR-of-ANDs pushdown (q19), the
+multi-correlated EXISTS/NOT-EXISTS waiting-supplier (q21), the
+anti-join sales-opportunity rollup (q22), and the correlated-min
+cheapest-supplier lookup (q2).
+
+Sandbox schema adaptations (TESTDATA.md): there is no ``partsupp``
+table, no ``l_shipmode``/``l_commitdate``/``l_receiptdate``, and no
+``c_phone``. Where the official query touches those, the predicate is
+re-expressed on an available column with the SAME plan shape (the
+thing being exercised) and the docstring says exactly what changed:
+  - partsupp        -> DISTINCT (l_partkey, l_suppkey) pairs from lineitem
+  - ps_supplycost   -> min unit price l_extendedprice / l_quantity
+  - "late" lines    -> l_shipdate > o_orderdate + 30 days (as in q4)
+  - l_shipmode      -> l_linestatus
+  - phone prefix    -> c_mktsegment
+  - "complaint" suppliers (q16) -> s_acctbal < 0
+
+Every money aggregate runs through functions/exact.py decimal space so
+the DuckDB oracle hash-matches bit-exactly; ratios divide two
+decimal-exact doubles and round identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..cache import pin
+from ..functions.exact import dsum, sql_dsum
+from . import query
+
+# decimal-space revenue: identical text on both engines (tpch_queries)
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "CAST(1 - l_discount AS DECIMAL(8,4))"
+)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,4)")
+
+
+@query(
+    "q6_forecast_revenue",
+    sql="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6: pure scan-filter-aggregate — the predicate-pushdown
+    showcase. All three predicates reach the parquet scan as
+    PushedFilters and only 3 of 11 columns are read (ReadSchema); at
+    100 TB this is an embarrassingly parallel single-stage partial+final
+    agg with zero shuffle of row data (only 32 partial sums move)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(8,4)")
+    return li.agg(dsum(rev, "revenue", cast_to=None))
+
+
+@query(
+    "q7_volume_shipping",
+    sql=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume', 'revenue', cast=False)}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+             {_REV_SQL} AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7: bilateral trade volume between two nations by year.
+    nation appears TWICE (role-playing: supplier's vs customer's) and
+    the disjunctive nation-pair predicate is applied after both
+    broadcasts; supplier/customer/nation all broadcast, so the only
+    shuffle is lineitem|x|orders on orderkey. The nation filter prunes
+    ~92% of joined rows before the aggregate (2 of 25^2 pairs)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(_rev(), "revenue", cast_to=None))
+    )
+
+
+@query(
+    "q8_market_share",
+    sql=f"""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nationv = 'NATION_7' THEN volume
+                               ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+             {_REV_SQL} AS volume, n2.n_name AS nationv
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'PROMO'
+      ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8: NATION_7's share of ASIA-market PROMO-part revenue by
+    year — an 8-table join (nation role-plays twice, region gates the
+    customer side) feeding a conditional-ratio aggregate. Every
+    dimension broadcasts; the part filter (p_type='PROMO', 1/6 of
+    parts) semi-reduces lineitem before the orders shuffle. The share
+    divides two decimal-exact sums in double space, so the oracle
+    matches bit-for-bit."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nationv")
+    )
+    vol = F.col("volume")
+    zero = F.lit(0).cast("decimal(20,6)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "inner")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev().alias("volume"),
+            "nationv",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nationv") == "NATION_7", vol).otherwise(zero))
+            .cast("double")
+            / F.sum(vol).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q9_product_profit",
+    sql="""
+    SELECT nationp, o_year,
+           CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nationp,
+             CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+               CAST(1 - l_discount AS DECIMAL(8,4))
+             - CAST(p_retailprice AS DECIMAL(12,2)) *
+               CAST(l_quantity AS DECIMAL(8,2)) * CAST(0.1 AS DECIMAL(4,2))
+               AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nationp, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit on 'red' parts by supplier nation and
+    year. ADAPTED: no partsupp in the sandbox, so ps_supplycost is
+    re-expressed as 10% of p_retailprice — the 5-way join + LIKE-filter
+    + two-level rollup plan (the exercised shape) is unchanged. The
+    LIKE '%red%' can't push to parquet stats but runs in the codegen'd
+    scan filter of the tiny part table, which then semi-reduces
+    lineitem via broadcast before the orders shuffle. All arithmetic in
+    decimal space: (21,4) and (26,6) intermediates, exact on both
+    engines."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _rev() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+        * F.lit(0.1).cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nationp"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nationp", "o_year")
+        .agg(dsum(F.col("amount"), "sum_profit", cast_to=None))
+    )
+
+
+@query(
+    "q11_important_part_value",
+    sql=f"""
+    SELECT l_partkey AS partkey, {sql_dsum(_REV_SQL, 'part_value', cast=False)}
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_5'
+    GROUP BY l_partkey
+    HAVING CAST(SUM({_REV_SQL}) AS DOUBLE) > (
+      SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) * 0.0008
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_5'
+    )
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose stocked value exceeds a fraction of
+    the national total — HAVING against a GLOBAL scalar subquery.
+    ADAPTED: partsupp value -> lineitem revenue through NATION_5's
+    suppliers. The plan aggregates ONCE, then derives the global
+    threshold from the same aggregate (a second tiny all-reduce over
+    ~2000 part rows; the aggregate is pinned since two branches read it) and broadcast-joins it back — the base table is
+    scanned once, vs twice in the naive SQL text. At 100 TB the
+    threshold side is one row; the filter is a broadcast degenerate
+    join, never a shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_5"
+    )
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    per_part = pin(
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev()).alias("__v"))
+    )
+    total = per_part.agg(
+        (F.sum("__v").cast("double") * F.lit(0.0008)).alias("__thresh")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("__v").cast("double") > F.col("__thresh"))
+        .select(
+            "partkey",
+            F.round(F.col("__v"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_late_lines_by_status",
+    sql="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: priority mix of late lines per mode. ADAPTED:
+    no l_shipmode / commit / receipt dates in the sandbox — the group
+    key is l_linestatus and "late" is l_shipdate > o_orderdate + 30
+    days (same convention as q4). The join carries the non-equi
+    lateness predicate; the conditional counts are map-side-combined
+    integer sums (exact, no decimal machinery needed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13: distribution of per-customer order counts — the
+    canonical LEFT OUTER + double aggregation. The non-key predicate
+    (priority <> URGENT; stands in for the official comment NOT LIKE)
+    lives in the JOIN CONDITION, not a WHERE — customers whose only
+    orders are urgent must still appear with count 0, which a
+    where-clause formulation silently drops. First agg shuffles on
+    custkey (map-side combined); the second input is one row per
+    customer, shuffled on the tiny c_count key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    sql=f"""
+    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)
+                 / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14: PROMO share of one month's revenue. part broadcasts
+    (it only contributes the p_type flag); the month filter pushes to
+    the lineitem scan so the join input is ~1.4% of the table. Ratio of
+    two decimal-exact sums, divided and rounded in double space on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(20,6)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(zero))
+                .cast("double")
+                / F.sum(_rev()).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    sql=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum(_REV_SQL, 'total_revenue', cast=False)}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15: supplier(s) with the maximum quarterly revenue — the
+    view + MAX scalar-subquery shape. The per-supplier aggregate is
+    computed ONCE (pinned — both the max and the final filter read it)
+    vs the SQL text's double evaluation; the max is a one-row
+    broadcast, so no second scan and no global sort. Revenue is
+    decimal-rounded BEFORE the max-equality so the comparison is on
+    bit-stable doubles on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = pin(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            dsum(_rev(), "total_revenue", cast_to=None)
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    sql="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem) partsupp, part
+    WHERE p_partkey = ps_partkey
+      AND p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: how many suppliers can supply each qualifying
+    part group, excluding blacklisted suppliers. ADAPTED: partsupp is
+    the DISTINCT (l_partkey, l_suppkey) projection of lineitem, and
+    the "customer complaints" suppliers are those with negative
+    acctbal. The NOT IN subquery is a LEFT ANTI join against a ~6-row
+    broadcast (safe here because s_suppkey is non-null by
+    construction; NOT IN's three-valued NULL trap doesn't bite).
+    COUNT(DISTINCT) shuffles only after the part filter has pruned to
+    8 sizes x non-PROMO x one-brand-excluded."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("ps_suppkey"))
+    return (
+        pairs.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17: revenue lost to small-quantity orders — the
+    correlated-AVG scalar subquery. Decorrelated as a per-part
+    aggregate joined back (exactly what Catalyst's subquery rewrite
+    would emit): lineitem is scanned once for the averages (grouped on
+    partkey, map-side combined) and once for the probe; the per-part
+    threshold table is partkey-sized, broadcast after the Brand#23
+    semi-reduction. l_quantity is integer-valued, so AVG is exact in
+    double on both engines regardless of summation order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    # avg over ALL lineitems of the part (not just small-qty rows) —
+    # the correlation in the SQL text is on partkey alone. Both the
+    # threshold aggregate and the probe read the same brand-reduced
+    # join, so it is pinned: one lineitem scan, not two.
+    brand_lines = pin(
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    )
+    thresh = brand_lines.groupBy("p_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__t")
+    )
+    probe = brand_lines.drop("p_partkey")
+    return (
+        probe.join(F.broadcast(thresh), probe.l_partkey == thresh.p_partkey)
+        .where(F.col("l_quantity") < F.col("__t"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("__raw")
+        )
+        .select(F.round(F.col("__raw"), 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    sql=f"""
+    SELECT {sql_dsum(_REV_SQL, 'revenue', cast=False)}
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+            AND l_quantity >= 1 AND l_quantity <= 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity >= 10 AND l_quantity <= 20)
+        OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 20 AND l_quantity <= 30))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19: OR-of-ANDs across both join sides (brand+size from
+    part, quantity from lineitem). ADAPTED: no p_container /
+    l_shipmode, so each branch pairs brand+size with a quantity band —
+    the optimizer challenge (extracting the common p_partkey equi-key
+    and the per-side residual OR filters so neither table is scanned
+    per-branch) is identical. Catalyst pulls `l_quantity BETWEEN
+    min..max of any branch` style bounds into the scan; the residual
+    OR evaluates post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(b)
+        .agg(dsum(_rev(), "revenue", cast_to=None))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    sql="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3, orders o2
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND o2.o_orderkey = l3.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21: suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order — the hardest reference shape
+    (correlated EXISTS + NOT-EXISTS against the same fact table).
+    ADAPTED: "late" is l_shipdate > o_orderdate + 30 days (no
+    commit/receipt dates in the sandbox).
+
+    Decorrelated as a single per-(order, supplier) aggregation instead
+    of three lineitem scans: one pass computes each supplier's
+    any-late flag per order, a second groupBy on order counts
+    suppliers and late-suppliers, and the EXISTS pair becomes
+    `n_supp > 1 AND n_late = 1` — provably equivalent for rows that
+    are themselves late, because EXISTS(other supplier) = n_supp > 1
+    and NOT EXISTS(other late supplier) = (late suppliers == just me).
+    lineitem shuffles once on orderkey; everything downstream reuses
+    that partitioning. The oracle deliberately keeps the correlated
+    form so DuckDB independently verifies the rewrite."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("__late"),
+    )
+    per_supp = pin(
+        joined.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("__late").alias("__any_late"),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__late_lines"),
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum(F.col("__any_late").cast("int")).alias("__n_late"),
+    )
+    sole_late = (
+        per_supp.where(F.col("__any_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("__late_lines").alias("numwait"))
+    )
+
+
+@query(
+    "q22_sales_opportunity",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4)))
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22: well-funded customers with no recent orders —
+    global-AVG scalar subquery + NOT EXISTS anti join + rollup.
+    ADAPTED: no c_phone in the sandbox, so the country-code group key
+    becomes c_mktsegment and "no orders at all" (never true here —
+    every customer has orders) becomes "no orders since 2000". The avg
+    threshold is computed in decimal (exact across engines), broadcast
+    as one row; the anti join's right side is pre-filtered and
+    projected to the bare custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,4)")).alias("__avg")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("decimal(18,4)") > F.col("__avg"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    sql="""
+    WITH unit_cost AS (
+      SELECT l_partkey AS uc_partkey, l_suppkey AS uc_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+    FROM part, supplier, unit_cost, nation, region
+    WHERE p_partkey = uc_partkey AND s_suppkey = uc_suppkey
+      AND p_size IN (15, 23, 31) AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND supply_cost = (
+        SELECT MIN(supply_cost)
+        FROM unit_cost, supplier s2, nation n2, region r2
+        WHERE uc_partkey = p_partkey AND s2.s_suppkey = uc_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE'
+      )
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2: the cheapest EUROPE supplier per qualifying part —
+    correlated-MIN scalar subquery. ADAPTED: no partsupp, so
+    ps_supplycost is re-expressed as each (part, supplier)'s minimum
+    observed unit price (l_extendedprice / l_quantity — a double
+    division, IEEE-identical on both engines, so the min-equality
+    below is bit-safe). Decorrelated: the region-filtered unit-cost
+    table is aggregated once and pinned (its two readers would otherwise
+    each re-scan lineitem); a per-part MIN over it broadcast-joins
+    back as the equality filter — vs the SQL text's re-scan per part.
+    At 100 TB the unit-cost rollup is the only lineitem shuffle
+    ((partkey, suppkey) keys); part/supplier/nation/region all
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(15, 23, 31) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit_cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("uc_partkey"),
+            F.col("l_suppkey").alias("uc_suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    eu_cost = pin(
+        unit_cost.join(
+            F.broadcast(eu_supp), F.col("uc_suppkey") == F.col("s_suppkey")
+        )
+    )
+    min_cost = eu_cost.groupBy("uc_partkey").agg(
+        F.min("supply_cost").alias("__mn")
+    )
+    return (
+        eu_cost.join(F.broadcast(part), F.col("uc_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(min_cost), "uc_partkey")
+        .where(F.col("supply_cost") == F.col("__mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+    )

@@ -172,3 +172,70 @@ def test_f9_anti_join_filter_pushed(spark, sf_dir, registry):
     assert "1-URGENT" in plan, "priority filter not visible in the plan"
     assert "PushedFilters: [" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_pushed_and_pruned(spark, sf_dir, registry):
+    """q6: all three predicates must reach the parquet scan as pushed
+    filters and the scan must read only the 4 referenced columns — the
+    whole point of the scan-filter-agg shape at 100 TB."""
+    import re
+
+    plan = _plan(registry["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed: {pushed}"
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = set(c.split(":")[0] for c in scans[0].split(","))
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q21_single_orderkey_shuffle(spark, sf_dir, registry):
+    """q21: the decorrelated sole-late-supplier plan must scan lineitem
+    ONCE (the correlated SQL text scans it three times) and reuse the
+    orderkey partitioning for both aggregation levels — at most one
+    Exchange over lineitem-sized data."""
+    import re
+
+    plan = _plan(registry["q21_waiting_supplier"](spark, sf_dir))
+    n_li_scans = sum(
+        1
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_suppkey" in s
+    )
+    assert n_li_scans <= 1, f"lineitem scanned {n_li_scans} times"
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_single_aggregation_reused(spark, sf_dir, registry):
+    """q11: the HAVING-threshold shape must aggregate lineitem once and
+    derive the global threshold from the aggregate (broadcast one row),
+    not rescan the base table as the SQL text does."""
+    import re
+
+    plan = _plan(registry["q11_important_part_value"](spark, sf_dir))
+    n_li_scans = sum(
+        1
+        for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        if "l_extendedprice" in s
+    )
+    assert n_li_scans <= 1, f"lineitem scanned {n_li_scans} times for the threshold"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q2_q15_broadcast_scalar_filters(spark, sf_dir, registry):
+    """q2/q15: the correlated-MIN / MAX scalar subqueries must resolve
+    as one-row broadcasts against the reused aggregate — never a second
+    fact scan, never a sort-merge join of the tiny side."""
+    import re
+
+    for name in ("q2_min_cost_supplier", "q15_top_supplier"):
+        plan = _plan(registry[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+        n_li = sum(
+            1
+            for sch in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            if "l_extendedprice" in sch
+        )
+        assert n_li <= 1, f"{name}: lineitem scanned {n_li} times"
