@@ -254,3 +254,38 @@ def test_snapshot_today_equals_current_rows(spark, dims):
     snap = scd2_snapshot(dim1, "2099-01-01").select("sk").collect()
     cur = dim1.where("is_current").select("sk").collect()
     assert sorted(r["sk"] for r in snap) == sorted(r["sk"] for r in cur)
+
+
+def test_merge_execution_blocker_r6():
+    """VERDICT r5 item 7 — attempt to EXECUTE scd2_merge_sql for real.
+
+    Avenues tried this round (2026-08-14), all environment-blocked:
+      1. `pip download delta-spark` — no package index reachable from
+         the sandbox (offline), and no delta-* jars anywhere on disk,
+         so Spark cannot load a MERGE-capable catalog.
+      2. DuckDB as the executing engine — MERGE INTO landed in DuckDB
+         1.4.0; the sandbox ships 1.0.0 (Parser Error on MERGE).
+      3. Spark built-in v2 sources — parquet/orc tables do not
+         implement SupportsRowLevelOperations, so Spark's own analyzer
+         rejects MERGE on them (covered by
+         test_merge_on_parquet_table_is_guarded).
+
+    The validated-SQL ceiling (generation + Spark-parse + branch-route
+    equivalence vs scd2_apply) therefore stands. This test is a
+    TRIPWIRE: if the sandbox ever gains delta-spark or DuckDB >= 1.4,
+    it FAILS on purpose — the correct response is to execute the MERGE
+    against the g1 oracle and delete this test.
+    """
+    import importlib.util
+
+    assert importlib.util.find_spec("delta") is None, (
+        "delta-spark is now importable — execute scd2_apply_merge for real "
+        "against the g1 oracle and retire this tripwire"
+    )
+    import duckdb
+
+    major, minor = (int(x) for x in duckdb.__version__.split(".")[:2])
+    assert (major, minor) < (1, 4), (
+        f"DuckDB {duckdb.__version__} supports MERGE INTO — execute the "
+        "generated MERGE there against the g1 oracle and retire this tripwire"
+    )
