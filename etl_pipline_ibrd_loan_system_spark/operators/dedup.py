@@ -762,3 +762,49 @@ def connected_components(
     return nodes.join(roots_map, "node", "left").select(
         "node", F.coalesce("cid", F.col("node")).alias("cluster_id")
     )
+
+
+def select_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Survivor selection — the stage after connected_components in a
+    production dedup pipeline: per near-dup cluster, keep exactly one
+    representative (highest ``quality_col``, ties to the LOWEST id so
+    the choice is deterministic), and docs in no cluster survive as
+    their own singleton.
+
+    Returns (cluster_id, rep_doc_id, rep_quality, cluster_size).
+
+    The (quality, -id) ordering is encoded as one BIGINT key
+    ``quality * 1e8 - id`` so a single map-side-combinable max_by picks
+    the winner — no window, no sort, no per-cluster row shuffle beyond
+    the groupBy. At 100 TB: one doc_id-keyed join (docs |x| cluster
+    map, both already hash-partitioned on the id from upstream stages)
+    plus one combinable aggregate whose state is two longs per cluster.
+    The 1e8 multiplier bounds ids per shard; for global ids beyond 1e8
+    swap the key for max_by over a struct (same plan shape).
+    """
+    cl = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__cl")
+    )
+    assign = (
+        docs.select(id_col, quality_col)
+        .join(cl, id_col, "left")
+        .select(
+            F.coalesce(F.col("__cl"), F.col(id_col)).alias("cluster_id"),
+            F.col(id_col),
+            F.col(quality_col),
+        )
+    )
+    key = (
+        F.col(quality_col).cast("bigint") * F.lit(100000000).cast("bigint")
+        - F.col(id_col).cast("bigint")
+    )
+    return assign.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), key).alias("rep_doc_id"),
+        F.max_by(F.col(quality_col), key).alias("rep_quality"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

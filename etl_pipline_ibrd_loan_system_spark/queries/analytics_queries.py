@@ -246,3 +246,68 @@ def tx14_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("text", 1, 40), F.substring("next_text", 1, 40)
         ).alias("dist"),
     )
+
+
+@query(
+    "d14_stats_moments",
+    sql="""
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+                      CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+                      CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxy - (sx * sy) / n) / (n - 1), 4) AS covar_qty_price,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS corr_qty_price,
+           ROUND(SQRT((sxx - (sx * sx) / n) / (n - 1)), 6) AS stddev_qty
+    FROM sums
+    """,
+)
+def d14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (sample covariance, Pearson correlation,
+    sample stddev) per return flag. The built-in corr/covar_samp
+    aggregates sum doubles in partition order — order-dependent last-ulp
+    drift that the hash gate would catch — so the moments are assembled
+    from DECIMAL power sums (widths sized so DuckDB 1.0's product
+    precision p1+p2 stays executable: (8,2) and (12,2) per factor) (exact, associative, mergeable: the same
+    five sums a map-side combiner or an incremental rollup would keep)
+    and the closed forms evaluate in double space with identical
+    association on both engines; sqrt is correctly rounded in IEEE 754,
+    so every output bit matches. Plan: one map-side-combined hash
+    aggregate over the scan — the moment calculus is a projection on 3
+    grouped rows. At 100 TB the state is 5 decimals x 3 groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(8,2)")
+    dy = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round((sxy - (sx * sy) / n) / (n - 1), 4).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(F.sqrt((sxx - (sx * sx) / n) / (n - 1)), 6).alias("stddev_qty"),
+    )

@@ -337,3 +337,54 @@ def dd9_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.chunk_boilerplate_filter(
         tainted, "text", "doc_id", chunk=16, min_docs=3
     )
+
+
+@query(
+    "dd10_cluster_representatives",
+    sql=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    pairs AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
+      ) WHERE jaccard >= 0.8
+    ),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a
+    ),
+    cl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    assign AS (
+      SELECT COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+             d.doc_id, d.n_chars
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+    )
+    SELECT cluster_id,
+           arg_max(doc_id, n_chars * 100000000 - doc_id) AS rep_doc_id,
+           arg_max(n_chars, n_chars * 100000000 - doc_id) AS rep_quality,
+           COUNT(*) AS cluster_size
+    FROM assign GROUP BY cluster_id
+    """,
+)
+def dd10_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup SURVIVOR SELECTION: MinHash pairs -> connected
+    components -> one representative per cluster (longest text, ties to
+    the lowest doc_id), singletons surviving as themselves — the final
+    stage that turns near-dup detection into an actual curated corpus.
+    The oracle replays the whole pipeline: brute-force Jaccard pairs,
+    recursive-CTE transitive closure, then arg_max survivor choice."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+    clusters = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return dedup.select_representatives(docs, clusters, "doc_id", "n_chars")

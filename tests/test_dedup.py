@@ -134,3 +134,31 @@ def test_embedding_lsh_hamming_prefilter_keeps_exact_dups(emb):
         for r in emb.where(F.col("vec_id") % 10 == 0).select("vec_id").collect()
     }
     assert found == expected
+
+
+def test_select_representatives_tiebreak_and_singletons(spark):
+    """Survivor choice: highest quality wins, quality ties go to the
+    LOWEST id, docs absent from the cluster map survive as their own
+    singleton cluster."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        select_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "node long, cluster_id long"
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in select_representatives(docs, clusters).collect()
+    }
+    assert set(out) == {1, 9}
+    # quality tie between 2 and 3 -> lower id 2; doc 1 loses on quality
+    assert out[1]["rep_doc_id"] == 2
+    assert out[1]["rep_quality"] == 50
+    assert out[1]["cluster_size"] == 3
+    # doc 9 never appeared in any pair -> singleton, its own rep
+    assert out[9]["rep_doc_id"] == 9
+    assert out[9]["cluster_size"] == 1
