@@ -308,3 +308,48 @@ def ss1_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
             return spark.table("ss1_join").localCheckpoint(eager=True)
         finally:
             q.stop()
+
+
+_S2_SQL = f"""
+    SELECT date_trunc('hour', ts) AS window_start, c_mktsegment,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY date_trunc('hour', ts), c_mktsegment
+    """
+
+
+def _s2_agg(events: DataFrame, cust: DataFrame) -> DataFrame:
+    enriched = events.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+    )
+    out = tumbling_window_agg(
+        enriched,
+        ts_col="ts",
+        window="1 hour",
+        group_cols=["c_mktsegment"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+    return out.drop("window_end")
+
+
+@query("s2_stream_static_enrich", sql=_S2_SQL)
+def s2_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a BROADCAST
+    static dimension (customer) per micro-batch before the windowed
+    aggregate — the canonical Structured Streaming enrichment shape.
+    The static side is planned once and broadcast into every batch;
+    no stream-side shuffle happens for the join (only the stateful
+    window aggregation keys a shuffle). The oracle runs the identical
+    join+window as one batch SQL statement, proving stream/batch
+    parity of the enrichment."""
+    stream = _events_stream_factory(spark, sf_dir, "s2_events_")()
+    cust = load_table(spark, sf_dir, "customer")
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(
+            _s2_agg(stream, cust), "s2_enriched", output_mode="complete"
+        )
+        try:
+            return spark.table("s2_enriched").localCheckpoint(eager=True)
+        finally:
+            q.stop()
