@@ -105,3 +105,49 @@ def sm2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", k=5, n_centroids=8, nprobe=2,
         lloyd_iters=2, dims=64,
     )
+
+
+_NORM = "list_transform({v}, x -> x::DOUBLE / sqrt(list_sum(list_transform({v}, y -> y::DOUBLE * y::DOUBLE))))"
+_CODE = (
+    "list_transform(nv, x -> "
+    "GREATEST(LEAST(floor(x * 127.0 / g), 127), -127)::BIGINT)"
+)
+
+
+@query(
+    "sm3_int8_topk",
+    sql=f"""
+    WITH qn AS (SELECT vec_id AS query_id, {_NORM.format(v='embedding')} AS nv
+                FROM embeddings WHERE vec_id < 10),
+    cn AS (SELECT vec_id AS neighbor_id, {_NORM.format(v='embedding')} AS nv
+           FROM embeddings WHERE vec_id >= 10),
+    gs AS (SELECT MAX(list_max(list_transform(nv, x -> abs(x)))) AS g FROM cn),
+    qc AS (SELECT neighbor_id, {_CODE} AS cq FROM cn, gs),
+    qq AS (SELECT query_id, {_CODE} AS qv8 FROM qn, gs),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65), i -> qv8[i] * cq[i]))::BIGINT
+               AS int_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_sum(list_transform(range(1, 65), i -> qv8[i] * cq[i])) DESC,
+                        neighbor_id ASC
+             ) AS rank
+      FROM qq CROSS JOIN qc
+    )
+    SELECT query_id, neighbor_id, int_score, rank::INT AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def sm3_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized similarity search: symmetric int8 codes over
+    L2-normalized vectors + integer dot-product ranking
+    (similarity.int8_topk). The integer scores make the oracle
+    comparison trivially exact — and diffing sm3 against sm1 measures
+    the quantization recall loss the same way sm2 measures IVF recall
+    (tests/test_similarity.py pins recall >= 0.9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5,
+    )
