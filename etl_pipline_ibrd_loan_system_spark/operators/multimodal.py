@@ -117,7 +117,16 @@ def decode_media(df: DataFrame) -> DataFrame:
     text stand-ins, audio, video, Adam7-interlaced PNG — takes the
     byte-stats fallback: metadata dimensions pass through and `byte_sum`
     is the raw payload byte sum. Either way the operator never throws on
-    a malformed payload (a 100 TB corpus always has some)."""
+    a malformed payload (a 100 TB corpus always has some).
+
+    WAV payloads (RIFF/WAVE signature) also get a REAL decode (round 6):
+    a stdlib chunk-walker reads `fmt `/`data`, supports integer PCM at
+    8 (unsigned), 16, 24 and 32 bits little-endian, and reports
+    width = n_channels, height = frames-per-channel, byte_sum = the sum
+    of ABSOLUTE sample values (8-bit samples re-centered to signed).
+    Float WAV / ADPCM / truncated data chunks take the byte-stats tier.
+    Proven against `wave`-module-encoded fixtures in
+    tests/test_multimodal_wav.py."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -240,16 +249,68 @@ def decode_media(df: DataFrame) -> DataFrame:
             except Exception:
                 return None  # malformed payload: byte-stats tier
 
+        def decode_wav(payload: bytes):
+            """(n_channels, n_frames, abs_sample_sum) or None if not an
+            integer-PCM RIFF/WAVE payload."""
+            import struct
+
+            if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                return None
+            try:
+                pos, fmt_chunk, data = 12, None, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                    body = payload[pos + 8 : pos + 8 + length]
+                    if cid == b"fmt ":
+                        fmt_chunk = body
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + length + (length & 1)  # chunks are word-aligned
+                if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
+                    return None
+                audio_fmt, n_ch, _rate, _, _, bits = struct.unpack(
+                    "<HHIIHH", fmt_chunk[:16]
+                )
+                if audio_fmt != 1 or n_ch == 0 or bits not in (8, 16, 24, 32):
+                    return None  # float/ADPCM/exotic: fallback tier
+                sw = bits // 8
+                n_samples, rem = divmod(len(data), sw)
+                if rem or n_samples % n_ch:
+                    return None  # truncated data chunk
+                s = 0
+                if bits == 8:  # unsigned, center to signed
+                    for v in data:
+                        s += abs(v - 128)
+                elif bits == 16:
+                    for (v,) in struct.iter_unpack("<h", data):
+                        s += abs(v)
+                elif bits == 32:
+                    for (v,) in struct.iter_unpack("<i", data):
+                        s += abs(v)
+                else:  # 24-bit little-endian signed
+                    for i in range(0, len(data), 3):
+                        v = int.from_bytes(data[i : i + 3], "little", signed=True)
+                        s += abs(v)
+                return n_ch, n_samples // n_ch, s
+            except Exception:
+                return None
+
         for b in batches:
             out = {k: [] for k in ("media_id", "fmt", "n_bytes", "byte_sum", "width", "height")}
             for mid, payload, meta in zip(b["media_id"], b["data"], b["meta"]):
                 payload = bytes(payload)
-                png = decode_png(payload)
+                decoded = decode_png(payload)
+                if decoded is None:
+                    wav = decode_wav(payload)
+                    if wav is not None:
+                        n_ch, n_frames, s = wav
+                        decoded = (n_ch, n_frames, s)
                 out["media_id"].append(mid)
                 out["fmt"].append(meta["fmt"])
                 out["n_bytes"].append(len(payload))
-                if png is not None:
-                    w, h, px = png
+                if decoded is not None:
+                    w, h, px = decoded
                     out["byte_sum"].append(px)
                     out["width"].append(w)
                     out["height"].append(h)
