@@ -1,0 +1,130 @@
+"""Data-quality operators: declarative expectation checks and table
+profiling (the Deequ / Great-Expectations surface a warehouse pipeline
+runs before publishing a table).
+
+Not reference-derived — the reference pipeline trusts its CSV inputs;
+a 100 TB ingest cannot. Design rules:
+
+- ALL row-level checks over one table compile into ONE aggregate pass
+  (map-side-combined conditional sums) — never a job per check. A
+  suite of 50 checks costs the same scan as one.
+- Referential checks are key-projected anti-join COUNTS: only the key
+  column moves, and the dimension side broadcasts when small.
+- Output is LONG format (check_name, metric, passed) so a suite is a
+  table you can alert on, not a wall of booleans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: `metric_expr` is a row-level predicate counted
+    across the table; `passed` compares the count against `max_bad`."""
+
+    name: str
+    predicate: Column  # True where the ROW VIOLATES the expectation
+    max_bad: int = 0
+
+
+def violation_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run every check in ONE aggregate pass: each check contributes a
+    conditional sum (violations) to a single hash aggregate, then the
+    wide row unpivots to (check_name, metric, passed). Zero shuffles of
+    row data — only the 1-row aggregate moves."""
+    wide = df.agg(
+        *[
+            F.sum(F.when(c.predicate, 1).otherwise(0)).alias(c.name)
+            for c in checks
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(c.name).cast("bigint").alias("metric"),
+                (F.col(c.name) <= c.max_bad).alias("passed"),
+            )
+            for c in checks
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def fk_orphan_count(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str, name: str
+) -> DataFrame:
+    """Referential-integrity check as a key-projected LEFT ANTI count:
+    fact rows whose key has no match in the dimension. Both sides are
+    projected to the bare key before the join; at scale this is a
+    broadcast anti join when the dim fits, a key-only shuffle
+    otherwise."""
+    orphans = (
+        fact.select(F.col(fact_key).alias("__k"))
+        .join(
+            F.broadcast(dim.select(F.col(dim_key).alias("__k")).distinct()),
+            "__k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("metric"))
+    )
+    return orphans.select(
+        F.lit(name).alias("check_name"),
+        F.col("metric").cast("bigint"),
+        (F.col("metric") == 0).alias("passed"),
+    )
+
+
+def duplicate_key_count(df: DataFrame, key: str, name: str) -> DataFrame:
+    """Uniqueness check: number of EXTRA rows beyond one per key
+    (total - distinct) — one map-side-combined aggregate over the key
+    projection."""
+    agg = df.select(key).agg(
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("metric")
+    )
+    return agg.select(
+        F.lit(name).alias("check_name"),
+        F.col("metric").cast("bigint"),
+        (F.col("metric") == 0).alias("passed"),
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column profile in long format: (column, n_rows, n_nulls,
+    n_distinct, min_value, max_value) with values stringified for a
+    uniform schema.
+
+    One aggregate computes every column's metrics; the multiple
+    COUNT(DISTINCT) terms plan through Spark's Expand (one scan,
+    |columns| row multiplication before the partial aggregate) — the
+    standard profiling trade; for approximate-tolerant profiling swap
+    countDistinct for HLL (operators/sketches.py) and the Expand
+    disappears."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                F.col(f"__nulls_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(structs).alias("s")).select("s.*")

@@ -1,0 +1,153 @@
+"""Data-quality query catalog (operators/quality.py): an expectation
+suite and a column profiler over the warehouse tables, both
+oracle-paired.
+
+dq1 unions three check families — row-level violations (one aggregate
+pass), referential orphans (anti-join count), key uniqueness — into the
+long (check_name, metric, passed) report a publish gate consumes.
+dq2 profiles every customer column in one Expand-planned aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import quality
+from . import query
+
+
+@query(
+    "dq1_expectation_checks",
+    sql="""
+    SELECT * FROM (
+      SELECT 'orders_nonpositive_total' AS check_name,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS metric,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) <= 0 AS passed
+      FROM orders
+      UNION ALL
+      SELECT 'orders_null_custkey',
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) <= 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_bad_status',
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)::BIGINT,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) <= 0
+      FROM orders
+      UNION ALL
+      SELECT 'orders_date_out_of_range',
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                       OR o_orderdate >= TIMESTAMP '2010-01-01'
+                      THEN 1 ELSE 0 END)::BIGINT,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                       OR o_orderdate >= TIMESTAMP '2010-01-01'
+                      THEN 1 ELSE 0 END) <= 0
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_orphan_orderkey',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) = 0
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))::BIGINT,
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) = 0
+      UNION ALL
+      SELECT 'orders_duplicate_orderkey',
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)::BIGINT,
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    )
+    """,
+)
+def dq1_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-gate expectation suite: the four row-level checks fold
+    into ONE orders scan (violation_checks), the two FK checks are
+    key-projected broadcast anti-join counts, uniqueness is one
+    count-minus-distinct aggregate. The union is seven 1-row frames —
+    the driver never touches row data."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    row_checks = quality.violation_checks(
+        orders,
+        [
+            quality.Check("orders_nonpositive_total", F.col("o_totalprice") <= 0),
+            quality.Check("orders_null_custkey", F.col("o_custkey").isNull()),
+            quality.Check(
+                "orders_bad_status", ~F.col("o_orderstatus").isin("O", "F", "P")
+            ),
+            quality.Check(
+                "orders_date_out_of_range",
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+            ),
+        ],
+    )
+    return (
+        row_checks.unionAll(
+            quality.fk_orphan_count(
+                li, "l_orderkey", orders, "o_orderkey", "lineitem_orphan_orderkey"
+            )
+        )
+        .unionAll(
+            quality.fk_orphan_count(
+                orders, "o_custkey", cust, "c_custkey", "orders_orphan_custkey"
+            )
+        )
+        .unionAll(
+            quality.duplicate_key_count(
+                orders, "o_orderkey", "orders_duplicate_orderkey"
+            )
+        )
+    )
+
+
+@query(
+    "dq2_table_profile",
+    sql="""
+    SELECT * FROM (
+      SELECT 'c_custkey' AS "column", COUNT(*)::BIGINT AS n_rows,
+             SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             COUNT(DISTINCT c_custkey)::BIGINT AS n_distinct,
+             MIN(c_custkey)::VARCHAR AS min_value,
+             MAX(c_custkey)::VARCHAR AS max_value
+      FROM customer
+      UNION ALL
+      SELECT 'c_name', COUNT(*)::BIGINT,
+             SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT c_name)::BIGINT,
+             MIN(c_name), MAX(c_name)
+      FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*)::BIGINT,
+             SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT c_mktsegment)::BIGINT,
+             MIN(c_mktsegment), MAX(c_mktsegment)
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', COUNT(*)::BIGINT,
+             SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT c_nationkey)::BIGINT,
+             MIN(c_nationkey)::VARCHAR, MAX(c_nationkey)::VARCHAR
+      FROM customer
+    )
+    """,
+)
+def dq2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: nulls / distincts / min / max for four customer
+    columns in ONE Expand-planned aggregate (the oracle's four scans
+    collapse to one in the Spark plan — same trade q11/q18 make
+    against their SQL texts)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return quality.profile_table(
+        cust, ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    )

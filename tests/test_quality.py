@@ -1,0 +1,53 @@
+"""Data-quality operators detect planted violations (operators/quality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipline_ibrd_loan_system_spark.operators import quality
+
+
+def test_violation_checks_one_pass_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0), (None, 3.0)], "k int, v double"
+    )
+    out = {
+        r.check_name: r
+        for r in quality.violation_checks(
+            df,
+            [
+                quality.Check("nonpositive_v", F.col("v") <= 0),
+                quality.Check("null_k", F.col("k").isNull()),
+                quality.Check("tolerated", F.col("v") < 5, max_bad=3),
+            ],
+        ).collect()
+    }
+    assert (out["nonpositive_v"].metric, out["nonpositive_v"].passed) == (2, False)
+    assert (out["null_k"].metric, out["null_k"].passed) == (1, False)
+    assert (out["tolerated"].metric, out["tolerated"].passed) == (3, True)
+    # the whole suite is ONE aggregate over the table: no join, no window
+    plan = quality.violation_checks(
+        df, [quality.Check("x", F.col("v") < 0)]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_fk_orphans_and_duplicates(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,), (9,)], "fk int")
+    dim = spark.createDataFrame([(1,), (2,)], "pk int")
+    orphan = quality.fk_orphan_count(fact, "fk", dim, "pk", "orphans").first()
+    assert (orphan.metric, orphan.passed) == (2, False)
+    dup = quality.duplicate_key_count(fact, "fk", "dups").first()
+    assert (dup.metric, dup.passed) == (1, False)
+
+
+def test_profile_table_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k int, s string"
+    )
+    prof = {r.column: r for r in quality.profile_table(df, ["k", "s"]).collect()}
+    assert prof["k"].n_rows == 3 and prof["k"].n_nulls == 0
+    assert prof["k"].n_distinct == 2
+    assert (prof["k"].min_value, prof["k"].max_value) == ("1", "2")
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "c")
