@@ -311,3 +311,146 @@ def d14_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round(F.sqrt((sxx - (sx * sx) / n) / (n - 1)), 6).alias("stddev_qty"),
     )
+
+
+@query(
+    "e10_funnel_stages",
+    sql="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+        AS n_view_click,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click) AS n_full_funnel
+    FROM stages
+    """,
+)
+def e10_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who progressed view -> click ->
+    purchase IN THAT ORDER, via per-user first-occurrence timestamps
+    (one conditional-MIN aggregate — no sequence window, no self-join:
+    the strictly-increasing-first-timestamp criterion is equivalent to
+    'an ordered traversal exists' for first-touch funnels). Two
+    aggregates total: user-grain (map-side combined on user_id) then a
+    3-counter global fold. At 100 TB the only shuffle keys on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "m10_cohort_retention",
+    sql="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, date_trunc('day', e.ts))
+               AS days_since
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(days_since AS INTEGER) AS days_since,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, days_since
+    """,
+)
+def m10_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity DAY
+    (the events table spans one month, so day grain gives the matrix
+    its depth; a year-spanning deployment flips the truncation to
+    month — same plan), counted on each subsequent day they were
+    active. The first-seen aggregate is user-grain (map-side combined);
+    the cohort map joins back on user_id — the SAME partitioning the
+    first aggregate produced, so at scale the join is shuffle-free —
+    and the day distinct+count is combined on the (cohort, day) pair.
+    days_since is exact calendar arithmetic on truncated days,
+    identical in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("int")
+            .alias("days_since"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "days_since").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+from ..operators import graph as _graph  # noqa: E402
+
+
+@query(
+    "g3_pagerank_trade_graph",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    {_graph.pagerank_oracle_ctes(iters=3)}
+    SELECT node, rank_units FROM prfinal
+    """,
+)
+def g3_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 damped iterations) over the symmetric
+    customer<->supplier trade graph derived from orders |x| lineitem.
+    All rank arithmetic is 64-bit integer (1e12 fixed-point units), so
+    the distributed result is bit-identical regardless of partitioning
+    or reduction order — which is also what lets a DuckDB oracle replay
+    the iterations verbatim (pagerank_oracle_ctes generates the CTE
+    chain from the same constants as the Spark loop). Supplier node ids
+    are offset by 1e6 to disambiguate the bipartite sides."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph.pagerank_fixed_point(edges, iters=3)
