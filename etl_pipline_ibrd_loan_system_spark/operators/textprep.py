@@ -340,3 +340,32 @@ def chunk_boilerplate_filter(
         frac.alias("boilerplate_frac"),
         (frac < 0.5).alias("keep"),
     )
+
+
+def substring_decontaminate(
+    train: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_col: str = "span",
+) -> DataFrame:
+    """Verbatim-substring decontamination: drop every training document
+    that CONTAINS any benchmark span (the exact-match complement of
+    ngram_decontaminate — catches contamination that tokenization-based
+    n-grams can miss: code, punctuation-dense text, unusual whitespace).
+
+    Plan shape for 100 TB: spans are benchmark-sized (small) and
+    BROADCAST; the check is a BroadcastNestedLoopJoin LEFT ANTI with a
+    `contains` predicate — each training partition scans the span list
+    locally, nothing shuffles. That is O(|train| x |spans|) substring
+    tests, the right trade up to ~1e4 spans; beyond that, compile the
+    span set into one Aho-Corasick automaton inside a mapInPandas
+    kernel (same broadcast shape, linear scan per doc)."""
+    from pyspark.sql.functions import broadcast
+
+    sp = spans.select(F.col(span_col).alias("__span")).where(
+        F.length("__span") > 0
+    ).distinct()
+    return train.join(
+        broadcast(sp), F.col(text_col).contains(F.col("__span")), "left_anti"
+    )

@@ -530,3 +530,61 @@ def f6_union_evolving_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.col("source").alias("quality_tier")
     )
     return union_evolving([page1, page2])
+
+
+@query(
+    "dc2_substring_decontaminate",
+    sql="""
+    WITH probe AS (
+      SELECT substr(text, 8, 32) AS p FROM documents WHERE doc_id = 0
+    ),
+    tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 <> 0 AND doc_id % 11 = 0
+                  THEN text || ' ' || (SELECT p FROM probe)
+                  ELSE text END AS text,
+             n_chars
+      FROM documents
+    ),
+    spans AS (
+      SELECT DISTINCT substr(text, 8, 32) AS span FROM tainted
+      WHERE doc_id % 37 = 0 AND length(substr(text, 8, 32)) > 0
+    )
+    SELECT doc_id, n_chars FROM tainted d
+    WHERE doc_id % 37 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM spans s WHERE contains(d.text, s.span)
+      )
+    """,
+)
+def dc2_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span decontamination: every 37th document is the
+    held-out benchmark; a 32-char mid-document span of each benchmark
+    doc is the contamination probe, and any training document
+    containing one verbatim is dropped
+    (textprep.substring_decontaminate — broadcast span list, anti
+    nested-loop contains; complements dc1's tokenized n-gram rule).
+    Every 11th training document is tainted with benchmark doc 0's
+    span so the detector has real contamination to find (the dd9
+    pattern); the oracle replays the taint."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") == 0).select(
+        F.substring("text", 8, 32).alias("__p")
+    )
+    tainted = docs.join(F.broadcast(probe)).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 37 != 0) & (F.col("doc_id") % 11 == 0),
+            F.concat(F.col("text"), F.lit(" "), F.col("__p")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+    )
+    spans = tainted.where(F.col("doc_id") % 37 == 0).select(
+        F.substring("text", 8, 32).alias("span")
+    )
+    train = tainted.where(F.col("doc_id") % 37 != 0)
+    return textprep.substring_decontaminate(
+        train, spans, "text", "doc_id"
+    ).select("doc_id", "n_chars")
