@@ -77,6 +77,80 @@ def pagerank_fixed_point(
     return ranks.select("node", F.col("rank").alias("rank_units"))
 
 
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an UNDIRECTED simple
+    graph given as (src, dst) pairs (either or both orientations; loops
+    and duplicates are removed here).
+
+    Algorithm: degree-ordered orientation (Cohen / Suri-Vassilvitskii's
+    MR triangle counting). Each undirected edge is kept once, oriented
+    from the LOWER-(degree, id) endpoint to the higher. Wedges are then
+    a self-join of the oriented edge list on its source, and a wedge
+    (a→b, a→c) closes iff oriented edge b→c exists — a second equi-join.
+    Orientation by degree bounds every node's oriented out-degree by
+    O(sqrt(|E|)) on any graph, so the wedge fan-out — the quadratic
+    term that kills the naive a<b<c id-orientation on skewed graphs
+    (one celebrity hub = deg² wedges) — is capped regardless of skew.
+    The triangle SET is orientation-invariant, so the oracle can replay
+    with the simple id-ordering and identical results.
+
+    Both joins are plain equi-joins on node keys: broadcastable when the
+    oriented edge list is small, shuffle-partitioned otherwise, and the
+    wedge join and closure join share the same key family. Returns
+    (node, n_triangles) for every node in at least one triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("bigint").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient low (deg, id) -> high (deg, id): a strict total order, so
+    # each undirected edge survives exactly once
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("a"), F.col("e.hi").alias("b"))
+    )
+    e1 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = oriented.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    # w_b < w_c (id order) keeps each unordered wedge once; the closing
+    # edge test then goes against the CANONICAL (u<v) undirected list —
+    # a plain two-key equi-join (hash join), not the OR-of-orientations
+    # condition that would fall off the hash-join path
+    wedges = e1.join(e2, "w_a").where(F.col("w_b") < F.col("w_c"))
+    tri = wedges.join(
+        und,
+        (F.col("u") == F.col("w_b")) & (F.col("v") == F.col("w_c")),
+        "left_semi",
+    ).select("w_a", "w_b", "w_c")
+    corners = (
+        tri.select(F.col("w_a").alias("node"))
+        .union(tri.select(F.col("w_b").alias("node")))
+        .union(tri.select(F.col("w_c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank_oracle_ctes(iters: int = 3, damping_pct: int = 85) -> str:
     """DuckDB CTE chain replaying the fixed-point iterations verbatim.
     Expects CTEs `edges(src, dst)` to exist; emits `prfinal(node,

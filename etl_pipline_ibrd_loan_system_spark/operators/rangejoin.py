@@ -68,3 +68,58 @@ def binned_range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("__bin")
+
+
+def binned_interval_overlap_join(
+    left: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right: DataFrame,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open [lo, hi) on both
+    sides, overlap iff a.lo < b.hi AND b.lo < a.hi), via the same bin
+    expansion as `binned_range_join` — the shape temporal databases call
+    an overlap join (session-vs-session, downtime-vs-campaign,
+    annotation-vs-annotation).
+
+    Both sides explode into the bins they touch; candidates meet in a
+    hash equi-join on the bin key. A pair overlapping k shared bins
+    would surface k times, so each pair is emitted ONLY in the first bin
+    both intervals occupy — `bin == max(floor(a.lo/W), floor(b.lo/W))` —
+    the standard dedup-free trick (no distinct, no shuffle to dedupe):
+    every qualifying pair matches in exactly one bin. The exact overlap
+    predicate then prunes same-bin near-misses.
+
+    Inner only, for `binned_range_join`'s reason. Fan-out per row =
+    span/W + 1, so W near the median span keeps the explode O(1) per
+    interval; AQE handles residual bin skew like any hash-join skew.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    w = F.lit(float(bin_width))
+
+    def binned(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        return df.withColumn(
+            f"__bin_{tag}",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("bigint"),
+                    F.floor(F.col(hi) / w).cast("bigint"),
+                )
+            ),
+        ).withColumn(f"__lobin_{tag}", F.floor(F.col(lo) / w).cast("bigint"))
+
+    lb = binned(left, left_lo, left_hi, "l")
+    rb = binned(right, right_lo, right_hi, "r")
+    joined = (
+        lb.join(rb, F.col("__bin_l") == F.col("__bin_r"))
+        .where(
+            (F.col("__bin_l") == F.greatest(F.col("__lobin_l"), F.col("__lobin_r")))
+            & (F.col(left_lo) < F.col(right_hi))
+            & (F.col(right_lo) < F.col(left_hi))
+        )
+    )
+    return joined.drop("__bin_l", "__bin_r", "__lobin_l", "__lobin_r")

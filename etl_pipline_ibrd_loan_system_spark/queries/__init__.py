@@ -163,7 +163,8 @@ def load_registry():
     for mod in ("star_queries", "measure_queries", "dedup_queries",
                 "text_queries", "similarity_queries", "multimodal_queries",
                 "stream_queries", "prep_queries", "tpch_queries",
-                "tpch_full", "analytics_queries", "udtf_queries", "quality_queries"):
+                "tpch_full", "analytics_queries", "udtf_queries", "quality_queries",
+                "advanced_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

@@ -1,0 +1,369 @@
+"""Round-6 second-wave surface: CDC changelog apply, triangle counting,
+order-aware EWMA, grouped OLS regression, embedding covariance,
+BPE-style pair-merge statistics, and the interval-overlap join.
+
+Each query pairs a Spark-first operator with a portable DuckDB oracle
+under the repo's exactness discipline: cross-row reductions happen in
+decimal/bigint space (associative ⇒ partition-order-invariant ⇒
+hash-comparable), per-row/per-list float arithmetic is IEEE-identical
+sequential folds, and every computed column is aliased identically on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import graph as _graph
+from ..operators.cdc import cdc_apply
+from ..operators.rangejoin import binned_interval_overlap_join
+from . import query
+
+# deterministic synthetic changelog over orders: key = customer, event
+# sequence = orderkey (globally unique), op mix exercises all three verbs
+_CDC_OP_SQL = (
+    "CASE WHEN o_orderkey % 13 = 0 THEN 'D' "
+    "WHEN o_orderkey % 3 = 0 THEN 'I' ELSE 'U' END"
+)
+
+
+@query(
+    "c6_cdc_apply",
+    sql=f"""
+    WITH changelog AS (
+      SELECT o_custkey AS cust_id, o_orderkey AS seq, {_CDC_OP_SQL} AS op,
+             o_orderstatus AS status, o_totalprice AS totalprice,
+             o_orderdate AS orderdate
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cust_id ORDER BY seq DESC) AS rn
+      FROM changelog
+    )
+    SELECT cust_id, seq, status, totalprice, orderdate
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def c6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state (the general form of the reference's
+    per-row OLE DB UPDATE apply, SSIS ``bor_dim.dtsx`` — SURVEY §2.A11).
+    The operator is ONE map-side-combinable MAX(struct) aggregate —
+    no window, no per-key sort, shuffle carries one partial row per
+    (key, partition) — where the oracle replays the semantics with the
+    textbook row_number window. A delete with the highest sequence
+    removes the key; a later upsert would resurrect it."""
+    orders = load_table(spark, sf_dir, "orders")
+    changelog = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.expr(_CDC_OP_SQL).alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderdate").alias("orderdate"),
+    )
+    return cdc_apply(
+        changelog,
+        key_cols=["cust_id"],
+        seq_col="seq",
+        op_col="op",
+        payload_cols=["status", "totalprice", "orderdate"],
+    )
+
+
+@query(
+    "g4_triangle_count",
+    sql="""
+    WITH und AS (
+      SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u,
+                      CAST(b.l_suppkey AS BIGINT) AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+    """,
+)
+def g4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-supply graph (suppliers
+    adjacent iff they ship lines of the same order). The operator
+    orients edges by (degree, id) — capping wedge fan-out at
+    O(sqrt(|E|)) per node on ANY degree distribution, the MR triangle
+    counting of Suri-Vassilvitskii — while the oracle replays the
+    orientation-invariant triangle set with the naive a<b<c
+    three-way self-join. Edge derivation fan-out is bounded by
+    lines-per-order (≤ 7 in TPC-H), so the pair explode never
+    quadratics on a big order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return _graph.triangle_counts(und, src="src", dst="dst")
+
+
+@query(
+    "e11_ewma",
+    sql="""
+    SELECT event_id, user_id, ts, value,
+           list_reduce(
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW
+             ),
+             (acc, x) -> acc * 0.5 + x
+           ) AS ewma
+    FROM events
+    """,
+)
+def e11_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2,
+    16-event horizon) as an ORDER-AWARE windowed reduce: collect the
+    frame in frame order, left-fold acc*0.5 + x. Multiplication by 0.5
+    is exact in binary floating point and the fold order is pinned by
+    the frame on both engines, so the doubles are bit-identical with NO
+    decimal detour — the idiom for any order-sensitive recurrence
+    (EWMA, compound interest, Horner polynomial) that a plain SUM
+    cannot express. One shuffle on user_id; the 16-row frame bounds
+    per-row state. DuckDB's list_reduce seeds with the first element,
+    Spark's aggregate with 0.0 — identical because f(0, x1) = x1."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    frame = F.collect_list("value").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.aggregate(
+            frame, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x
+        ).alias("ewma"),
+    )
+
+
+@query(
+    "e13_group_regression",
+    sql="""
+    WITH sums AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+                      CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) *
+                      CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def e13_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (extendedprice ~ quantity) from the five
+    mergeable power sums — the closed-form regression every segmented
+    model-fit pipeline ships as a single hash aggregate: partials merge
+    associatively (decimal space), the closed forms evaluate driverless
+    in the final projection, and adding a group key costs nothing. A
+    per-group regression via mllib or applyInPandas would shuffle the
+    full rows; this shuffles five numbers per (group, partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(8,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )
+
+
+# 2^20 quantization steps, 2^40 denominator for the product sums — both
+# powers of two, so the scaling multiplications are EXACT in double space
+_QSCALE = 1 << 20
+_QDENOM = float(1 << 40)
+
+
+@query(
+    "f11_embedding_covariance",
+    sql=f"""
+    WITH q AS (
+      SELECT ti.range AS i, tj.range AS j,
+             CAST(FLOOR(CAST(embedding[ti.range] AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qi,
+             CAST(FLOOR(CAST(embedding[tj.range] AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qj
+      FROM embeddings
+      CROSS JOIN range(1, 9) ti
+      CROSS JOIN range(1, 9) tj
+      WHERE ti.range <= tj.range
+    )
+    SELECT i, j, COUNT(*) AS n_vecs,
+           ROUND(((CAST(SUM(qi * qj) AS DOUBLE)
+                   - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)
+                     / COUNT(*))
+                  / COUNT(*)) / {_QDENOM!r}, 6) AS cov
+    FROM q GROUP BY i, j
+    """,
+)
+def f11_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading 8x8 block of the embedding covariance matrix via
+    fixed-point quantization: components floor-quantize to 2^-20 steps
+    (float→double cast exact, power-of-two scale exact, floor exact),
+    then every moment is a BIGINT sum — associative, so the distributed
+    result is partition-order-invariant and replayable, where raw
+    double sums would differ in the last ulps per reduction order (the
+    int8_topk / fixed-point-PageRank idiom). The (i, j) pair explode is
+    36 rows per vector with NO self-join; at full width it is d(d+1)/2
+    — the shuffle carries three integers per (pair, partition), which
+    is what makes a 100 TB covariance/PCA pass a single aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(1, 8), i ->
+          transform(sequence(i, 8), j -> struct(
+            i AS i, j AS j,
+            CAST(FLOOR(CAST(element_at(embedding, i) AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qi,
+            CAST(FLOOR(CAST(element_at(embedding, j) AS DOUBLE) * {_QSCALE}) AS BIGINT) AS qj
+          ))))
+        """
+    )
+    exploded = emb.select(F.explode(pairs).alias("p")).select("p.*")
+    agg = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+        F.sum("qi").alias("si"),
+        F.sum("qj").alias("sj"),
+    )
+    n = F.col("n_vecs")
+    cov = (
+        (
+            F.col("sij").cast("double")
+            - F.col("si").cast("double") * F.col("sj").cast("double") / n
+        )
+        / n
+    ) / F.lit(_QDENOM)
+    return agg.select("i", "j", "n_vecs", F.round(cov, 6).alias("cov"))
+
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "bpe1_pair_merges",
+    sql=f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+    pairs AS (
+      SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT w1, w2, COUNT(*) AS n_pairs
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n_pairs DESC, w1, w2 LIMIT 20
+    """,
+)
+def bpe1_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-style merge-learning step: corpus-wide adjacent-token
+    pair frequencies, top-20 merge candidates under a total order
+    (count DESC, then lexicographic — deterministic at the cut line).
+    The pair explode is per-row (no self-join, no shuffle before the
+    count); the count is map-side-combined on the pair key; the top-20
+    compiles to TakeOrderedAndProject — each partition keeps 20
+    candidates, the driver merges 20·P rows — NOT a single-partition
+    row_number window. Iterating this step with the winning pair
+    substituted is exactly BPE vocabulary training at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    pairs = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> "
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+    )
+    return (
+        docs.select(toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "j3_interval_overlap",
+    sql="""
+    WITH l AS (
+      SELECT event_id AS l_id, epoch_ms(ts) AS l_lo,
+             epoch_ms(ts) + (300 + event_id % 600) * 1000 AS l_hi
+      FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT event_id AS r_id, epoch_ms(ts) AS r_lo,
+             epoch_ms(ts) + (200 + event_id % 900) * 1000 AS r_hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l_id, r_id, l_lo, l_hi, r_lo, r_hi
+    FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi
+    """,
+)
+def j3_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (view-activity windows vs
+    purchase-activity windows): the operator bin-expands both sides and
+    meets candidates in a hash equi-join with first-shared-bin pair
+    dedup, where the oracle states the declarative theta join (which
+    Spark would plan as a nested loop — the exact degeneration the bin
+    expansion exists to kill). Millisecond bigint bounds; 15-minute
+    bins ≈ the median interval span, keeping fan-out and per-bin
+    density both O(1)."""
+    events = load_table(spark, sf_dir, "events")
+    # unix_millis rejects TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # cast is a pure type tag change (core.py e6 idiom)
+    lo = F.unix_millis(F.col("ts").cast("timestamp"))
+    left = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"),
+        lo.alias("l_lo"),
+        (lo + (F.lit(300) + F.col("event_id") % 600) * 1000).alias("l_hi"),
+    )
+    right = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        lo.alias("r_lo"),
+        (lo + (F.lit(200) + F.col("event_id") % 900) * 1000).alias("r_hi"),
+    )
+    return binned_interval_overlap_join(
+        left, "l_lo", "l_hi", right, "r_lo", "r_hi", bin_width=900_000
+    ).select("l_id", "r_id", "l_lo", "l_hi", "r_lo", "r_hi")

@@ -1,0 +1,135 @@
+"""Unit tests for the round-6 second-wave operators: CDC changelog
+apply (operators/cdc.py), triangle counting (operators/graph.py), and
+the interval-overlap join (operators/rangejoin.py)."""
+
+from __future__ import annotations
+
+import itertools
+
+from etl_pipline_ibrd_loan_system_spark.operators import graph
+from etl_pipline_ibrd_loan_system_spark.operators.cdc import cdc_apply
+from etl_pipline_ibrd_loan_system_spark.operators.rangejoin import (
+    binned_interval_overlap_join,
+)
+
+CDC_SCHEMA = "k string, seq long, op string, val string"
+
+
+def _apply(spark, rows):
+    df = spark.createDataFrame(rows, CDC_SCHEMA)
+    out = cdc_apply(df, ["k"], "seq", "op", ["val"])
+    return {r.k: (r.seq, r.val) for r in out.collect()}
+
+
+def test_cdc_last_writer_wins(spark):
+    got = _apply(
+        spark,
+        [("a", 1, "I", "v1"), ("a", 3, "U", "v3"), ("a", 2, "U", "v2")],
+    )
+    assert got == {"a": (3, "v3")}
+
+
+def test_cdc_trailing_delete_removes_key(spark):
+    got = _apply(
+        spark,
+        [("a", 1, "I", "v1"), ("a", 2, "D", None), ("b", 1, "I", "w1")],
+    )
+    assert got == {"b": (1, "w1")}
+
+
+def test_cdc_upsert_after_delete_resurrects(spark):
+    got = _apply(
+        spark,
+        [("a", 1, "I", "v1"), ("a", 2, "D", None), ("a", 3, "I", "v3")],
+    )
+    assert got == {"a": (3, "v3")}
+
+
+def test_cdc_partition_invariant(spark):
+    rows = [
+        (f"k{i % 7}", i, "D" if i % 11 == 0 else "U", f"v{i}") for i in range(1, 200)
+    ]
+    one = cdc_apply(
+        spark.createDataFrame(rows, CDC_SCHEMA).coalesce(1), ["k"], "seq", "op", ["val"]
+    )
+    many = cdc_apply(
+        spark.createDataFrame(rows, CDC_SCHEMA).repartition(13),
+        ["k"],
+        "seq",
+        "op",
+        ["val"],
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+def _tri_counts(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r.node: r.n_triangles for r in graph.triangle_counts(df).collect()}
+
+
+def test_triangle_complete_graph(spark):
+    """K5: every node is in C(4,2) = 6 triangles; 10 triangles total."""
+    edges = list(itertools.combinations(range(5), 2))
+    got = _tri_counts(spark, edges)
+    assert got == {i: 6 for i in range(5)}
+
+
+def test_triangle_none_on_bipartite(spark):
+    """Bipartite graphs are triangle-free — the trade graph sanity check."""
+    edges = [(a, b) for a in range(3) for b in range(10, 14)]
+    assert _tri_counts(spark, edges) == {}
+
+
+def test_triangle_duplicate_and_reversed_edges_collapse(spark):
+    """Orientation and multiplicity must not inflate counts."""
+    tri = [(1, 2), (2, 3), (1, 3)]
+    noisy = tri + [(b, a) for a, b in tri] + tri
+    assert _tri_counts(spark, noisy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_skewed_hub(spark):
+    """A hub star plus one rim edge: exactly one triangle, and the
+    degree-ordered orientation keeps the hub's wedge list small (the
+    correctness of counts is what's asserted; the fan-out cap is the
+    plan property documented in the operator)."""
+    hub = [(0, i) for i in range(1, 30)]
+    got = _tri_counts(spark, hub + [(1, 2)])
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _overlap(spark, left, right, w):
+    l = spark.createDataFrame(left, "l_id long, l_lo long, l_hi long")
+    r = spark.createDataFrame(right, "r_id long, r_lo long, r_hi long")
+    out = binned_interval_overlap_join(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+    return sorted((row.l_id, row.r_id) for row in out.collect())
+
+
+def test_overlap_basic_and_touching_excluded(spark):
+    left = [(1, 0, 10), (2, 20, 30)]
+    right = [(10, 5, 8), (20, 10, 15), (30, 29, 40)]
+    # [0,10) overlaps [5,8); [0,10) does NOT overlap [10,15) (half-open touch);
+    # [20,30) overlaps [29,40)
+    assert _overlap(spark, left, right, 4) == [(1, 10), (2, 30)]
+
+
+def test_overlap_pair_emitted_once_across_shared_bins(spark):
+    """Two long intervals sharing many bins must produce ONE pair row."""
+    left = [(1, 0, 1000)]
+    right = [(9, 500, 2000)]
+    assert _overlap(spark, left, right, 7) == [(1, 9)]
+
+
+def test_overlap_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(13)
+    left = [(i, lo := rnd.randrange(0, 500), lo + rnd.randrange(1, 60)) for i in range(80)]
+    right = [(i, lo := rnd.randrange(0, 500), lo + rnd.randrange(1, 90)) for i in range(80)]
+    expect = sorted(
+        (a, b)
+        for a, alo, ahi in left
+        for b, blo, bhi in right
+        if alo < bhi and blo < ahi
+    )
+    for w in (5, 32, 1000):
+        assert _overlap(spark, left, right, w) == expect
