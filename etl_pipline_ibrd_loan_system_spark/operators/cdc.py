@@ -12,8 +12,10 @@ delete tombstone removing the key entirely.
 Spark-first shape: ONE combinable aggregate, no window function. The
 winner per key is ``MAX(struct(seq, op, payload...))`` — struct
 comparison is lexicographic, so with a unique ``seq`` per key the max
-is exactly the highest-sequence event, and the aggregate is a
-map-side-combinable hash aggregate (partial maxes merge associatively).
+is exactly the highest-sequence event, and the aggregate is
+map-side-combinable (partial maxes merge associatively; Spark plans
+max-of-struct as a SortAggregate with a partial_max before the
+exchange — the shuffle-volume property is identical to a hash agg).
 At 100 TB that matters twice over: the shuffle carries one partially
 reduced row per (key, map partition) instead of the full changelog, and
 there is no per-key sort — a window row_number() plan would shuffle

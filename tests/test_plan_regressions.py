@@ -239,3 +239,53 @@ def test_q2_q15_broadcast_scalar_filters(spark, sf_dir, registry):
             if "l_extendedprice" in sch
         )
         assert n_li <= 1, f"{name}: lineitem scanned {n_li} times"
+
+
+def test_c6_cdc_is_single_hash_aggregate(spark, sf_dir, registry):
+    """c6: the changelog apply must stay ONE combinable aggregate — a
+    regression to the window row_number form would show WindowExec and
+    a per-key sort over the full changelog."""
+    plan = _plan(registry["c6_cdc_apply"](spark, sf_dir))
+    assert "Window" not in plan, "cdc_apply regressed to a window plan"
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, f"cdc_apply grew extra shuffles ({n_exchanges})"
+    # max(struct) plans as SortAggregate (struct isn't hash-buffer-able);
+    # the load-bearing property is the MAP-SIDE partial before the shuffle
+    assert "partial_max" in plan, "cdc_apply lost the map-side combine"
+
+
+def test_g4_triangle_joins_stay_hash_joins(spark, sf_dir, registry):
+    """g4: wedge + closure joins must be equi-joins (hash/broadcast or
+    SMJ) — the OR-of-orientations closure condition would degenerate to
+    BroadcastNestedLoopJoin and the whole operator to all-pairs."""
+    plan = _plan(registry["g4_triangle_count"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j3_overlap_join_is_equi_join(spark, sf_dir, registry):
+    """j3: the interval-overlap join must meet candidates in a bin-key
+    equi-join; the declarative theta form (what the oracle states) plans
+    as a nested loop — exactly what the bin expansion exists to kill."""
+    plan = _plan(registry["j3_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe1_topk_is_take_ordered(spark, sf_dir, registry):
+    """bpe1: the top-20 merge candidates must compile to
+    TakeOrderedAndProject (distributed partial top-k), never a global
+    row_number window over the full pair vocabulary."""
+    plan = _plan(registry["bpe1_pair_merges"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_f11_covariance_is_single_aggregate_pass(spark, sf_dir, registry):
+    """f11: the covariance block is one generate+aggregate pipeline —
+    no join (a self-join per (i,j) pair would scan the corpus 36x)."""
+    plan = _plan(registry["f11_embedding_covariance"](spark, sf_dir))
+    assert "Join" not in plan, "covariance grew a self-join"
+    assert "HashAggregate" in plan
