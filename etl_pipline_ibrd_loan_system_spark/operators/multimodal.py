@@ -108,13 +108,14 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     Payloads are SNIFFED, not trusted: a payload carrying the PNG
     signature is actually decoded (stdlib zlib + per-row unfiltering,
-    PNG filters 0-4; color types 0/2/3/4/6 at every legal non-
-    interlaced bit depth — grayscale 1/2/4/8/16, paletted 1/2/4/8 via
-    PLTE lookup, truecolor/alpha 8/16) and reports the IHDR width/
-    height and the true decoded pixel sum as `width`/`height`/
-    `byte_sum` (paletted pixels contribute r+g+b of their palette
-    entry; 16-bit samples their full 16-bit value). Everything else —
-    text stand-ins, audio, video, Adam7-interlaced PNG — takes the
+    PNG filters 0-4; color types 0/2/3/4/6 at every legal bit depth —
+    grayscale 1/2/4/8/16, paletted 1/2/4/8 via PLTE lookup,
+    truecolor/alpha 8/16; BOTH interlace methods — progressive Adam7
+    decodes pass-by-pass, each pass unfiltered independently) and
+    reports the IHDR width/height and the true decoded pixel sum as
+    `width`/`height`/`byte_sum` (paletted pixels contribute r+g+b of
+    their palette entry; 16-bit samples their full 16-bit value).
+    Everything else — text stand-ins, audio, video — takes the
     byte-stats fallback: metadata dimensions pass through and `byte_sum`
     is the raw payload byte sum. Either way the operator never throws on
     a malformed payload (a 100 TB corpus always has some).
@@ -171,8 +172,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                 }
                 if not (width and height and idat) or channels is None:
                     return None
-                if interlace != 0 or bit_depth not in legal_depths[color_type]:
-                    return None  # Adam7 / illegal depth: fallback tier
+                if interlace not in (0, 1) or bit_depth not in legal_depths[color_type]:
+                    return None  # illegal depth / unknown interlace: fallback
                 pal_sum = None
                 if color_type == 3:
                     if plte is None or len(plte) % 3 or not plte:
@@ -182,69 +183,101 @@ def decode_media(df: DataFrame) -> DataFrame:
                         for i in range(0, len(plte), 3)
                     ]
                 raw = zlib.decompress(b"".join(idat))
-                # stride = scanline bytes; bpp = filter offset (>=1 byte)
-                stride = (width * channels * bit_depth + 7) // 8
                 bpp = max(1, channels * bit_depth // 8)
-                if len(raw) != (stride + 1) * height:
-                    return None
-                # unfilter (PNG spec 9.2): prev = reconstructed prior row;
-                # filters operate on BYTES regardless of sample width
-                px_sum = 0
-                prev = bytearray(stride)
-                for y in range(height):
-                    base = y * (stride + 1)
-                    ftype = raw[base]
-                    line = bytearray(raw[base + 1 : base + 1 + stride])
-                    if ftype == 1:  # Sub
-                        for i in range(bpp, stride):
-                            line[i] = (line[i] + line[i - bpp]) & 0xFF
-                    elif ftype == 2:  # Up
-                        for i in range(stride):
-                            line[i] = (line[i] + prev[i]) & 0xFF
-                    elif ftype == 3:  # Average
-                        for i in range(stride):
-                            a = line[i - bpp] if i >= bpp else 0
-                            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                    elif ftype == 4:  # Paeth
-                        for i in range(stride):
-                            a = line[i - bpp] if i >= bpp else 0
-                            b = prev[i]
-                            c = prev[i - bpp] if i >= bpp else 0
-                            p = a + b - c
-                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                            line[i] = (line[i] + pr) & 0xFF
-                    elif ftype != 0:
+
+                def sum_block(offset: int, pw: int, ph: int):
+                    """Unfilter + sum one filtered block (the whole image,
+                    or one Adam7 pass — each pass filters independently
+                    with its own scanlines). Returns (block_sum,
+                    next_offset) or None on a malformed block. Filters
+                    operate on BYTES regardless of sample width (PNG
+                    spec 9.2); prev = reconstructed prior row."""
+                    stride = (pw * channels * bit_depth + 7) // 8
+                    if offset + (stride + 1) * ph > len(raw):
                         return None
-                    if bit_depth == 16:  # big-endian sample pairs
-                        for i in range(0, stride, 2):
-                            px_sum += (line[i] << 8) | line[i + 1]
-                    elif bit_depth == 8:
-                        if pal_sum is not None:
-                            for idx in line:
-                                if idx >= len(pal_sum):
-                                    return None
-                                px_sum += pal_sum[idx]
-                        else:
-                            px_sum += sum(line)
-                    else:  # 1/2/4-bit samples, MSB-first, row-end padding
-                        nsamp = width * channels
-                        mask = (1 << bit_depth) - 1
-                        per_byte = 8 // bit_depth
-                        si = 0
-                        for byte in line:
-                            for k in range(per_byte - 1, -1, -1):
-                                if si >= nsamp:
-                                    break
-                                s = (byte >> (k * bit_depth)) & mask
-                                if pal_sum is not None:
-                                    if s >= len(pal_sum):
+                    blk_sum = 0
+                    prev = bytearray(stride)
+                    for y in range(ph):
+                        base = offset + y * (stride + 1)
+                        ftype = raw[base]
+                        line = bytearray(raw[base + 1 : base + 1 + stride])
+                        if ftype == 1:  # Sub
+                            for i in range(bpp, stride):
+                                line[i] = (line[i] + line[i - bpp]) & 0xFF
+                        elif ftype == 2:  # Up
+                            for i in range(stride):
+                                line[i] = (line[i] + prev[i]) & 0xFF
+                        elif ftype == 3:  # Average
+                            for i in range(stride):
+                                a = line[i - bpp] if i >= bpp else 0
+                                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                        elif ftype == 4:  # Paeth
+                            for i in range(stride):
+                                a = line[i - bpp] if i >= bpp else 0
+                                b = prev[i]
+                                c = prev[i - bpp] if i >= bpp else 0
+                                p = a + b - c
+                                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                                line[i] = (line[i] + pr) & 0xFF
+                        elif ftype != 0:
+                            return None
+                        if bit_depth == 16:  # big-endian sample pairs
+                            for i in range(0, stride, 2):
+                                blk_sum += (line[i] << 8) | line[i + 1]
+                        elif bit_depth == 8:
+                            if pal_sum is not None:
+                                for idx in line:
+                                    if idx >= len(pal_sum):
                                         return None
-                                    px_sum += pal_sum[s]
-                                else:
-                                    px_sum += s
-                                si += 1
-                    prev = line
+                                    blk_sum += pal_sum[idx]
+                            else:
+                                blk_sum += sum(line)
+                        else:  # 1/2/4-bit samples, MSB-first, row-end padding
+                            nsamp = pw * channels
+                            mask = (1 << bit_depth) - 1
+                            per_byte = 8 // bit_depth
+                            si = 0
+                            for byte in line:
+                                for k in range(per_byte - 1, -1, -1):
+                                    if si >= nsamp:
+                                        break
+                                    s = (byte >> (k * bit_depth)) & mask
+                                    if pal_sum is not None:
+                                        if s >= len(pal_sum):
+                                            return None
+                                        blk_sum += pal_sum[s]
+                                    else:
+                                        blk_sum += s
+                                    si += 1
+                        prev = line
+                    return blk_sum, offset + (stride + 1) * ph
+
+                if interlace == 0:
+                    blocks = [(width, height)]
+                else:
+                    # Adam7 passes (x0, y0, dx, dy), spec order. The pixel
+                    # SUM needs no deinterlaced placement — decode each
+                    # pass in stream order and accumulate. Passes with no
+                    # pixels emit no scanlines at all.
+                    blocks = [
+                        ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+                        for x0, y0, dx, dy in (
+                            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                            (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                            (0, 1, 1, 2),
+                        )
+                    ]
+                    blocks = [(pw, ph) for pw, ph in blocks if pw > 0 and ph > 0]
+                px_sum, offset = 0, 0
+                for pw, ph in blocks:
+                    got = sum_block(offset, pw, ph)
+                    if got is None:
+                        return None
+                    blk, offset = got
+                    px_sum += blk
+                if offset != len(raw):
+                    return None
                 return width, height, px_sum
             except Exception:
                 return None  # malformed payload: byte-stats tier

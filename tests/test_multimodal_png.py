@@ -68,31 +68,49 @@ def _pack_row(samples, bit_depth: int) -> bytes:
     return bytes(out)
 
 
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def encode_png(
     pixels: np.ndarray,
     filters=None,
     bit_depth: int = 8,
     palette: list[tuple[int, int, int]] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Minimal PNG encoder: pixels is (h, w) gray/indices or (h, w, ch)
     with ch in {1, 2, 3, 4}; `filters` picks the per-row filter type.
     With `palette`, pixels are (h, w) palette indices (color type 3);
-    `bit_depth` supports 1/2/4/8/16 where the spec allows."""
+    `bit_depth` supports 1/2/4/8/16 where the spec allows. With
+    `interlace`, scanlines are stored as the seven Adam7 passes
+    (each pass filtered independently, empty passes omitted)."""
     paletted = palette is not None
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
     color_type = 3 if paletted else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(interlace))
     bpp = max(1, ch * bit_depth // 8)
     raw = bytearray()
-    prev = bytes((w * ch * bit_depth + 7) // 8)
-    for y in range(h):
-        line = _pack_row(pixels[y].reshape(-1).tolist(), bit_depth)
-        f = (filters or [0])[y % len(filters or [0])]
-        raw.append(f)
-        raw += _filter_row(f, line, prev, bpp)
-        prev = line
+    if interlace:
+        blocks = [
+            pixels[y0::dy, x0::dx] for x0, y0, dx, dy in ADAM7
+        ]
+        blocks = [b for b in blocks if b.shape[0] and b.shape[1]]
+    else:
+        blocks = [pixels]
+    for block in blocks:
+        bh, bw = block.shape[0], block.shape[1]
+        prev = bytes((bw * ch * bit_depth + 7) // 8)
+        for y in range(bh):
+            line = _pack_row(block[y].reshape(-1).tolist(), bit_depth)
+            f = (filters or [0])[y % len(filters or [0])]
+            raw.append(f)
+            raw += _filter_row(f, line, prev, bpp)
+            prev = line
     chunks = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if paletted:
         chunks += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
@@ -167,8 +185,40 @@ def test_subbyte_gray_png(spark, depth):
     assert got.byte_sum == int(px.astype(np.int64).sum())
 
 
-def test_interlaced_png_takes_fallback_tier(spark):
-    """Adam7 stays honestly on the byte-stats tier."""
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (13, 9), (7, 5), (4, 4), (3, 11), (1, 1), (2, 2)]
+)
+def test_interlaced_png_decodes(spark, shape):
+    """Adam7 (round 6): every pass decodes independently; dims below 8
+    exercise EMPTY passes (which emit no scanlines at all)."""
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    got = _decode(spark, [encode_png(px, filters=[0, 1, 2, 3, 4], interlace=True)])[0]
+    assert (got.width, got.height) == (shape[1], shape[0])
+    assert got.byte_sum == int(px.astype(np.int64).sum())
+
+
+def test_interlaced_16bit_and_paletted(spark):
+    rng = np.random.default_rng(77)
+    px16 = rng.integers(0, 65536, size=(10, 6, 2))
+    palette = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(16)]
+    idx = rng.integers(0, 16, size=(9, 5))
+    got = _decode(
+        spark,
+        [
+            encode_png(px16, filters=[4, 3], bit_depth=16, interlace=True),
+            encode_png(idx, filters=[0, 2], bit_depth=4, palette=palette,
+                       interlace=True),
+        ],
+    )
+    assert got[0].byte_sum == int(px16.astype(np.int64).sum())
+    assert got[1].byte_sum == sum(sum(palette[i]) for i in idx.reshape(-1))
+
+
+def test_interlace_flag_on_sequential_stream_falls_back(spark):
+    """An interlace=1 IHDR over a NON-interlaced scanline stream is
+    malformed (stream length can't match the Adam7 pass layout) — it
+    must take the byte-stats tier, not a wrong decode."""
     px = np.full((4, 4), 9, dtype=np.uint8)
     good = encode_png(px)
     # flip the IHDR interlace byte (last IHDR payload byte) + fix CRC
