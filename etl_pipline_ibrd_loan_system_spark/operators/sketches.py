@@ -152,6 +152,52 @@ def hll_oracle_sql(
     """
 
 
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame) -> DataFrame:
+    """Register-wise MAX merge: the sketch of the UNION of the two
+    underlying sets — the property that makes HLL the 100 TB distinct
+    path (partial sketches merge associatively; no re-scan of either
+    input). Inputs are group-less (bucket, m_reg) register tables."""
+    return (
+        regs_a.select("bucket", "m_reg")
+        .union(regs_b.select("bucket", "m_reg"))
+        .groupBy("bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+
+
+def hll_collapse_sql(regs_cte: str, b: int = DEFAULT_B) -> str:
+    """DuckDB scalar-subquery replay of hll_estimate over a group-less
+    register CTE `regs_cte(bucket, m_reg)` — same decimal register sum,
+    same estimator literals as the Spark path."""
+    m = 2 ** b
+    alpha_m2 = _alpha(m) * m * m
+    z = (
+        f"CAST(CAST({m} - (SELECT COUNT(*) FROM {regs_cte}) AS DECIMAL(38,21))"
+        f" + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21)))"
+        f" FROM {regs_cte}) AS DOUBLE)"
+    )
+    v = f"({m} - (SELECT COUNT(*) FROM {regs_cte}))"
+    return (
+        f"CAST(ROUND(CASE WHEN ({alpha_m2!r} / {z}) <= {2.5 * m} AND {v} > 0 "
+        f"THEN {float(m)!r} * LN({float(m)!r} / {v}) "
+        f"ELSE {alpha_m2!r} / {z} END) AS BIGINT)"
+    )
+
+
+def hll_registers_sql(source_sql: str, b: int = DEFAULT_B, cap: int = RHO_CAP) -> str:
+    """DuckDB replay of hll_registers over `source_sql` (a query with a
+    single column `v`): yields bucket, m_reg rows."""
+    m = 2 ** b
+    h = "CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT)"
+    rho = _rho_sql(f"h // {m}", cap)
+    return (
+        f"SELECT bucket, MAX(rho) AS m_reg FROM ("
+        f"SELECT h % {m} AS bucket, {rho} AS rho FROM "
+        f"(SELECT {h} AS h FROM ({source_sql}))"
+        f") GROUP BY bucket"
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     col: str,

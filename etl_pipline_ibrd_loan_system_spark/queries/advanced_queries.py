@@ -367,3 +367,92 @@ def j3_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_interval_overlap_join(
         left, "l_lo", "l_hi", right, "r_lo", "r_hi", bin_width=900_000
     ).select("l_id", "r_id", "l_lo", "l_hi", "r_lo", "r_hi")
+
+
+@query(
+    "e12_event_transitions",
+    sql="""
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def e12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams: LEAD
+    pairs each event with its successor inside the per-user window (one
+    user-key shuffle, no self-join), then a map-side-combined count per
+    (from, to). Output is |event_types|^2 rows regardless of input size
+    — the path-analysis primitive behind funnel drop-off and
+    next-action models."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SK6_ORACLE = """
+    WITH regs_a AS (SELECT bucket, MAX(rho) AS m_reg FROM (SELECT h % 512 AS bucket, CASE WHEN (h // 512) % 2 = 1 THEN 1 WHEN (h // 512) % 4 = 2 THEN 2 WHEN (h // 512) % 8 = 4 THEN 3 WHEN (h // 512) % 16 = 8 THEN 4 WHEN (h // 512) % 32 = 16 THEN 5 WHEN (h // 512) % 64 = 32 THEN 6 WHEN (h // 512) % 128 = 64 THEN 7 WHEN (h // 512) % 256 = 128 THEN 8 WHEN (h // 512) % 512 = 256 THEN 9 WHEN (h // 512) % 1024 = 512 THEN 10 WHEN (h // 512) % 2048 = 1024 THEN 11 WHEN (h // 512) % 4096 = 2048 THEN 12 WHEN (h // 512) % 8192 = 4096 THEN 13 WHEN (h // 512) % 16384 = 8192 THEN 14 WHEN (h // 512) % 32768 = 16384 THEN 15 WHEN (h // 512) % 65536 = 32768 THEN 16 WHEN (h // 512) % 131072 = 65536 THEN 17 WHEN (h // 512) % 262144 = 131072 THEN 18 WHEN (h // 512) % 524288 = 262144 THEN 19 ELSE 20 END AS rho FROM (SELECT CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM (SELECT o_custkey AS v FROM orders WHERE o_orderstatus = 'F'))) GROUP BY bucket),
+    regs_b AS (SELECT bucket, MAX(rho) AS m_reg FROM (SELECT h % 512 AS bucket, CASE WHEN (h // 512) % 2 = 1 THEN 1 WHEN (h // 512) % 4 = 2 THEN 2 WHEN (h // 512) % 8 = 4 THEN 3 WHEN (h // 512) % 16 = 8 THEN 4 WHEN (h // 512) % 32 = 16 THEN 5 WHEN (h // 512) % 64 = 32 THEN 6 WHEN (h // 512) % 128 = 64 THEN 7 WHEN (h // 512) % 256 = 128 THEN 8 WHEN (h // 512) % 512 = 256 THEN 9 WHEN (h // 512) % 1024 = 512 THEN 10 WHEN (h // 512) % 2048 = 1024 THEN 11 WHEN (h // 512) % 4096 = 2048 THEN 12 WHEN (h // 512) % 8192 = 4096 THEN 13 WHEN (h // 512) % 16384 = 8192 THEN 14 WHEN (h // 512) % 32768 = 16384 THEN 15 WHEN (h // 512) % 65536 = 32768 THEN 16 WHEN (h // 512) % 131072 = 65536 THEN 17 WHEN (h // 512) % 262144 = 131072 THEN 18 WHEN (h // 512) % 524288 = 262144 THEN 19 ELSE 20 END AS rho FROM (SELECT CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM (SELECT o_custkey AS v FROM orders WHERE o_orderpriority = '1-URGENT'))) GROUP BY bucket),
+    both_r AS (SELECT bucket, m_reg FROM regs_a
+               UNION ALL SELECT bucket, m_reg FROM regs_b),
+    regs_u AS (SELECT bucket, MAX(m_reg) AS m_reg FROM both_r GROUP BY bucket)
+    SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect
+    FROM (SELECT CAST(ROUND(CASE WHEN (188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_a) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_a) AS DOUBLE)) <= 1280.0 AND (512 - (SELECT COUNT(*) FROM regs_a)) > 0 THEN 512.0 * LN(512.0 / (512 - (SELECT COUNT(*) FROM regs_a))) ELSE 188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_a) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_a) AS DOUBLE) END) AS BIGINT) AS est_a,
+                 CAST(ROUND(CASE WHEN (188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_b) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_b) AS DOUBLE)) <= 1280.0 AND (512 - (SELECT COUNT(*) FROM regs_b)) > 0 THEN 512.0 * LN(512.0 / (512 - (SELECT COUNT(*) FROM regs_b))) ELSE 188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_b) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_b) AS DOUBLE) END) AS BIGINT) AS est_b,
+                 CAST(ROUND(CASE WHEN (188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_u) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_u) AS DOUBLE)) <= 1280.0 AND (512 - (SELECT COUNT(*) FROM regs_u)) > 0 THEN 512.0 * LN(512.0 / (512 - (SELECT COUNT(*) FROM regs_u))) ELSE 188686.82445861166 / CAST(CAST(512 - (SELECT COUNT(*) FROM regs_u) AS DECIMAL(38,21)) + (SELECT SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) FROM regs_u) AS DOUBLE) END) AS BIGINT) AS est_union)
+    """
+
+
+@query("sk6_hll_setops", sql=_SK6_ORACLE)
+def sk6_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra: distinct-customer estimates for two order
+    subsets, their UNION via register-wise MAX merge (associative -- the
+    sketches of a 100 TB corpus's partitions merge without re-scanning
+    anything), and their INTERSECTION by inclusion-exclusion in exact
+    integer space. The oracle replays registers, merge, and estimator
+    from the same generator constants (operators/sketches.py), so the
+    estimates match to the bit. Register state is <= 512 rows per set
+    regardless of input size."""
+    from ..operators.sketches import hll_merge, hll_registers, hll_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("v")
+    )
+    b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("v")
+    )
+    ra = hll_registers(a, "v", [])
+    rb = hll_registers(b, "v", [])
+    ru = hll_merge(ra, rb)
+    tagged = (
+        ra.withColumn("set_name", F.lit("a"))
+        .union(rb.withColumn("set_name", F.lit("b")))
+        .union(ru.withColumn("set_name", F.lit("u")))
+    )
+    ests = hll_estimate(tagged, ["set_name"])
+    one = ests.agg(
+        F.max(F.when(F.col("set_name") == "a", F.col("est_distinct"))).alias("est_a"),
+        F.max(F.when(F.col("set_name") == "b", F.col("est_distinct"))).alias("est_b"),
+        F.max(F.when(F.col("set_name") == "u", F.col("est_distinct"))).alias(
+            "est_union"
+        ),
+    )
+    return one.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersect"),
+    )
