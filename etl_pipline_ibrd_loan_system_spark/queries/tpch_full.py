@@ -831,3 +831,79 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supply_cost") == F.col("__mn"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
     )
+
+
+@query(
+    "q20_promotion_supplier",
+    sql="""
+    SELECT s_suppkey, s_name
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT ps.l_suppkey FROM (
+          SELECT l_suppkey, l_partkey, SUM(l_quantity) AS availqty
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1997-01-01'
+            AND l_shipdate <  DATE '1998-01-01'
+          GROUP BY l_suppkey, l_partkey) ps
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          AND ps.availqty > (
+            SELECT 0.5 * SUM(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = ps.l_partkey
+              AND l2.l_suppkey = ps.l_suppkey
+              AND l2.l_shipdate >= DATE '1996-01-01'
+              AND l2.l_shipdate <  DATE '1998-01-01')
+      )
+    """,
+)
+def q20_promotion_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20: suppliers holding surplus stock of promoted parts —
+    nested IN subqueries around a correlated scalar aggregate, the last
+    of the 22 canonical shapes. ADAPTED (no partsupp/ps_availqty, no
+    s_address): "available quantity" is the pair's 1997 shipped volume,
+    compared against half its 1996-97 volume (i.e. pairs that shipped
+    MORE in 1997 than 1996 — same correlated-SUM-over-lineitem shape,
+    non-trivial selectivity); output keys on s_suppkey instead of
+    address. Decorrelated to ONE lineitem scan: the [1996, 1998) slice
+    aggregates per (suppkey, partkey) with a conditional sum for the
+    1997 window, so the outer IN-subquery aggregate and the correlated
+    denominator come out of the same shuffle — vs the SQL text's
+    per-pair rescan. The part name filter broadcast-semi-reduces the
+    pairs; the surviving suppkeys semi-join supplier (broadcast — the
+    qualifying set is at most supplier-sized); nation broadcasts. At
+    100 TB: one date-pruned lineitem shuffle on (suppkey, partkey),
+    everything else broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    pairs = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"),
+                F.col("l_quantity"),
+            ).otherwise(F.lit(0))
+        ).alias("availqty"),
+        F.sum("l_quantity").alias("__tot"),
+    ).where(F.col("availqty") > 0)
+    promoted = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("large%")
+    ).select("p_partkey")
+    qualifying = (
+        pairs.join(
+            F.broadcast(promoted), pairs.l_partkey == promoted.p_partkey, "semi"
+        )
+        .where(F.col("availqty") > F.lit(0.5) * F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
