@@ -235,3 +235,48 @@ def pack_sequences(
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("seq_id"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate_num: int = 1,
+    rate_den: int = 8192,
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample with
+    Horvitz-Thompson inverse-probability weights.
+
+    Each row is kept with probability p = min(1, w * rate_num/rate_den)
+    where w is its (integer) weight — importance sampling for corpus
+    curation: long documents are sampled preferentially, and downstream
+    estimators multiply by inv_p = 1/p to stay unbiased.
+
+    The keep decision is EXACT cross-engine arithmetic, not float: the
+    60-bit id hash and both sides of `hash * rate_den < w * rate_num *
+    2^60` are evaluated in DECIMAL(38,0) integer space (the float-free
+    analogue of u < p), so Spark and an ANSI-SQL replay agree on every
+    boundary row. inv_p = max(1, rate_den / (w * rate_num)) is a single
+    IEEE division — correctly rounded, bit-identical on both engines.
+
+    Scale: a per-row projection, zero shuffle, streams at scan speed at
+    any data size. Weights beyond rate_den/rate_num saturate at p = 1
+    (kept with weight 1 — the estimator stays exact).
+    """
+    two60 = 1152921504606846976  # 2^60, the hash range
+    u = shared_hash60(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ).cast("decimal(38,0)")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    keep = (u * F.lit(rate_den)) < (w * F.lit(rate_num) * F.lit(two60))
+    inv_p = F.greatest(
+        F.lit(1.0),
+        F.lit(float(rate_den))
+        / (F.col(weight_col).cast("double") * F.lit(float(rate_num))),
+    )
+    return df.where(keep).select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        F.round(inv_p, 6).alias("inv_p"),
+    )

@@ -233,3 +233,70 @@ def vocab_topk(df, text_col: str, k: int = 50):
             (F.col("pos") + 1).alias("rank"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+) -> DataFrame:
+    """Build an inverted index: token -> (document frequency, sorted
+    posting list). The retrieval-side twin of vocab_topk — what a
+    corpus search / decontamination service materializes.
+
+    Postings are emitted as a comma-joined string of ascending doc ids
+    so the result is a flat hash-comparable table. The df band drops
+    hapaxes (df < min_df — no retrieval value) AND stopword-grade
+    tokens (df > max_df_frac * corpus size, the standard tf-idf
+    max_df knob — corpus size comes from a one-row count aggregate
+    joined in, never a driver-side action), enforced in TWO phases so
+    the cap is a real state bound:
+    phase 1 computes df per token (counts only — map-side combined,
+    stopwords cost one long per partition), phase 2 collects postings
+    ONLY for tokens inside the band (semi-join on the banded vocab), so
+    no reducer ever accumulates a stopword's full posting list. The
+    collect_list state is therefore <= max_df ids per key by
+    construction (the frac cap still bounds the worst key at a fraction
+    of the corpus — a production index would shard beyond ~10^5 ids per
+    token). An uncapped index at 100 TB would instead shard each
+    token's postings by (token, doc_id range) buckets before
+    concatenation.
+
+    Cost: one explode pinned and read twice — a counting shuffle on
+    token, then a postings pass whose join-on-token shuffle is REUSED by
+    the final groupBy (same key, same partitioning — one effective
+    exchange of the posting stream). The band side is deliberately NOT
+    broadcast: at 100 TB the 2..max_df vocab band is the Zipf near-tail
+    (can be 10^8 tokens), and AQE upgrades the join to broadcast at
+    small scale on its own.
+    """
+    from ..cache import pin
+
+    posted = pin(
+        df.select(F.col(id_col), F.explode(
+            F.array_distinct(_toks(F.col(text_col)))
+        ).alias("token"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    band = (
+        posted.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(max_df_frac) * F.col("__n_docs"))
+        )
+        .drop("__n_docs")
+    )
+    return (
+        posted.join(band, "token")
+        .groupBy("token", "df")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col(id_col))), ","
+            ).alias("postings")
+        )
+        .select("token", "df", "postings")
+    )

@@ -202,3 +202,66 @@ def top_n_per_group(
     order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     w = Window.partitionBy(*partition_by).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session numbers per user and aggregate one row
+    per session (start/end/duration/event count).
+
+    The id-assignment twin of the session_window aggregate (h3): where
+    session_window only yields per-window aggregates, this labels the
+    SESSIONS (1-based, in time order per user) so events can be joined
+    back to their session — the shape attribution/replay pipelines
+    need.
+
+    A session break is a gap > gap_seconds between consecutive events
+    of the same user; the session number is the running count of breaks
+    (classic gaps-and-islands). Gap arithmetic is integer microseconds
+    (unix_micros) — no float, no timezone, bit-identical cross-engine.
+
+    Scale: both windows and the final aggregate partition on user_id —
+    high-cardinality and hash-uniform, so parallelism is user count;
+    per-task memory is one user's event run. The two windows and the
+    groupBy share one (user) exchange.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # parquet timestamps load as TIMESTAMP_NTZ; the session TZ is pinned
+    # UTC (session.py) so the cast is a pure reinterpretation, and
+    # unix_micros then gives exact integer microseconds.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = F.lit(gap_seconds * 1_000_000)
+    # two projections: a window expression can't nest inside another
+    # window aggregate; both windows share the same (user) sort, so
+    # Catalyst plans them in ONE WindowExec pipeline after one exchange.
+    flagged = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(order_tiebreak),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("__is_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = flagged.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.sum("__is_new").over(wsum).alias("session_no"),
+    )
+    return labeled.groupBy(user_col, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        ).alias("duration_us"),
+    )

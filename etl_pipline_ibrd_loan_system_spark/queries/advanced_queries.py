@@ -469,3 +469,42 @@ def sk6_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_union",
         (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersect"),
     )
+
+
+@query(
+    "e14_sessionize",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM labeled GROUP BY user_id, session_no
+    """,
+)
+def e14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: number each user's sessions
+    (30-minute inactivity gap) and emit per-session start/end/duration/
+    count — the session-ID-assignment twin of h3's session_window
+    aggregate. Gap arithmetic in integer microseconds (no float, no tz).
+    One (user_id) exchange feeds the lag window, the running-sum window,
+    and the session aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.window_ops import sessionize
+
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)

@@ -588,3 +588,31 @@ def dc2_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.substring_decontaminate(
         train, spans, "text", "doc_id"
     ).select("doc_id", "n_chars")
+
+
+@query(
+    "sp3_weighted_sample",
+    sql=f"""
+    SELECT doc_id, weight,
+           ROUND(GREATEST(1.0, 512.0 / CAST(n_chars AS DOUBLE)), 6) AS inv_p
+    FROM (
+      SELECT doc_id, n_chars, CAST(n_chars AS BIGINT) AS weight,
+             {_HASH60.format(x="'wsample:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    WHERE CAST(h AS DECIMAL(38,0)) * 512
+        < CAST(n_chars AS DECIMAL(38,0)) * 1152921504606846976
+    """,
+)
+def sp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-proportional Bernoulli sample with
+    Horvitz-Thompson inverse-probability weights: P(keep) =
+    min(1, n_chars/512), so short docs are down-sampled and docs past
+    512 chars saturate at p = 1 (both branches exercised at this SF).
+    The keep decision is exact DECIMAL(38,0) integer arithmetic on the
+    60-bit id hash — float-free, so Spark and the SQL replay agree on
+    every boundary row. Zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs, "doc_id", "n_chars", rate_num=1, rate_den=512
+    )

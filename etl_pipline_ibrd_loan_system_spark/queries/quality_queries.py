@@ -151,3 +151,67 @@ def dq2_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.profile_table(
         cust, ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
     )
+
+
+@query(
+    "dq3_group_outliers",
+    sql="""
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS val2
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(val2 AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(val2 AS DECIMAL(12,2)) *
+                      CAST(val2 AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM q GROUP BY event_type
+    )
+    SELECT event_id, event_type, val2,
+           ROUND((val2 - sx / n)
+                 / SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS zscore
+    FROM q JOIN sums USING (event_type)
+    WHERE ABS((val2 - sx / n)
+              / SQRT((sxx - sx * sx / n) / (n - 1))) > 3.0
+    """,
+)
+def dq3_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits more
+    than 3 sample standard deviations from their event type's mean —
+    the screening pass a data-quality monitor runs before ingesting a
+    batch. The metric is defined over cent-quantized values (one
+    double->DECIMAL(12,2) cast, identical on both engines) so the
+    mean/stddev power sums are EXACT decimal arithmetic (associative,
+    mergeable — the d14 discipline; built-in stddev_samp folds raw
+    doubles in partition order and would drift in the last ulp). The z
+    then evaluates in double with identical association; sqrt and
+    division are correctly rounded, so the >3.0 gate never disagrees
+    cross-engine. Plan: one map-side-combined aggregate (one row per
+    event type) broadcast back onto the scan — two narrow passes, zero
+    wide shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(12,2)").cast("double").alias("val2"),
+    )
+    dx = F.col("val2").cast("decimal(12,2)")
+    sums = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("val2") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        q.join(F.broadcast(sums), "event_type")
+        .where(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "val2",
+            F.round(z, 6).alias("zscore"),
+        )
+    )

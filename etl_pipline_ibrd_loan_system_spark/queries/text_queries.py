@@ -305,3 +305,28 @@ def tx15_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiarity"),
         )
     )
+
+
+@query(
+    "iv1_inverted_index",
+    sql=f"""
+    SELECT token, df, postings FROM (
+      SELECT token, COUNT(*) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+            FROM documents)
+      GROUP BY token
+    ) WHERE df >= 2
+        AND df <= 0.8 * (SELECT COUNT(*) FROM documents)
+    """,
+)
+def iv1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: token -> (document frequency,
+    ascending comma-joined posting list), banded to 2 <= df <= 0.8*N in
+    two phases so no reducer ever materializes a stopword's postings
+    (operators/textstats.inverted_index scale notes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.inverted_index(
+        docs, "text", "doc_id", min_df=2, max_df_frac=0.8
+    )

@@ -289,3 +289,66 @@ def test_f11_covariance_is_single_aggregate_pass(spark, sf_dir, registry):
     plan = _plan(registry["f11_embedding_covariance"](spark, sf_dir))
     assert "Join" not in plan, "covariance grew a self-join"
     assert "HashAggregate" in plan
+
+
+def test_q20_single_lineitem_scan(spark, sf_dir, registry):
+    """q20: the decorrelated promotion-supplier plan must scan lineitem
+    ONCE (the correlated SQL text scans it per pair) with the date
+    window pushed to the scan, and every dimension side broadcasts."""
+    import re
+
+    plan = _plan(registry["q20_promotion_supplier"](spark, sf_dir))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li_scans = [s for s in scans if "l_suppkey" in s]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)} times"
+    assert "PushedFilters: [" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e14_single_user_exchange(spark, sf_dir, registry):
+    """e14: the lag window, the running-sum window, and the session
+    aggregate must all share ONE (user_id) exchange — a second exchange
+    means the windows stopped reusing the partitioning."""
+    import re
+
+    plan = _plan(registry["e14_sessionize"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 1, f"e14 plans {n_ex} exchanges (expected 1):\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_iv1_two_phase_band(spark, sf_dir, registry):
+    """iv1: the postings groupBy must REUSE the band join's token
+    partitioning (subset rule) — at most 2 exchanges total (df count +
+    postings stream), and the pinned explode must be an in-memory scan
+    read twice, not a double parquet explode."""
+    import re
+
+    plan = _plan(registry["iv1_inverted_index"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"iv1 plans {n_ex} exchanges (expected <=2):\n{plan}"
+    assert "InMemory" in plan, "iv1's posting stream is no longer pinned"
+    assert "CartesianProduct" not in plan
+
+
+def test_dq3_stats_broadcast_back(spark, sf_dir, registry):
+    """dq3: the per-type moment table (rows = event types) must
+    broadcast back onto the scan — an SMJ here shuffles the full event
+    stream twice."""
+    import re
+
+    plan = _plan(registry["dq3_group_outliers"](spark, sf_dir))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_ex <= 1, f"dq3 plans {n_ex} exchanges (expected <=1)"
+
+
+def test_sp3_is_shuffle_free_projection(spark, sf_dir, registry):
+    """sp3: a deterministic Bernoulli sample is a per-row decision — any
+    Exchange or Join in the plan means it stopped being one."""
+    plan = _plan(registry["sp3_weighted_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, "sp3 grew a shuffle"
+    assert "Join" not in plan, "sp3 grew a join"
