@@ -176,6 +176,57 @@ def h3_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_H3_SQL = f"""
+    WITH m AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS sid
+      FROM m
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM g GROUP BY user_id, sid
+    """
+
+
+@query("s3_session_window_stream", sql=_H3_SQL)
+def s3_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming run of the h3 session-window aggregate
+    (5-minute gap, per-user), parquet file source -> complete-output
+    memory sink: open sessions live in the state store and MERGE when a
+    later micro-batch extends them — the semantics that distinguish
+    streaming session windows from a batch groupBy. Hash-checked
+    against the identical gaps-and-islands oracle as h3 (batch/stream
+    parity). State scale note: complete mode is the finite-replay
+    verification harness; a production stream uses a watermark +
+    append so closed sessions leave the store."""
+    from ..streaming.microbatch import run_stream_to_memory, session_window_agg
+
+    stream = _events_stream_factory(spark, sf_dir, "s3_events_")()
+    agg = session_window_agg(
+        stream,
+        ts_col="ts",
+        gap="5 minutes",
+        group_cols=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(agg, "s3_sessions", output_mode="complete")
+        try:
+            return spark.table("s3_sessions").localCheckpoint(eager=True)
+        finally:
+            q.stop()
+
+
 @query(
     "st1_stateful_first_event",
     sql="""

@@ -239,3 +239,79 @@ def test_streaming_rollup_redelivered_epoch_is_idempotent(spark, tmp_path):
     assert _rollup_update(b0, 0, ["k"], "v", state) is False
     assert totals() == after_e1
     assert _rollup_committed(state)["epoch"] == 1
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """s3's load-bearing semantics: a session OPEN at the end of one
+    micro-batch must MERGE with events arriving in later batches (state
+    store), and two separate sessions must merge into one when a
+    bridging event lands between them. Three single-file batches
+    (maxFilesPerTrigger=1); final result must equal the batch
+    session_window over the union."""
+    import os
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(m, s=0):
+        return t0 + dt.timedelta(minutes=m, seconds=s)
+
+    # user A: batch1 event at 0:00, batch2 at 0:03 (extends the open
+    # session; gap 5m), batch3 at 0:20 (new session).
+    # user B: batch1 at 0:00 and batch2 at 0:10 (two sessions so far),
+    # batch3 at 0:05 BRIDGES them into one 0:00-0:10 session.
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user", T.StringType()),
+        ]
+    )
+    batches = [
+        [(at(0), "A"), (at(0), "B")],
+        [(at(3), "A"), (at(10), "B")],
+        [(at(20), "A"), (at(5), "B")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        run_stream_to_memory,
+        session_window_agg,
+    )
+
+    def agg(df):
+        return session_window_agg(
+            df,
+            ts_col="ts",
+            gap="5 minutes",
+            group_cols=["user"],
+            aggs=[F.count(F.lit(1)).alias("n")],
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = run_stream_to_memory(agg(stream), "sess_merge", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user"], r["session_start"], r["session_end"], r["n"])
+            for r in spark.table("sess_merge").collect()
+        }
+    finally:
+        q.stop()
+    flat = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    want = {
+        (r["user"], r["session_start"], r["session_end"], r["n"])
+        for r in agg(flat).collect()
+    }
+    assert got == want
+    # the bridge actually merged: B has ONE session of 3 events
+    b_sessions = [g for g in got if g[0] == "B"]
+    assert len(b_sessions) == 1 and b_sessions[0][3] == 3
