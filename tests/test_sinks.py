@@ -144,3 +144,67 @@ def test_jdbc_idempotent_append_surfaces_read_failures(spark, sf_dir, tmp_path):
             spark, region, bad_url, "region_x", "r_regionkey",
             properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
         )
+
+
+def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
+    """40 tiny files -> size-targeted few files, same rows, atomic
+    in-place swap (path unchanged, no temp/retired dirs left)."""
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.maintenance import (
+        compact_small_files,
+        data_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    src.repartition(40).write.parquet(path)
+    before = data_file_stats(spark, path)
+    assert before["n_files"] == 40
+
+    target = max(1, before["total_bytes"] // 3)
+    stats = compact_small_files(spark, path, target_file_bytes=target)
+    assert stats["after"]["n_files"] <= 4
+    assert stats["n_rows"] == src.count()
+    got = spark.read.parquet(path)
+    assert got.count() == src.count()
+    assert sorted(r["o_orderkey"] for r in got.select("o_orderkey").collect()) == sorted(
+        r["o_orderkey"] for r in src.select("o_orderkey").collect()
+    )
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".pre_compact")
+
+
+def test_compact_with_sort_clusters_rowgroups(spark, sf_dir, tmp_path):
+    """sort_cols compaction must produce range-disjoint files so parquet
+    min/max stats make key-range scans selective."""
+    import os
+
+    from etl_pipline_ibrd_loan_system_spark.sources.maintenance import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "frag2")
+    src = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    src.repartition(20).write.parquet(path)
+    compact_small_files(
+        spark,
+        path,
+        target_file_bytes=max(1, src.count() * 10),
+        sort_cols=["o_orderkey"],
+    )
+    # per-file key ranges must not overlap (range partitioning + local sort)
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in os.listdir(path):
+        if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(path, f), columns=["o_orderkey"])
+        ks = t.column("o_orderkey").to_pylist()
+        assert ks == sorted(ks), "file not internally sorted"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, f"overlapping file key ranges {a_hi} > {b_lo}"
