@@ -388,3 +388,38 @@ def dd10_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
     clusters = dedup.connected_components(pairs.select("id_a", "id_b"))
     return dedup.select_representatives(docs, clusters, "doc_id", "n_chars")
+
+
+@query(
+    "dd11_sorted_neighborhood",
+    sql=f"""
+    WITH {_SHINGLE_CTE},
+    ordered AS (
+      SELECT doc_id, s,
+             row_number() OVER (
+               ORDER BY substr(lower(text), 1, 24), doc_id
+             ) AS rn
+      FROM documents JOIN sh USING (doc_id)
+    )
+    SELECT * FROM (
+      SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+             GREATEST(a.doc_id, b.doc_id) AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard
+      FROM ordered a JOIN ordered b
+        ON b.rn > a.rn AND b.rn <= a.rn + 5
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dd11_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: prefix-sorted order locality
+    as the blocking key (window of 5 successors), exact shingle Jaccard
+    as the gate — the record-linkage complement to MinHash/SimHash
+    banding. Global rank via the e1b two-pass range-bucket trick (no
+    global row_number window; the oracle keeps the windowed form so
+    DuckDB independently verifies the decomposition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, "text", "doc_id", key_len=24, window=5, n=3, threshold=0.5
+    )

@@ -352,3 +352,20 @@ def test_sp3_is_shuffle_free_projection(spark, sf_dir, registry):
     plan = _plan(registry["sp3_weighted_sample"](spark, sf_dir))
     assert "Exchange" not in plan, "sp3 grew a shuffle"
     assert "Join" not in plan, "sp3 grew a join"
+
+
+def test_dd11_no_global_rank_window(spark, sf_dir, registry):
+    """dd11: the sort rank must come from the two-pass range-bucket
+    decomposition — every window over corpus-sized data is partitioned
+    by __bucket, the candidate join is an equi hash join (never a
+    nested loop / cartesian), and the range partitioning is present."""
+    import re
+
+    plan = _plan(registry["dd11_sorted_neighborhood"](spark, sf_dir))
+    assert "rangepartitioning" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # the row_number spec must be bucket-partitioned; unpartitioned
+    # specs may only ORDER BY __bucket (the num_buckets-row offsets)
+    specs = re.findall(r"windowspecdefinition\((\S+?)[,#]", plan)
+    assert specs and all(s.startswith("__bucket") for s in specs), specs
