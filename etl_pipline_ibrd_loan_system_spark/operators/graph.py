@@ -181,3 +181,47 @@ def pagerank_oracle_ctes(iters: int = 3, damping_pct: int = 85) -> str:
         f"prfinal AS (SELECT node, rank AS rank_units FROM {prev})"
     )
     return ",\n    ".join(parts)
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Bounded-depth multi-source BFS: (node, dist) for every node within
+    `max_depth` hops of the seed set (dist = MINIMUM hop count; seeds
+    are dist 0).
+
+    The Pregel frontier pattern in DataFrame form: each round expands
+    only the CURRENT frontier (not the whole visited set) through one
+    (frontier |x| edges) join on src, then anti-joins the visited set so
+    a node is labeled exactly once, at its first (= minimal) depth.
+    Every round shuffles on the same node key — a co-partitioned layout
+    shuffles once; state stays fully distributed (no driver collect).
+    Frontiers are localCheckpoint'ed per round: the lineage would
+    otherwise double per depth (the connected_components lesson), and
+    the checkpoint also stops Catalyst from re-deriving round k-1's
+    anti-join inside round k's.
+
+    Depth is a FIXED bound, not a convergence test — the oracle unrolls
+    the same rounds, and a 100 TB run sizes max_depth to the analysis
+    question (reachability radius), never to the graph diameter.
+    """
+    seeds = seeds.select(F.col("node").cast("bigint")).distinct()
+    edges = edges.select(
+        F.col("src").cast("bigint"), F.col("dst").cast("bigint")
+    ).localCheckpoint(eager=False)
+    known = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = known.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        known = known.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return known

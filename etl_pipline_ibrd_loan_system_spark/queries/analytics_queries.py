@@ -454,3 +454,57 @@ def g3_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return _graph.pagerank_fixed_point(edges, iters=3)
+
+
+@query(
+    "g5_bfs_hops",
+    sql="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node, 0 AS dist
+           FROM supplier WHERE s_nationkey < 5),
+    f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN d0 ON e.src = d0.node
+           WHERE e.dst NOT IN (SELECT node FROM d0)),
+    k1 AS (SELECT * FROM d0 UNION ALL SELECT node, 1 FROM f1),
+    f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f1 ON e.src = f1.node
+           WHERE e.dst NOT IN (SELECT node FROM k1)),
+    k2 AS (SELECT * FROM k1 UNION ALL SELECT node, 2 FROM f2),
+    f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN f2 ON e.src = f2.node
+           WHERE e.dst NOT IN (SELECT node FROM k2)),
+    k3 AS (SELECT * FROM k2 UNION ALL SELECT node, 3 FROM f3)
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INTEGER) AS dist
+    FROM k3
+    """,
+)
+def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth multi-source BFS (reachability radius 3) over the
+    symmetric customer<->supplier trade graph, seeded at the
+    suppliers of nations 0-4: each node gets its MINIMUM hop distance, assigned
+    exactly once via frontier expansion + visited anti-join
+    (operators/graph.bfs_hops — Pregel frontier pattern, per-round
+    localCheckpoint so lineage stays flat). The oracle unrolls the
+    identical three rounds as CTEs."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 5)
+        .select((F.col("s_suppkey") + 1000000).alias("node"))
+    )
+    out = _graph.bfs_hops(edges, seeds, max_depth=3)
+    return out.select(F.col("node"), F.col("dist").cast("int").alias("dist"))
