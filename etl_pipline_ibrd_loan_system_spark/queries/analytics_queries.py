@@ -508,3 +508,88 @@ def g5_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _graph.bfs_hops(edges, seeds, max_depth=3)
     return out.select(F.col("node"), F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "m11_rfm_segments",
+    sql="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r50,
+             quantile_cont(frequency, 0.5) AS f50,
+             quantile_cont(monetary, 0.5) AS m50
+      FROM base
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= r50 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency > f50 THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > m50 THEN 2 ELSE 1 END AS m_score,
+           CASE
+             WHEN recency_days <= r50 AND frequency > f50
+                  AND monetary > m50 THEN 'champion'
+             WHEN recency_days <= r50 THEN 'recent'
+             WHEN frequency > f50 OR monetary > m50 THEN 'at_risk_valuable'
+             ELSE 'hibernating'
+           END AS segment
+    FROM base, cuts
+    """,
+)
+def m11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation, scale-shaped: recency (days since
+    last order, anchored at the corpus max date so the result is
+    deterministic), frequency, and decimal-exact monetary roll up in
+    ONE custkey aggregate; the split points are exact median statistics
+    (Spark `percentile` == DuckDB `quantile_cont`, the d9 parity pair)
+    computed in a one-row aggregate and BROADCAST back — never an
+    ntile/row_number window, which would funnel every customer through
+    one task at 100 TB. Scores and the segment label are then pure
+    projections."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("__anchor"))
+    base = (
+        orders.join(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("__anchor"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    from ..cache import pin
+
+    base = pin(base)
+    cuts = base.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r50"),
+        F.expr("percentile(frequency, 0.5)").alias("f50"),
+        F.expr("percentile(monetary, 0.5)").alias("m50"),
+    )
+    r, f_, m = F.col("recency_days"), F.col("frequency"), F.col("monetary")
+    recent = r <= F.col("r50")
+    freq = f_ > F.col("f50")
+    val = m > F.col("m50")
+    return base.join(F.broadcast(cuts)).select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(recent, 2).otherwise(1).alias("r_score"),
+        F.when(freq, 2).otherwise(1).alias("f_score"),
+        F.when(val, 2).otherwise(1).alias("m_score"),
+        F.when(recent & freq & val, "champion")
+        .when(recent, "recent")
+        .when(freq | val, "at_risk_valuable")
+        .otherwise("hibernating")
+        .alias("segment"),
+    )
