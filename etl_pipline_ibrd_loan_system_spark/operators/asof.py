@@ -41,16 +41,30 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join; right payload columns arrive as `<col><suffix>`
-    (null when no right row precedes the left row).
+    (null when no right row matches).
+
+    `direction` follows pandas merge_asof: "backward" (default) matches
+    the latest right row with right.ts <= left.ts, "forward" the
+    earliest with right.ts >= left.ts (first over the FOLLOWING frame,
+    with left rows sorting before right rows on tied ts so an equal-ts
+    right row is matched), "nearest" whichever of the two is closer in
+    time (tie -> backward, as in pandas). All three run over the same
+    single (key) exchange — backward and forward differ only in frame
+    and tie-break, and nearest plans two Window nodes over one
+    partitioning.
 
     `tolerance_seconds` bounds match staleness: a matched right row
-    older than the tolerance yields nulls, exactly as if it did not
-    exist (the sensor-join semantics: a reading too stale is no
-    reading). The matched row's ts travels inside the SAME filled
-    struct as the payload, so the staleness gate always judges the row
-    the payload came from — no extra shuffle, same single window."""
+    further than the tolerance (in either direction) yields nulls,
+    exactly as if it did not exist (the sensor-join semantics: a
+    reading too stale is no reading). The matched row's ts travels
+    inside the SAME filled struct as the payload, so the staleness gate
+    always judges the row the payload came from — no extra shuffle,
+    same single window."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     from pyspark.sql import types as T
 
     right_cols = right_cols or [c for c in right.columns if c not in (key, ts)]
@@ -85,24 +99,60 @@ def asof_join(
         r_struct.alias("__r_row"),
     )
     unioned = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts => <= semantics
-    w = (
+    # backward: right rows sort before left rows at equal ts => <= semantics
+    w_back = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*", F.last("__r_row", ignorenulls=True).over(w).alias("__m_row")
+    # forward: left rows sort before right rows at equal ts => >= semantics
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    is_ts = isinstance(
+        left.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
+
+    def _age(m_row):  # absolute distance, microseconds or native units
+        if is_ts:
+            return F.abs(
+                F.unix_micros(F.col(ts).cast("timestamp"))
+                - F.unix_micros(m_row["__m_ts"].cast("timestamp"))
+            )
+        return F.abs(F.col(ts) - m_row["__m_ts"])
+
+    if direction == "backward":
+        filled = unioned.select(
+            "*", F.last("__r_row", ignorenulls=True).over(w_back).alias("__m_row")
+        )
+    elif direction == "forward":
+        filled = unioned.select(
+            "*", F.first("__r_row", ignorenulls=True).over(w_fwd).alias("__m_row")
+        )
+    else:  # nearest: both fills over ONE key exchange, pick the closer
+        both = unioned.select(
+            "*",
+            F.last("__r_row", ignorenulls=True).over(w_back).alias("__m_b"),
+            F.first("__r_row", ignorenulls=True).over(w_fwd).alias("__m_f"),
+        )
+        pick_back = F.col("__m_f").isNull() | (
+            F.col("__m_b").isNotNull()
+            & (_age(F.col("__m_b")) <= _age(F.col("__m_f")))
+        )
+        filled = both.select(
+            *[c for c in both.columns if c not in ("__m_b", "__m_f")],
+            F.when(pick_back, F.col("__m_b"))
+            .otherwise(F.col("__m_f"))
+            .alias("__m_row"),
+        )
     if tolerance_seconds is None:
         fresh = F.lit(True)
-    elif isinstance(left.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType)):
-        age = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
-            F.col("__m_row.__m_ts").cast("timestamp")
-        )
-        fresh = age <= F.lit(int(tolerance_seconds * 1_000_000))
+    elif is_ts:
+        fresh = _age(F.col("__m_row")) <= F.lit(int(tolerance_seconds * 1_000_000))
     else:  # numeric event time: tolerance in the same unit
-        fresh = (F.col(ts) - F.col("__m_row.__m_ts")) <= F.lit(tolerance_seconds)
+        fresh = _age(F.col("__m_row")) <= F.lit(tolerance_seconds)
     unpacked = [
         F.when(fresh, F.col(f"__m_row.{c}")).alias(f"{c}{suffix}")
         for c in right_cols

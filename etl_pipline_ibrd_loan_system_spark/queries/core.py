@@ -638,6 +638,98 @@ def j1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "last_error_id")
 
 
+@query(
+    "j1c_asof_forward",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS BIGINT) AS r_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, event_id
+      FROM events WHERE event_type = 'error'
+    ), f AS (
+      SELECT *, first_value(r_id IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY ts, side DESC
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      ) AS next_error_id
+      FROM u
+    )
+    SELECT event_id, user_id, ts, next_error_id
+    FROM f WHERE side = 1
+    """,
+)
+def j1c_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: every click annotated with the NEXT error event
+    (id) at-or-after it for the same user (pandas merge_asof
+    direction='forward') — same union+window plan as j1, frame flipped
+    to CURRENT ROW..FOLLOWING with left rows winning tied timestamps."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("next_error_id")
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", ts="ts", suffix="", direction="forward"
+    )
+    return out.select("event_id", "user_id", "ts", "next_error_id")
+
+
+@query(
+    "j1d_asof_nearest",
+    sql="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 1 AS side,
+             CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS TIMESTAMP) AS r_ts
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, NULL, 0, event_id, ts
+      FROM events WHERE event_type = 'error'
+    ), f AS (
+      SELECT *,
+             last_value(r_id IGNORE NULLS) OVER wb AS b_id,
+             last_value(r_ts IGNORE NULLS) OVER wb AS b_ts,
+             first_value(r_id IGNORE NULLS) OVER wf AS f_id,
+             first_value(r_ts IGNORE NULLS) OVER wf AS f_ts
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, side DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN f_ts IS NULL THEN b_id
+                WHEN b_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(b_ts)
+                         <= epoch_us(f_ts) - epoch_us(ts) THEN b_id
+                ELSE f_id END AS near_error_id
+    FROM f WHERE side = 1
+    """,
+)
+def j1d_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: every click annotated with the temporally CLOSEST
+    error event for the same user, ties to the earlier one (pandas
+    merge_asof direction='nearest'). Both directional fills run over
+    ONE user exchange; the oracle replays them as two window clauses
+    and the same tie rule."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("near_error_id")
+    )
+    out = asof_join(
+        clicks, errors, key="user_id", ts="ts", suffix="", direction="nearest"
+    )
+    return out.select("event_id", "user_id", "ts", "near_error_id")
+
+
 # --- B14: semi-structured JSON extraction ---------------------------------
 # (events.props is a JSON string — the semi-structured column path)
 
