@@ -508,3 +508,51 @@ def e14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.window_ops import sessionize
 
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+@query(
+    "e15_rolling_median",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ), framed AS (
+      SELECT event_type, day, n_events,
+             list(n_events) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) AS frame
+      FROM daily
+    )
+    SELECT event_type, day, n_events,
+           list_sort(frame)[CAST(ceil(len(frame) / 2.0) AS INTEGER)]
+             AS med7
+    FROM framed
+    """,
+)
+def e15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-point rolling EXACT median of the daily event-count series per
+    type — the robust trend smoother (moving averages chase outliers;
+    medians don't). Spark has no built-in windowed median, so the frame
+    is collected, sorted, and indexed (lower median = sorted[ceil(n/2)])
+    — pure SELECTION, no float accumulation, so the DuckDB replay is
+    bit-identical. Scale: the window runs over the AGGREGATED
+    (type, day) series — cardinality types x days, bounded regardless
+    of event volume; the only event-sized operation is the one
+    map-side-combined count. Frame state is <= 7 longs per row."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("n_events").over(w))
+    med = F.element_at(
+        frame, F.ceil(F.size(frame) / F.lit(2.0)).cast("int")
+    )
+    return daily.select(
+        "event_type", "day", "n_events", med.alias("med7")
+    )
