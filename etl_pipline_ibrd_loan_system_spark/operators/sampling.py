@@ -237,6 +237,43 @@ def pack_sequences(
     )
 
 
+def cluster_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "split:",
+) -> DataFrame:
+    """Leakage-free train/val/test split: every member of a near-dup
+    cluster lands in the SAME split, because the hash decision is taken
+    on the cluster id, not the document id.
+
+    A plain ``hash_split`` on doc ids puts near-duplicates of a training
+    document into the eval split with probability ~(1 - train%) each —
+    silent train/test contamination that survives ordinary
+    decontamination because the duplicate IS the eval document.
+    Composing the dedup stage's ``connected_components`` output
+    (node, cluster_id) with a cluster-keyed split closes that hole:
+    unclustered documents fall back to their own id (singleton cluster),
+    so the assignment remains stable when new documents arrive, and
+    moving a document between corpus versions never re-splits anything
+    outside its cluster.
+
+    Scale: one doc_id-keyed equi-join against the cluster map — which
+    holds ONLY documents that appeared in a near-dup pair, typically
+    orders of magnitude smaller than the corpus, so AQE turns it into a
+    broadcast at realistic duplicate rates — followed by the same
+    zero-shuffle hash projection as ``hash_split``.
+    """
+    cl = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__cl")
+    )
+    assigned = docs.join(cl, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("__cl"), F.col(id_col)).cast("bigint")
+    ).drop("__cl")
+    return hash_split(assigned, "cluster_id", splits, salt)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

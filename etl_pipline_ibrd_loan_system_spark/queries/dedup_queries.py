@@ -232,10 +232,10 @@ def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd8_dedup_clusters",
-    sql=f"""
-    WITH RECURSIVE {_SHINGLE_CTE},
+# Brute-force Jaccard pairs -> transitive closure -> min-reachable-id
+# cluster labels. Shared by dd8 and the leakage-free split oracle (sp4,
+# prep_queries.py), which must agree on the exact same cluster ids.
+CLOSURE_CTES = f"""{_SHINGLE_CTE},
     pairs AS MATERIALIZED (
       -- MATERIALIZED: the recursive closure below must not re-inline the
       -- O(n^2) shingle join on every fixpoint iteration
@@ -255,9 +255,18 @@ def dd7_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src AS a, dst AS b FROM edges
       UNION
       SELECT e.src, r.b FROM edges e JOIN reach r ON e.dst = r.a
-    )
-    SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
-    FROM reach GROUP BY a
+    ),
+    cl AS (
+      SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )"""
+
+
+@query(
+    "dd8_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE {CLOSURE_CTES}
+    SELECT node, cluster_id FROM cl
     """,
 )
 def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

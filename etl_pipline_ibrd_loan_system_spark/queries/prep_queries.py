@@ -616,3 +616,44 @@ def sp3_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_sample(
         docs, "doc_id", "n_chars", rate_num=1, rate_den=512
     )
+
+
+def _sp4_sql() -> str:
+    # import deferred to call time is unnecessary — dedup_queries is a
+    # sibling registry module with no import back-edge to this one
+    from .dedup_queries import CLOSURE_CTES
+
+    bkt = _HASH60.format(x="'split:' || CAST(cluster_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {CLOSURE_CTES},
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           bkt AS split_bucket,
+           CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id, {bkt} % 100 AS bkt FROM assigned)
+    """
+
+
+@query("sp4_cluster_aware_split", sql=_sp4_sql())
+def sp4_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split: near-dup clusters (MinHash pairs -> connected
+    components, the dd8 pipeline) decide the train/val/test assignment,
+    so no document can land in eval while a near-duplicate of it sits in
+    train. The oracle recomputes the clusters with a brute-force
+    recursive-CTE closure and replays the identical hash decision on the
+    cluster id — bit-equal split labels prove both the cluster labels
+    and the assignment rule."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
+    clusters = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return sampling.cluster_split(docs, clusters, "doc_id").select(
+        "doc_id", "cluster_id", "split_bucket", "split"
+    )

@@ -142,6 +142,35 @@ def test_hash_split_is_stable_under_corpus_growth(spark, sf_dir):
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
 
 
+def test_cluster_split_never_straddles(spark):
+    # two clusters (1-2-3 chained, 5-6) plus singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+    clusters = dedup.connected_components(pairs)
+    out = sampling.cluster_split(docs, clusters, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 7
+    # every cluster occupies exactly one split
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[5] == rows[6]
+    # singletons fall back to their own id as the cluster key
+    assert rows[4][0] == 4 and rows[7][0] == 7
+    # cluster members get the split of their CLUSTER id: member 3's
+    # bucket equals what a plain hash_split would give id 1
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(docs, "doc_id").collect()
+    }
+    assert rows[3][1] == plain[1]
+    assert rows[6][1] == plain[5]
+
+
 def test_hash_split_rejects_bad_percents(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
