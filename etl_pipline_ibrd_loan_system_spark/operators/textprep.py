@@ -369,3 +369,95 @@ def substring_decontaminate(
     return train.join(
         broadcast(sp), F.col(text_col).contains(F.col("__span")), "left_anti"
     )
+
+
+def _aho_corasick(patterns: list[str]) -> tuple[list[dict], list[int], list[bool]]:
+    """Compile a pattern set into an Aho-Corasick automaton:
+    (goto, fail, terminal). One pass per text character at match time,
+    independent of the pattern count."""
+    from collections import deque
+
+    goto: list[dict] = [{}]
+    term: list[bool] = [False]
+    for p in patterns:
+        node = 0
+        for ch in p:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                term.append(False)
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        term[node] = True
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())  # depth-1 nodes keep fail = root
+    while q:
+        u = q.popleft()
+        term[u] = term[u] or term[fail[u]]
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(ch, 0)
+    return goto, fail, term
+
+
+def _ac_contains_any(
+    text: str, goto: list[dict], fail: list[int], term: list[bool]
+) -> bool:
+    node = 0
+    for ch in text:
+        while node and ch not in goto[node]:
+            node = fail[node]
+        node = goto[node].get(ch, 0)
+        if term[node]:
+            return True
+    return False
+
+
+def substring_decontaminate_ac(
+    train: DataFrame,
+    spans: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_col: str = "span",
+) -> DataFrame:
+    """The large-span-set tier of `substring_decontaminate`: identical
+    semantics (drop training docs containing ANY benchmark span
+    verbatim), but the span set is compiled into ONE Aho-Corasick
+    automaton so each document is scanned in a single linear pass
+    regardless of how many spans exist — the right shape past ~1e4
+    spans, where the anti-join's per-doc |spans| `contains` probes stop
+    being cheap.
+
+    Plan shape for 100 TB: the span set is benchmark-sized, DRIVER
+    state by design (same bounded-state argument as the IVF centroids:
+    ~1e6 spans x ~100 chars ≈ 100 MB, broadcast once); training text
+    streams through an Arrow `mapInPandas` kernel, nothing shuffles,
+    and the filter composes with scan pushdown on every other
+    predicate. Matching is per-character table walking in Python — for
+    a JVM-only hot path keep the anti-join tier; this tier trades
+    per-row constant factor for pattern-count independence."""
+    span_list = sorted(
+        r[0]
+        for r in spans.select(F.col(span_col)).where(
+            F.length(span_col) > 0
+        ).distinct().collect()
+    )
+    if not span_list:
+        return train
+    automaton = _aho_corasick(span_list)
+    bc = train.sparkSession.sparkContext.broadcast(automaton)
+    schema = train.schema
+
+    def scan(batches):
+        goto, fl, term = bc.value
+        for pdf in batches:
+            keep = pdf[text_col].map(
+                lambda t: not _ac_contains_any(t or "", goto, fl, term)
+            )
+            yield pdf[keep]
+
+    return train.mapInPandas(scan, schema)

@@ -657,3 +657,59 @@ def sp4_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.cluster_split(docs, clusters, "doc_id").select(
         "doc_id", "cluster_id", "split_bucket", "split"
     )
+
+
+_DC_SQL = """
+    WITH probe AS (
+      SELECT substr(text, 8, 32) AS p FROM documents WHERE doc_id = 0
+    ),
+    tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 37 <> 0 AND doc_id % 11 = 0
+                  THEN text || ' ' || (SELECT p FROM probe)
+                  ELSE text END AS text,
+             n_chars
+      FROM documents
+    ),
+    spans AS (
+      SELECT DISTINCT substr(text, 8, 32) AS span FROM tainted
+      WHERE doc_id % 37 = 0 AND length(substr(text, 8, 32)) > 0
+    )
+    SELECT doc_id, n_chars FROM tainted d
+    WHERE doc_id % 37 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM spans s WHERE contains(d.text, s.span)
+      )
+    """
+
+
+@query("dc3_decontaminate_aho_corasick", sql=_DC_SQL)
+def dc3_decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc2's exact contamination scenario solved by the LARGE-span-set
+    tier: the benchmark spans compile into one Aho-Corasick automaton
+    (textprep.substring_decontaminate_ac) and each training document is
+    scanned in a single linear pass inside an Arrow mapInPandas kernel —
+    pattern-count-independent, the shape dc2's docstring prescribes past
+    ~1e4 spans. Same oracle as dc2, so the two tiers are proven
+    row-identical on real contamination."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.where(F.col("doc_id") == 0).select(
+        F.substring("text", 8, 32).alias("__p")
+    )
+    tainted = docs.join(F.broadcast(probe)).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 37 != 0) & (F.col("doc_id") % 11 == 0),
+            F.concat(F.col("text"), F.lit(" "), F.col("__p")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+    )
+    spans = tainted.where(F.col("doc_id") % 37 == 0).select(
+        F.substring("text", 8, 32).alias("span")
+    )
+    train = tainted.where(F.col("doc_id") % 37 != 0)
+    return textprep.substring_decontaminate_ac(
+        train, spans, "text", "doc_id"
+    ).select("doc_id", "n_chars")

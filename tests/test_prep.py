@@ -395,3 +395,36 @@ def test_chunk_boilerplate_filter_flags_shared_spans(spark):
     assert out[2]["n_boilerplate_chunks"] == 1 and out[2]["keep"]
     assert out[3]["boilerplate_frac"] == 1.0 and not out[3]["keep"]
     assert out[4]["n_boilerplate_chunks"] == 0 and out[4]["keep"]
+
+
+# ------------------------------------------------------- aho-corasick tier
+
+
+def test_aho_corasick_failure_link_outputs():
+    # 'hers' is reachable only through the failure chain of 'ushers' --
+    # the classic case that breaks naive trie matching
+    goto, fail, term = textprep._aho_corasick(["he", "she", "his", "hers"])
+    assert textprep._ac_contains_any("ushers", goto, fail, term)
+    assert textprep._ac_contains_any("this", goto, fail, term)
+    assert textprep._ac_contains_any("she", goto, fail, term)
+    assert not textprep._ac_contains_any("ut hat sit", goto, fail, term)
+
+
+def test_aho_corasick_negative_and_prefix_cases():
+    goto, fail, term = textprep._aho_corasick(["abcd", "bc"])
+    assert textprep._ac_contains_any("xxbcxx", goto, fail, term)
+    assert textprep._ac_contains_any("abcd", goto, fail, term)
+    assert not textprep._ac_contains_any("abd bd acd", goto, fail, term)
+    assert not textprep._ac_contains_any("", goto, fail, term)
+
+
+def test_substring_decontaminate_tiers_agree(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.substring("text", 5, 24).alias("span")
+    )
+    anti = textprep.substring_decontaminate(docs, spans, "text", "doc_id")
+    ac = textprep.substring_decontaminate_ac(docs, spans, "text", "doc_id")
+    a = {r["doc_id"] for r in anti.select("doc_id").collect()}
+    b = {r["doc_id"] for r in ac.select("doc_id").collect()}
+    assert a == b and len(a) < docs.count()
