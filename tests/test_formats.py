@@ -61,3 +61,49 @@ def test_permissive_json_quarantines_corrupt_rows(spark, tmp_path):
     assert good.count() == 5
     assert bad.count() == 1
     assert "BROKEN" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
+    """Real media ingestion path: files on disk -> spark.read.format
+    ('binaryFile') (path/length/content, with pathGlobFilter pruning
+    non-media files at the listing, recursiveFileLookup for nested
+    stores) -> decode_media over the content column. Proves the
+    file-based entry into the multimodal pipeline, not just the
+    parquet-borne payload one."""
+    import numpy as np
+
+    from etl_pipline_ibrd_loan_system_spark.operators import multimodal
+    from tests.test_multimodal_png import encode_png
+
+    media = tmp_path / "store" / "nested"
+    media.mkdir(parents=True)
+    want = {}
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        px = rng.integers(0, 256, size=(5 + i, 4, 3), dtype=np.uint8)
+        (media / f"img_{i}.png").write_bytes(encode_png(px))
+        want[i] = (4, 5 + i, int(px.astype(np.int64).sum()))
+    (media / "ignore.txt").write_bytes(b"not media")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "true")
+        .load(str(tmp_path / "store"))
+    )
+    assert files.count() == 3
+    media_df = files.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content").alias("data"),
+        F.expr(
+            "named_struct('fmt', 'png', 'width', 1, 'height', 1, "
+            "'n_frames', 1, 'sample_rate', 16000)"
+        ).alias("meta"),
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.byte_sum)
+        for r in multimodal.decode_media(media_df).collect()
+    }
+    assert got == want
