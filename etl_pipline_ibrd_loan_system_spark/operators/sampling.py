@@ -237,6 +237,48 @@ def pack_sequences(
     )
 
 
+def exact_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "xsample:",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """EXACT-size uniform sample without replacement: per stratum, the k
+    rows with the smallest id hash (ties to the lowest id). Complements
+    `stratified_sample`, whose Bernoulli decisions give a binomially
+    distributed realized size — here the size is exactly min(k, n) per
+    stratum, deterministic and stable across reruns and row order.
+
+    Scale shape: top-k-by-hash is computed in two narrow windows — a
+    local top-k within (stratum, hash-bucket), so every stratum spreads
+    over `n_buckets` parallel tasks no matter how skewed, then a global
+    top-k per stratum over the surviving <= n_buckets*k candidate rows.
+    No stratum ever funnels its full row set through one task (the mx1
+    sub-bucketing lesson applied to sampling), and both windows shuffle
+    only (key, hash) pairs plus carried columns.
+
+    Adds `sample_rank` (1..k within stratum by hash order).
+    """
+    h = shared_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucketed = df.withColumn("__h", h).withColumn(
+        "__b", F.pmod(F.col("__h"), F.lit(n_buckets))
+    )
+    local = Window.partitionBy(stratum_col, "__b").orderBy("__h", id_col)
+    cand = (
+        bucketed.withColumn("__rn", F.row_number().over(local))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__b")
+    )
+    glob = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(glob))
+        .where(F.col("sample_rank") <= k)
+        .drop("__h")
+    )
+
+
 def cluster_split(
     docs: DataFrame,
     clusters: DataFrame,

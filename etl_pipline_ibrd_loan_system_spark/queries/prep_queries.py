@@ -713,3 +713,31 @@ def dc3_decontaminate_aho_corasick(spark: SparkSession, sf_dir: str) -> DataFram
     return textprep.substring_decontaminate_ac(
         train, spans, "text", "doc_id"
     ).select("doc_id", "n_chars")
+
+
+@query(
+    "sp5_exact_stratified_sample",
+    sql=f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS sample_rank
+      FROM (
+        SELECT doc_id, lang,
+               {_HASH60.format(x="'xsample:' || CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+      )
+    ) WHERE sample_rank <= 20
+    """,
+)
+def sp5_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 uniform docs per language (top-20 by id hash) — the
+    fixed-size complement of sp2's Bernoulli sampler. Spark computes it
+    with the two-window sub-bucketed top-k (no stratum funnels through
+    one task); the oracle replays the straightforward single-window
+    definition — identical ranks prove the decomposition."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.exact_stratified_sample(docs, "lang", 20, "doc_id")
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )

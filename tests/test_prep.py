@@ -428,3 +428,19 @@ def test_substring_decontaminate_tiers_agree(spark, sf_dir):
     a = {r["doc_id"] for r in anti.select("doc_id").collect()}
     b = {r["doc_id"] for r in ac.select("doc_id").collect()}
     assert a == b and len(a) < docs.count()
+
+
+def test_exact_stratified_sample_sizes(spark):
+    rows = [(i, "big") for i in range(200)] + [(1000 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.exact_stratified_sample(df, "lang", 10, "doc_id")
+    sizes = dict(out.groupBy("lang").count().collect())
+    # exactly k where the stratum has >= k rows, all rows otherwise
+    assert sizes == {"big": 10, "small": 3}
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b
+    ranks = sorted(
+        r["sample_rank"] for r in out.where(F.col("lang") == "big").collect()
+    )
+    assert ranks == list(range(1, 11))
