@@ -669,6 +669,71 @@ def embedding_lsh_pairs(
 
 # rounds the last connected_components call took to converge — recorded
 # for tests and the SCALE.md iteration-count log (VERDICT r5 item 4)
+def verbatim_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 16,
+    max_df: int = 50,
+) -> DataFrame:
+    """ExactSubstr-style dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): document pairs that
+    share at least one VERBATIM w-token window, with the count of shared
+    windows. Catches copied passages that shingle-Jaccard dilutes away
+    (a 50-token quote inside two otherwise-different documents moves
+    3-gram Jaccard by ~nothing but is exactly the contamination/citation
+    duplication a training pipeline must see).
+
+    Shape: per-doc DISTINCT w-gram hashes (60-bit md5, so the shuffle
+    carries 8-byte keys, never the ~100-char gram text) -> document
+    frequency per gram -> drop grams outside [2, max_df] -> gram-keyed
+    self-join -> per-pair count. The df cap is the scale guard: a gram
+    seen in d documents fans out d^2 pair rows, so boilerplate grams
+    (site banners, licenses) are excluded here — they are exactly what
+    `chunk_boilerplate_filter` (dd9) handles, and at w >= 16 natural
+    language grams are otherwise near-unique, keeping the join linear in
+    the true-duplicate mass. The suffix-array formulation finds arbitrary
+    >= w overlaps without the window grid; this gram-grid variant is the
+    join-friendly approximation that distributes — windows align because
+    both docs tokenize identically.
+    """
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= w)
+    toks = F.col("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - w),
+            lambda i: shared_hash60(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(toks, (i + j + 1).cast("int"))
+                        for j in range(w)
+                    ],
+                )
+            ),
+        )
+    )
+    g = base.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+    # grams are distinct per doc, so COUNT(*) per gram == document frequency
+    keep = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= max_df))
+        .select("g")
+    )
+    gk = g.join(keep, "g")
+    a = gk.select(F.col("g"), F.col("doc").alias("id_a"))
+    b = gk.select(F.col("g"), F.col("doc").alias("id_b"))
+    return (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 LAST_CC_ROUNDS: int = 0
 
 

@@ -432,3 +432,66 @@ def dd11_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, "text", "doc_id", key_len=24, window=5, n=3, threshold=0.5
     )
+
+
+# 16 words -> exactly one all-passage 16-token window per tainted doc,
+# so every tainted pair shares >= 1 verbatim gram at sf0.01 (doc freq 39,
+# inside the cap) while at sf0.1 the same gram's doc freq (~385) crosses
+# max_df=50 and is suppressed as boilerplate — both branches of the df
+# cap are exercised across the SF decade, and the oracle replays either.
+_QUOTE = (
+    "in accordance with the terms set forth herein the undersigned "
+    "parties hereby agree to the following provisions"
+)
+
+_DD12_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "dd12_verbatim_overlap",
+    sql=f"""
+    WITH tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN '{_QUOTE} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM tainted
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 16 + 2),
+               i -> {_DD12_HASH60.format(
+                 x="array_to_string(list_slice(toks, i, i + 15), ' ')")}
+             ))) AS g
+      FROM t WHERE len(toks) >= 16
+    ), keep AS (
+      SELECT g FROM (SELECT g, COUNT(*) AS d FROM g GROUP BY g)
+      WHERE d BETWEEN 2 AND 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS n_shared_grams
+    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    JOIN keep k ON k.g = a.g
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dd12_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style verbatim 16-token-window overlap pairs
+    (dedup.verbatim_overlap_pairs) over a corpus where every 13th
+    document is tainted with a shared legal-boilerplate passage — the
+    copied-passage signal Jaccard dilutes away. The oracle replays the
+    taint, the 60-bit gram hashing, the [2, max_df] document-frequency
+    cap, and the pair counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(_QUOTE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.verbatim_overlap_pairs(tainted, "text", "doc_id", w=16, max_df=50)

@@ -162,3 +162,34 @@ def test_select_representatives_tiebreak_and_singletons(spark):
     # doc 9 never appeared in any pair -> singleton, its own rep
     assert out[9]["rep_doc_id"] == 9
     assert out[9]["cluster_size"] == 1
+
+
+def test_verbatim_overlap_counts_shared_windows(spark):
+    """Two docs sharing an 8-token passage produce exactly one pair with
+    the right window count; a df-capped gram is suppressed."""
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+    passage = "a b c d e f g h"  # 8 tokens -> one 8-gram window
+    rows = [
+        (1, passage + " unique tail one"),
+        (2, passage + " other ending here"),
+        (3, "totally different words that never overlap with anything"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.verbatim_overlap_pairs(df, "text", "doc_id", w=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # windows starting inside the shared passage are identical only
+    # while fully inside it: exactly 1 at w=8 over an 8-token passage
+    assert r["n_shared_grams"] == 1
+
+    # same passage in 3 docs with max_df=2 -> suppressed, no pairs
+    df3 = spark.createDataFrame(
+        [(i, passage + f" tail{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    assert (
+        dedup.verbatim_overlap_pairs(df3, "text", "doc_id", w=8, max_df=2).count()
+        == 0
+    )
