@@ -138,6 +138,40 @@ def rolling_agg(
     )
 
 
+def time_range_rolling(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    ts_col: str,
+    value: str,
+    trailing_seconds: int = 3600,
+    dec: str = "decimal(18,4)",
+) -> DataFrame:
+    """Time-RANGE rolling frame: per key, count and decimal-exact sum of
+    every row whose event time falls in the trailing `trailing_seconds`
+    window ending at the current row — the frame is defined by TIME
+    distance, not row count, so bursts widen the frame and quiet periods
+    shrink it (what `rolling_agg`'s ROWS frame cannot express).
+
+    The order key is integer epoch seconds (rangeBetween needs a numeric
+    order), and ties — rows at the same second — are PEERS: RANGE frames
+    include all of them on both engines, which is also why the result is
+    deterministic without an id tie-break. Same scale shape as any
+    partitioned window: one shuffle on the keys, frames never leave
+    their partition."""
+    # TIMESTAMP_NTZ has no direct long cast; via TIMESTAMP it is exact
+    # because the session timezone is pinned UTC (session.py)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(epoch)
+        .rangeBetween(-trailing_seconds, Window.currentRow)
+    )
+    return df.withColumn("trailing_n", F.count(F.lit(1)).over(w)).withColumn(
+        "trailing_sum",
+        F.round(F.sum(F.col(value).cast(dec)).over(w), 2).cast("double"),
+    )
+
+
 def ranking_family(
     df: DataFrame,
     partition_by: Sequence[str],

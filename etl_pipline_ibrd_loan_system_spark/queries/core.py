@@ -926,6 +926,31 @@ def e3_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e16_time_range_rolling",
+    sql="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS trailing_n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+             AS trailing_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def e16_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour per-user activity (count + decimal-exact sum)
+    with a time-RANGE frame — frame width follows event density, which
+    a ROWS frame (e3) cannot express. Same-second rows are RANGE peers
+    on both engines, so no id tie-break is needed for determinism."""
+    from ..operators.window_ops import time_range_rolling
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_range_rolling(
+        ev, ["user_id"], "ts", "value", trailing_seconds=3600
+    ).select("event_id", "user_id", "trailing_n", "trailing_sum")
+
+
+@query(
     "e4_ranking_family",
     sql="""
     SELECT o_orderkey, o_orderstatus,
