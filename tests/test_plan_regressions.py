@@ -369,3 +369,65 @@ def test_dd11_no_global_rank_window(spark, sf_dir, registry):
     # specs may only ORDER BY __bucket (the num_buckets-row offsets)
     specs = re.findall(r"windowspecdefinition\((\S+?)[,#]", plan)
     assert specs and all(s.startswith("__bucket") for s in specs), specs
+
+
+def test_sp5_no_unpartitioned_full_window(spark, sf_dir, registry):
+    """sp5: both top-k windows must stay partitioned — the local one by
+    (stratum, bucket), the global one by stratum over <= buckets*k
+    survivors. An unpartitioned window anywhere means the sub-bucketed
+    decomposition was lost."""
+    plan = _plan(registry["sp5_exact_stratified_sample"](spark, sf_dir))
+    assert "windowspecdefinition(lang" in plan, "sp5 lost its stratum windows"
+    # an empty partition spec renders as windowspecdefinition(<order>...
+    # with no partition columns before the sort spec: the lang-first
+    # forms above are the only windows this plan may contain
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs and all(s.strip().startswith("lang") for s in specs), specs
+
+
+def test_dd12_gram_join_is_hash_join(spark, sf_dir, registry):
+    """dd12: the gram-keyed self-join and the df-cap semi filter must be
+    hash equi-joins; a nested-loop or cartesian means the gram hashing
+    stopped reaching the join keys."""
+    plan = _plan(registry["dd12_verbatim_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e16_range_frame_is_partitioned(spark, sf_dir, registry):
+    """e16: the time-RANGE frame must stay inside the user_id partition
+    — a global range frame would serialize the table through one task."""
+    plan = _plan(registry["e16_time_range_rolling"](spark, sf_dir))
+    assert "windowspecdefinition(user_id" in plan
+    specs_outside = "windowspecdefinition(cast" in plan
+    assert not specs_outside, "e16 grew an unpartitioned window"
+
+
+def test_join_hints_steer_strategy(spark, sf_dir):
+    """Engine-control surface: user hints override Catalyst's default
+    join strategy choice — broadcast forces BroadcastHashJoin even when
+    the side exceeds the auto threshold, merge forces SortMergeJoin even
+    when the side is tiny."""
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    merged = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    assert "SortMergeJoin" in _plan(merged)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        auto = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "BroadcastHashJoin" not in _plan(auto)
+        hinted = orders.join(
+            cust.hint("broadcast"), orders.o_custkey == cust.c_custkey
+        )
+        assert "BroadcastHashJoin" in _plan(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
