@@ -593,3 +593,26 @@ def m11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hibernating")
         .alias("segment"),
     )
+
+
+from ..operators import zorder  # noqa: E402
+
+
+@query(
+    "zo1_zorder_layout",
+    sql=zorder.zorder_layout_oracle_sql(
+        "events", "user_id", "(epoch_us(ts) // 1000000)"
+    ),
+)
+def zo1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout statistics for events clustered on
+    (user_id, event second): rows bucketed by the top 8 bits of the
+    32-bit interleaved key, with each bucket's min/max in BOTH
+    dimensions — the rectangles a Z-ordered file layout would pin to
+    files, i.e. the scan-pruning guarantee for two-filter workloads
+    that 1-D range clustering cannot give. Keys are integer-exact and
+    bit-replayed by the oracle (operators/zorder.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return zorder.zorder_layout(
+        ev, "user_id", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"
+    )

@@ -133,3 +133,43 @@ def test_overlap_matches_bruteforce(spark):
     )
     for w in (5, 32, 1000):
         assert _overlap(spark, left, right, w) == expect
+
+
+# ------------------------------------------------------------------ zorder
+
+
+def test_zorder_interleave_known_values(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators import zorder
+
+    expr = zorder.interleave_sql("x", "y", bits=4)
+    rows = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 3), (0, 0), (15, 15)], "x long, y long"
+    ).selectExpr("x", "y", f"{expr} AS z").collect()
+    got = {(r["x"], r["y"]): r["z"] for r in rows}
+    # d1 bits land at even positions, d2 at odd
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(3, 3)] == 15
+    assert got[(0, 0)] == 0
+    assert got[(15, 15)] == 255
+
+
+def test_zorder_buckets_are_rectangles(spark, sf_dir):
+    """Every Z-bucket's (d1, d2) bounding box must cover at most a
+    2^(bits-bucket_bits/2)-sized slice of each normalized dimension —
+    the pruning property. Checked loosely: no bucket spans the full
+    range of BOTH dimensions at once."""
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import zorder
+
+    ev = load_table(spark, sf_dir, "events")
+    out = zorder.zorder_layout(
+        ev, "user_id", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"
+    ).collect()
+    assert len(out) > 1
+    full_d1 = max(r["max_d1"] for r in out) - min(r["min_d1"] for r in out)
+    full_d2 = max(r["max_d2"] for r in out) - min(r["min_d2"] for r in out)
+    for r in out:
+        span1 = r["max_d1"] - r["min_d1"]
+        span2 = r["max_d2"] - r["min_d2"]
+        assert span1 < full_d1 or span2 < full_d2
