@@ -329,6 +329,56 @@ def decode_media(df: DataFrame) -> DataFrame:
             except Exception:
                 return None
 
+        def decode_mp4(payload: bytes):
+            """(width, height, payload_byte_sum) from the ISO BMFF box
+            tree — a REAL structural parse (ftyp sniff, 32/64-bit box
+            sizes, moov/trak/mdia/minf/stbl recursion, tkhd 16.16
+            fixed-point track dimensions) without any codec: sample
+            data stays undecoded, so byte_sum remains the raw payload
+            sum. Returns None (byte-stats tier, metadata dims) when the
+            payload is not BMFF, is malformed, or has no visual track."""
+            import struct
+
+            if len(payload) < 12 or payload[4:8] != b"ftyp":
+                return None
+            try:
+                containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+                best = None
+                stack = [(0, len(payload))]
+                while stack:
+                    pos, end = stack.pop()
+                    while pos + 8 <= end:
+                        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+                        btype = payload[pos + 4 : pos + 8]
+                        hdr = 8
+                        if size == 1:
+                            if pos + 16 > end:
+                                return None
+                            (size,) = struct.unpack(
+                                ">Q", payload[pos + 8 : pos + 16]
+                            )
+                            hdr = 16
+                        elif size == 0:  # box extends to enclosing end
+                            size = end - pos
+                        if size < hdr or pos + size > end:
+                            return None  # malformed tree: fallback tier
+                        if btype in containers:
+                            stack.append((pos + hdr, pos + size))
+                        elif btype == b"tkhd" and size - hdr >= 9:
+                            body = payload[pos + hdr : pos + size]
+                            w16, h16 = struct.unpack(">II", body[-8:])
+                            w, h = w16 >> 16, h16 >> 16
+                            if w and h:  # visual track (audio tracks: 0x0)
+                                best = (w, h)
+                        pos += size
+                    if pos != end:
+                        return None  # trailing partial box: truncated file
+                if best is None:
+                    return None
+                return best[0], best[1], sum(payload)
+            except Exception:
+                return None
+
         for b in batches:
             out = {k: [] for k in ("media_id", "fmt", "n_bytes", "byte_sum", "width", "height")}
             for mid, payload, meta in zip(b["media_id"], b["data"], b["meta"]):
@@ -339,6 +389,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                     if wav is not None:
                         n_ch, n_frames, s = wav
                         decoded = (n_ch, n_frames, s)
+                if decoded is None:
+                    decoded = decode_mp4(payload)
                 out["media_id"].append(mid)
                 out["fmt"].append(meta["fmt"])
                 out["n_bytes"].append(len(payload))
