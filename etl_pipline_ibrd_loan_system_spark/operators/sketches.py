@@ -572,3 +572,98 @@ def bloom_semijoin(
     return fact.filter(F.expr(member)).join(
         dim_keys.select(key_col).distinct(), key_col, "left_semi"
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    window_days: int = 2,
+    b: int = DEFAULT_B,
+) -> DataFrame:
+    """Trailing-W-day approximate distinct count evaluated at every day
+    present in the data — the sliding-window cardinality problem that
+    makes exact COUNT(DISTINCT) intractable at 100 TB (every day would
+    re-shuffle W days of raw keys).
+
+    Shape: the events are hashed and register-reduced ONCE per day
+    (bounded: <= 2^b rows/day); each day's registers are then exploded
+    into the <= W window anchors they contribute to and max-merged per
+    (anchor, bucket) — HLL's register-wise-max mergeability is exactly
+    what turns a sliding distinct into an O(W * 2^b)-state problem. The
+    shuffle after the first reduction carries register rows only, never
+    raw keys.
+    """
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date")
+    regs = hll_registers(df.select(day.alias("__day"), col), col, ["__day"], b)
+    days = regs.select(F.col("__day").alias("window_day")).distinct()
+    contrib = regs.select(
+        "__day",
+        "bucket",
+        "m_reg",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("__k"),
+    ).select(
+        F.date_add(F.col("__day"), F.col("__k")).alias("window_day"),
+        "bucket",
+        "m_reg",
+    )
+    merged = (
+        contrib.join(F.broadcast(days), "window_day")  # windows anchored at real days
+        .groupBy("window_day", "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    return hll_estimate(merged, ["window_day"], b)
+
+
+def hll_sliding_oracle_sql(
+    table: str,
+    col: str,
+    ts_col: str,
+    window_days: int = 2,
+    b: int = DEFAULT_B,
+    cap: int = RHO_CAP,
+) -> str:
+    """DuckDB replay of hll_sliding_distinct — same hash, rho cascade,
+    per-day registers, window contribution explode, and estimator."""
+    m = 2 ** b
+    alpha_m2 = _alpha(m) * m * m
+    h = f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)"
+    rho = _rho_sql(f"h // {m}", cap)
+    return f"""
+    WITH hashed AS (
+      SELECT day, h % {m} AS bucket, {rho} AS rho
+      FROM (SELECT CAST(date_trunc('day', {ts_col}) AS DATE) AS day,
+                   {h} AS h
+            FROM {table})
+    ),
+    regs AS (
+      SELECT day, bucket, MAX(rho) AS m_reg FROM hashed GROUP BY day, bucket
+    ),
+    contrib AS (
+      SELECT CAST(day + CAST(t.k AS INTEGER) AS DATE) AS window_day,
+             bucket, m_reg
+      FROM regs, range(0, {window_days}) t(k)
+    ),
+    merged AS (
+      SELECT window_day, bucket, MAX(m_reg) AS m_reg
+      FROM contrib
+      WHERE window_day IN (SELECT DISTINCT day FROM regs)
+      GROUP BY window_day, bucket
+    ),
+    collapsed AS (
+      SELECT window_day,
+             SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) AS z_present,
+             COUNT(*) AS n_present
+      FROM merged GROUP BY window_day
+    )
+    SELECT window_day,
+           CAST(ROUND(
+             CASE WHEN ({alpha_m2!r} / CAST(CAST({m} - n_present AS DECIMAL(38,21))
+                          + z_present AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - n_present) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present))
+                  ELSE {alpha_m2!r} / CAST(CAST({m} - n_present AS DECIMAL(38,21))
+                         + z_present AS DOUBLE)
+             END) AS BIGINT) AS est_distinct
+    FROM collapsed
+    """

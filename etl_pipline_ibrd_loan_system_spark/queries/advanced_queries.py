@@ -556,3 +556,21 @@ def e15_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "event_type", "day", "n_events", med.alias("med7")
     )
+
+
+from ..operators import sketches  # noqa: E402
+
+
+@query(
+    "sk7_sliding_hll",
+    sql=sketches.hll_sliding_oracle_sql("events", "user_id", "ts", window_days=2),
+)
+def sk7_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-2-day distinct users per day via sliding HLL register
+    merge: events hash-reduce to per-day registers ONCE, then only
+    register rows (<= 512/day) shuffle into window anchors — the
+    sliding-distinct shape that never re-scans or re-shuffles raw keys.
+    Oracle replays hash, registers, window explode, and estimator
+    bit-for-bit (operators/sketches.py::hll_sliding_oracle_sql)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sketches.hll_sliding_distinct(ev, "user_id", "ts", window_days=2)

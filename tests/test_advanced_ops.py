@@ -173,3 +173,31 @@ def test_zorder_buckets_are_rectangles(spark, sf_dir):
         span1 = r["max_d1"] - r["min_d1"]
         span2 = r["max_d2"] - r["min_d2"]
         assert span1 < full_d1 or span2 < full_d2
+
+
+def test_sliding_hll_equals_union_sketch(spark, sf_dir):
+    """The trailing-window estimate for an anchor day must equal the
+    plain HLL of the raw events in that window — register explode +
+    max-merge is lossless vs re-sketching the union."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    sliding = {
+        r["window_day"]: r["est_distinct"]
+        for r in sketches.hll_sliding_distinct(
+            ev, "user_id", "ts", window_days=2
+        ).collect()
+    }
+    assert len(sliding) >= 3
+    anchor = sorted(sliding)[1]  # a day with a real predecessor
+    window = ev.where(
+        (F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date")
+         .between(F.date_sub(F.lit(anchor), 1), F.lit(anchor)))
+    )
+    direct = sketches.hll_distinct(
+        window.withColumn("g", F.lit(1)), "user_id", ["g"]
+    ).collect()[0]["est_distinct"]
+    assert sliding[anchor] == direct
