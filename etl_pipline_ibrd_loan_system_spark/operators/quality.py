@@ -128,3 +128,35 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
         ]
     )
     return wide.select(F.explode(structs).alias("s")).select("s.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization): values below the
+    group's `lower` quantile or above its `upper` quantile are clamped
+    to the quantile, a standard outlier-robust feature/label transform
+    before model training.
+
+    Scale shape: exact interpolated percentiles are ONE aggregate over
+    the group keys (a handful of rows out of a 100 TB scan), broadcast
+    back onto the table — same stats-broadcast pattern as
+    dq3_group_outliers; no window ever touches the full data. At
+    extreme group cardinality swap `percentile` for the mergeable
+    `percentile_approx` t-digest — documented trade, not oracle-able.
+    """
+    out_col = out_col or f"{value_col}_w"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), group_cols, "left")
+    clamped = F.greatest(
+        F.col("__lo"), F.least(F.col("__hi"), F.col(value_col).cast("double"))
+    )
+    return joined.withColumn(out_col, clamped).drop("__lo", "__hi")

@@ -1,0 +1,171 @@
+"""Snapshot reconciliation: table diff, survivorship merge, and
+late-arriving-dimension inferred members.
+
+These are the day-2 capabilities of the reference's warehouse loop:
+the SSIS packages reload dimensions from full source extracts
+(`project SSIS::bor_dim.dtsx` re-reads the borrower CSV every run and
+per-row-UPDATEs what changed), which at scale becomes "diff the new
+snapshot against the current table and apply only the delta".
+`snapshot_diff` is that delta computation as ONE full-outer key join;
+`golden_record` is the survivorship rule an MDM-style dedup applies
+before the load (latest non-null per attribute); `infer_members` is
+the classic late-arriving-dimension pattern (SSIS Lookup's "insert an
+inferred member on no-match" — the third NoMatchBehavior next to the
+error-row path star.py:108 already covers).
+
+Scale shapes (100 TB):
+  * snapshot_diff — one sort-merge full-outer on the key (both sides
+    shuffle once); the unchanged-row filter happens in the join
+    projection, so only the delta survives the stage boundary. No
+    window, no second pass. Column comparison is null-safe
+    (`IS DISTINCT FROM`) and happens per-row JVM-side.
+  * golden_record — ONE map-side-combinable aggregate: per value
+    column, MAX(struct(v IS NOT NULL, seq, v)) — non-null beats null,
+    then highest sequence wins; partial maxes merge associatively so
+    the shuffle carries one partially-reduced row per (key, map
+    partition), never the raw duplicate mass.
+  * infer_members — distinct unmatched keys via left-anti join
+    (Catalyst broadcasts the dim key projection when small; shuffles
+    on the key otherwise) + a union with the placeholder projection.
+    The dim is never re-scanned per fact row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed delta between two snapshots.
+
+    Returns one row per key that differs: key columns +
+    ``change_kind`` ('added' | 'removed' | 'changed') +
+    ``changed_cols`` (comma-joined names of the differing columns in
+    ``compare_cols`` order; empty for added/removed). Keys present in
+    both snapshots with all compare columns null-safe-equal are
+    absent from the output — the point of a diff is that its size
+    tracks the CHANGE mass, not the table.
+    """
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+    o = old.alias("__o")
+    n = new.alias("__n")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+
+    old_present = F.col(f"__o.{key_cols[0]}").isNotNull()
+    new_present = F.col(f"__n.{key_cols[0]}").isNotNull()
+    kind = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    # concat_ws skips NULL arguments (identically in DuckDB), so each
+    # WHEN contributes its column name only when the values differ.
+    diffs = [
+        F.when(
+            ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}")), F.lit(c)
+        )
+        for c in compare_cols
+    ]
+    changed = F.when(
+        old_present & new_present, F.concat_ws(",", *diffs)
+    ).otherwise(F.lit(""))
+
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+            for k in key_cols
+        ],
+        kind.alias("change_kind"),
+        changed.alias("changed_cols"),
+    )
+    # 'changed' with no differing column == unchanged: drop before the
+    # stage boundary so only the delta is materialized.
+    return out.where(
+        (F.col("change_kind") != F.lit("changed"))
+        | (F.col("changed_cols") != F.lit(""))
+    )
+
+
+def golden_record(
+    records: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship merge: one golden row per key whose every value
+    column is the most recent NON-NULL observation (by ``seq_col``),
+    plus ``n_records`` (conflicting source rows folded) and
+    ``last_seq`` (highest sequence seen).
+
+    ``seq_col`` must totally order records within a key. A column
+    null in every record stays null. The whole rule is one combinable
+    aggregate — no window, no per-key sort, no self-join.
+    """
+    key_cols = list(key_cols)
+    value_cols = list(value_cols)
+    aggs = []
+    for c in value_cols:
+        col = F.col(c)
+        picked = F.max(
+            F.struct(
+                col.isNotNull().alias("__nn"),
+                F.col(seq_col).alias("__seq"),
+                col.alias("__v"),
+            )
+        )
+        aggs.append(picked.getField("__v").alias(c))
+    aggs.append(F.count(F.lit(1)).alias("n_records"))
+    aggs.append(F.max(F.col(seq_col)).alias("last_seq"))
+    return records.groupBy(*key_cols).agg(*aggs)
+
+
+def infer_members(
+    dim: DataFrame,
+    facts: DataFrame,
+    dim_key: str,
+    fact_key: str,
+    placeholders: Mapping[str, Column],
+    flag_col: str = "inferred",
+) -> DataFrame:
+    """Late-arriving-dimension handling: every fact key with no match
+    in ``dim`` gains a placeholder ("inferred") dimension row, so the
+    fact load never drops rows and the dimension backfills in place
+    when the real attributes arrive (SSIS Lookup no-match "insert
+    inferred member"; the reference's packages instead fail or divert
+    such rows — star.py:108).
+
+    ``placeholders`` maps every non-key dim column to the Column
+    expression the inferred row carries. Returns the dim augmented
+    with the inferred rows and a boolean ``flag_col``.
+    """
+    dim_cols = [c for c in dim.columns if c != dim_key]
+    missing = set(dim_cols) - set(placeholders)
+    if missing:
+        raise ValueError(f"placeholders missing for dim columns: {sorted(missing)}")
+    unmatched = (
+        facts.select(F.col(fact_key).alias(dim_key))
+        .join(dim.select(dim_key), dim_key, "left_anti")
+        .distinct()
+    )
+    inferred = unmatched.select(
+        F.col(dim_key),
+        *[placeholders[c].alias(c) for c in dim_cols],
+        F.lit(True).alias(flag_col),
+    )
+    present = dim.select(
+        F.col(dim_key), *dim_cols, F.lit(False).alias(flag_col)
+    )
+    return present.unionByName(inferred)

@@ -171,7 +171,7 @@ def load_registry():
                 "text_queries", "similarity_queries", "multimodal_queries",
                 "stream_queries", "prep_queries", "tpch_queries",
                 "tpch_full", "analytics_queries", "udtf_queries", "quality_queries",
-                "advanced_queries"):
+                "advanced_queries", "reconcile_queries"):
         try:
             __import__(f"{__name__}.{mod}", fromlist=[mod])
         except Exception:  # noqa: BLE001 — recorded and surfaced, not dropped

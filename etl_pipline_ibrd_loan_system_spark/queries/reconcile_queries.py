@@ -1,0 +1,221 @@
+"""Snapshot-reconciliation query catalog (operators/reconcile.py):
+keyed table diff, survivorship merge, and late-arriving-dimension
+inferred members — plus the winsorization quality transform.
+
+The reference reloads dimensions from full extracts and per-row-UPDATEs
+what changed (`project SSIS::bor_dim.dtsx:454,566`); at warehouse scale
+that loop becomes diff-then-apply. Both snapshots here derive
+deterministically from the same base table in BOTH engines, so the
+oracle replays the whole derivation and the diff/merge semantics are
+hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import quality
+from ..operators.reconcile import golden_record, infer_members, snapshot_diff
+from . import query
+
+# --- c7: snapshot diff ----------------------------------------------------
+# The "new" snapshot is a deterministic mutation of customer:
+#   * removed : custkey % 11 == 0 rows are gone
+#   * changed : custkey % 7 == 0 gains 10.00 acctbal; custkey % 14 == 0
+#               additionally moves market segment (so changed_cols
+#               exercises both the one-column and two-column cases)
+#   * added   : custkey % 13 == 0 re-keyed +1_000_000 as fresh rows
+_C7_NEW_SQL = """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 14 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, 'NEW'
+      FROM customer WHERE c_custkey % 13 = 0
+"""
+
+_C7_COMPARE = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _c7_new_snapshot(cust: DataFrame) -> DataFrame:
+    mutated = cust.where(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 14 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    added = cust.where(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return mutated.unionByName(added)
+
+
+@query(
+    "c7_snapshot_diff",
+    sql=f"""
+    WITH newsnap AS ({_C7_NEW_SQL}),
+    d AS (
+      SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change_kind,
+             CASE WHEN o.c_custkey IS NULL OR n.c_custkey IS NULL THEN ''
+                  ELSE concat_ws(',',
+                    CASE WHEN o.c_name        IS DISTINCT FROM n.c_name        THEN 'c_name' END,
+                    CASE WHEN o.c_nationkey   IS DISTINCT FROM n.c_nationkey   THEN 'c_nationkey' END,
+                    CASE WHEN o.c_acctbal     IS DISTINCT FROM n.c_acctbal     THEN 'c_acctbal' END,
+                    CASE WHEN o.c_mktsegment  IS DISTINCT FROM n.c_mktsegment  THEN 'c_mktsegment' END)
+             END AS changed_cols
+      FROM customer o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey
+    )
+    SELECT * FROM d WHERE change_kind <> 'changed' OR changed_cols <> ''
+    """,
+)
+def c7_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed delta between the current customer table and a mutated
+    snapshot: one full-outer key join, null-safe column compare,
+    unchanged rows dropped inside the join projection so only the
+    change mass crosses the stage boundary (operators/reconcile.py —
+    the diff-then-apply replacement for the reference's full-reload
+    per-row UPDATE loop, `project SSIS::bor_dim.dtsx:454,566`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return snapshot_diff(
+        cust, _c7_new_snapshot(cust), ["c_custkey"], _C7_COMPARE
+    )
+
+
+# --- c8: golden record ----------------------------------------------------
+# Orders replayed as conflicting CRM-style records per customer with
+# deterministic null injection; survivorship = latest non-null wins.
+_C8_REC_SQL = """
+      SELECT o_custkey AS cust_id, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS priority,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS totalprice
+      FROM orders
+"""
+
+
+@query(
+    "c8_golden_record",
+    sql=f"""
+    WITH rec AS ({_C8_REC_SQL})
+    SELECT cust_id,
+           arg_max(status, seq) FILTER (WHERE status IS NOT NULL) AS status,
+           arg_max(priority, seq) FILTER (WHERE priority IS NOT NULL) AS priority,
+           arg_max(totalprice, seq) FILTER (WHERE totalprice IS NOT NULL) AS totalprice,
+           COUNT(*) AS n_records,
+           MAX(seq) AS last_seq
+    FROM rec GROUP BY cust_id
+    """,
+)
+def c8_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (MDM golden record): per customer, each
+    attribute independently takes its most recent NON-NULL observation.
+    The whole rule is one map-side-combinable MAX(struct(not-null, seq,
+    value)) aggregate — no window, no per-key sort; the oracle replays
+    it with filtered arg_max."""
+    orders = load_table(spark, sf_dir, "orders")
+    rec = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("totalprice"),
+    )
+    return golden_record(
+        rec,
+        key_cols=["cust_id"],
+        seq_col="seq",
+        value_cols=["status", "priority", "totalprice"],
+    )
+
+
+# --- c9: inferred members -------------------------------------------------
+_C9_DIM_PRED = "c_custkey % 5 <> 0"  # simulate an incomplete dimension
+
+
+@query(
+    "c9_inferred_members",
+    sql=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           FALSE AS inferred
+    FROM customer WHERE {_C9_DIM_PRED}
+    UNION ALL
+    SELECT DISTINCT o_custkey, 'INFERRED MEMBER', -1,
+           CAST(NULL AS DOUBLE), 'UNKNOWN', TRUE
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE {_C9_DIM_PRED})
+    """,
+)
+def c9_inferred_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension: fact keys with no dimension match gain
+    placeholder rows flagged `inferred` (SSIS Lookup's third no-match
+    behavior, next to the error-row diversion star.py:108 covers). The
+    unmatched key set is ONE distinct left-anti join — the dim is never
+    scanned per fact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.where(F.expr(_C9_DIM_PRED))
+    return infer_members(
+        dim,
+        orders,
+        dim_key="c_custkey",
+        fact_key="o_custkey",
+        placeholders={
+            "c_name": F.lit("INFERRED MEMBER"),
+            "c_nationkey": F.lit(-1).cast("int"),
+            "c_acctbal": F.lit(None).cast("double"),
+            "c_mktsegment": F.lit("UNKNOWN"),
+        },
+    )
+
+
+# --- dq4: winsorization ---------------------------------------------------
+
+
+@query(
+    "dq4_winsorize",
+    sql="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           GREATEST(b.lo, LEAST(b.hi, c.c_acctbal)) AS c_acctbal_w
+    FROM customer c JOIN b USING (c_mktsegment)
+    """,
+)
+def dq4_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment percentile clipping (operators/quality.py::winsorize):
+    exact interpolated p05/p95 per group — Spark `percentile` == DuckDB
+    `quantile_cont` (the d9 parity) — computed in ONE aggregate over the
+    group keys and broadcast back onto the scan; no window touches the
+    table."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = quality.winsorize(
+        cust, "c_acctbal", ["c_mktsegment"], 0.05, 0.95, out_col="c_acctbal_w"
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal", "c_acctbal_w")

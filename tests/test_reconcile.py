@@ -1,0 +1,82 @@
+"""Unit semantics of operators/reconcile.py beyond the c7/c8/c9
+oracles: null-safe diff classification, all-null survivorship, and
+inferred-member completeness/flagging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_pipline_ibrd_loan_system_spark.operators.reconcile import (
+    golden_record,
+    infer_members,
+    snapshot_diff,
+)
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k int, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (3, "c", None), (5, "e", 50)],
+        "k int, name string, v int",
+    )
+    rows = {
+        r.k: r for r in snapshot_diff(old, new, ["k"], ["name", "v"]).collect()
+    }
+    # k=1 unchanged, k=3 unchanged with a NULL (null-safe equality) -> absent
+    assert set(rows) == {2, 4, 5}
+    assert rows[2].change_kind == "changed"
+    assert rows[2].changed_cols == "name,v"
+    assert rows[4].change_kind == "removed" and rows[4].changed_cols == ""
+    assert rows[5].change_kind == "added" and rows[5].changed_cols == ""
+
+
+def test_snapshot_diff_null_transitions_are_changes(spark):
+    old = spark.createDataFrame([(1, None), (2, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k int, v string")
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert rows[1].changed_cols == "v"
+    assert rows[2].changed_cols == "v"
+
+
+def test_golden_record_latest_non_null_wins(spark):
+    rec = spark.createDataFrame(
+        [
+            (1, 10, "old", None),
+            (1, 20, None, 5.0),   # newest phone-less record
+            (2, 30, None, None),  # all-null attributes
+        ],
+        "k int, seq int, name string, score double",
+    )
+    out = {r.k: r for r in golden_record(rec, ["k"], "seq", ["name", "score"]).collect()}
+    assert out[1].name == "old"      # null at seq 20 does NOT erase seq 10
+    assert out[1].score == 5.0
+    assert out[1].n_records == 2 and out[1].last_seq == 20
+    assert out[2].name is None and out[2].score is None
+    assert out[2].last_seq == 30
+
+
+def test_infer_members_flags_and_covers_every_fact_key(spark):
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    facts = spark.createDataFrame([(1,), (3,), (3,), (4,)], "fid int")
+    out = infer_members(
+        dim, facts, "id", "fid", {"name": F.lit("INFERRED")}
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert not rows[1].inferred and not rows[2].inferred
+    assert rows[3].inferred and rows[3].name == "INFERRED"
+    assert rows[4].inferred
+    # every fact key now resolves
+    assert facts.join(out, facts.fid == out.id, "left_anti").count() == 0
+
+
+def test_infer_members_requires_full_placeholders(spark):
+    dim = spark.createDataFrame([(1, "x", 2)], "id int, name string, v int")
+    facts = spark.createDataFrame([(9,)], "fid int")
+    import pytest
+
+    with pytest.raises(ValueError, match="placeholders missing"):
+        infer_members(dim, facts, "id", "fid", {"name": F.lit("p")})
