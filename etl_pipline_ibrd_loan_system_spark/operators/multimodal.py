@@ -11,16 +11,25 @@ columnar batches). Operators:
 - decode_media (mapInPandas)       Arrow-batched Python decode path
 - extract_features (mapInPandas)   strided byte-histogram features
 
-Decode support is tiered by format. PNG payloads get a REAL decode —
-a stdlib-only reader (zlib for IDAT, filters 0-4 unfiltered per the
-PNG spec) that reports the IHDR dimensions and true pixel sum, proven
-against hand-encoded images in tests/test_multimodal_png.py. Audio/
-video codecs (ffmpeg/torchaudio) are not in this container, so every
-non-PNG payload falls back to a clearly-marked byte-stats path that
-still computes real statistics of the actual binary payload — the
-Spark-side plumbing (schema, Arrow batch shape, partition streaming,
-UDF signature) is identical on both tiers, and swapping in a full
-codec is one function edit.
+Decode support is tiered by format, all stdlib-only and proven against
+hand-encoded fixtures:
+  * FULL decode (true pixel/sample sums): PNG (zlib IDAT, filters 0-4,
+    color types 0/2/3/4/6, every legal bit depth, Adam7 —
+    tests/test_multimodal_png.py), integer-PCM WAV (RIFF chunk walk,
+    8/16/24/32-bit — tests/test_multimodal_wav.py), GIF (87a/89a LZW
+    with variable code width, local/global palettes, animation frames,
+    interlace — tests/test_multimodal_media.py), BMP (BI_RGB 8/24/32
+    bpp, stride padding, top-down/bottom-up).
+  * STRUCTURAL decode (real container dims, raw-payload byte sums —
+    the entropy-coded sample data needs codecs this container lacks):
+    MP4/ISO-BMFF (box-tree walk, tkhd track dims —
+    tests/test_multimodal_mp4.py) and JPEG (marker walk, SOFn frame
+    header dims).
+  * byte-stats fallback for everything else — still real statistics of
+    the actual binary payload, never a stub. The Spark-side plumbing
+    (schema, Arrow batch shape, partition streaming, UDF signature) is
+    identical on every tier, so swapping in a full codec is one
+    function edit.
 
 Scale notes: mapInPandas streams Arrow batches per partition
 (`spark.sql.execution.arrow.maxRecordsPerBatch` bounds peak memory —
@@ -379,6 +388,239 @@ def decode_media(df: DataFrame) -> DataFrame:
             except Exception:
                 return None
 
+        def decode_jpeg(payload: bytes):
+            """(width, height, payload_byte_sum) from the JFIF/EXIF
+            marker stream — a REAL structural parse (SOI sniff, marker
+            walk with fill-byte and standalone-marker handling, SOFn
+            frame header dimensions). Entropy-coded scan data stays
+            undecoded (Huffman/DCT is out of stdlib scope), so byte_sum
+            remains the raw payload sum — the same structural tier as
+            MP4. None when not a JPEG, malformed, or no SOF before SOS."""
+            import struct
+
+            if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+                return None
+            # SOFn markers carrying frame dims: C0-CF minus DHT(C4),
+            # DNL... (C8 is JPG extension), DAC(CC)
+            sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+            try:
+                pos = 2
+                while pos + 4 <= len(payload):
+                    if payload[pos] != 0xFF:
+                        return None  # lost marker sync: malformed
+                    while pos < len(payload) and payload[pos] == 0xFF:
+                        pos += 1  # fill bytes before a marker are legal
+                    if pos >= len(payload):
+                        return None
+                    marker = payload[pos]
+                    pos += 1
+                    if marker == 0xD9:  # EOI before any SOF
+                        return None
+                    if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                        continue  # standalone RSTn/TEM: no length field
+                    if pos + 2 > len(payload):
+                        return None
+                    (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+                    if seglen < 2 or pos + seglen > len(payload):
+                        return None
+                    if marker in sof:
+                        if seglen < 7:
+                            return None
+                        h, w = struct.unpack(">HH", payload[pos + 3 : pos + 7])
+                        if w == 0 or h == 0:
+                            return None  # DNL-deferred height: fallback
+                        return w, h, sum(payload)
+                    if marker == 0xDA:  # SOS with no SOF seen
+                        return None
+                    pos += seglen
+                return None
+            except Exception:
+                return None
+
+        def decode_gif(payload: bytes):
+            """(width, height, pixel_sum) — a REAL full decode of
+            GIF87a/GIF89a: logical screen descriptor dims, block walk
+            (extensions, image descriptors, trailer), per-image LZW
+            decompression (variable code width, clear/EOI handling),
+            palette lookup. Each pixel contributes r+g+b of its active
+            (local-else-global) palette entry, summed across ALL frames
+            of an animation; interlacing only permutes row order so the
+            sum needs no deinterlacing. None on non-GIF/malformed."""
+            if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+                return None
+            try:
+                w = int.from_bytes(payload[6:8], "little")
+                h = int.from_bytes(payload[8:10], "little")
+                flags = payload[10]
+                pos = 13
+                gct = None
+                if flags & 0x80:
+                    n = 2 << (flags & 0x07)
+                    gct = payload[pos : pos + 3 * n]
+                    if len(gct) < 3 * n:
+                        return None
+                    pos += 3 * n
+
+                def subblocks(p):
+                    chunks = []
+                    while True:
+                        if p >= len(payload):
+                            return None, p
+                        sz = payload[p]
+                        p += 1
+                        if sz == 0:
+                            return b"".join(chunks), p
+                        chunks.append(payload[p : p + sz])
+                        if len(chunks[-1]) < sz:
+                            return None, p
+                        p += sz
+
+                def lzw(min_code, data):
+                    clear, eoi = 1 << min_code, (1 << min_code) + 1
+                    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                    width_bits = min_code + 1
+                    acc = nbits = 0
+                    prev = None
+                    out = []
+                    for byte in data:
+                        acc |= byte << nbits
+                        nbits += 8
+                        while nbits >= width_bits:
+                            code = acc & ((1 << width_bits) - 1)
+                            acc >>= width_bits
+                            nbits -= width_bits
+                            if code == clear:
+                                table = table[: clear + 2]
+                                width_bits = min_code + 1
+                                prev = None
+                                continue
+                            if code == eoi:
+                                return b"".join(out)
+                            if code < len(table):
+                                entry = table[code]
+                            elif code == len(table) and prev is not None:
+                                entry = prev + prev[:1]
+                            else:
+                                raise ValueError("bad LZW code")
+                            out.append(entry)
+                            if prev is not None:
+                                table.append(prev + entry[:1])
+                                if len(table) == (1 << width_bits) and width_bits < 12:
+                                    width_bits += 1
+                            prev = entry
+                    return b"".join(out)
+
+                px_sum = 0
+                saw_image = False
+                while pos < len(payload):
+                    block = payload[pos]
+                    pos += 1
+                    if block == 0x3B:  # trailer
+                        if not saw_image:
+                            return None
+                        return w, h, px_sum
+                    if block == 0x21:  # extension: label + sub-blocks
+                        if pos >= len(payload):
+                            return None
+                        pos += 1
+                        _, pos = subblocks(pos)
+                    elif block == 0x2C:  # image descriptor
+                        if pos + 9 > len(payload):
+                            return None
+                        iw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+                        ih = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+                        iflags = payload[pos + 8]
+                        pos += 9
+                        pal = gct
+                        if iflags & 0x80:
+                            n = 2 << (iflags & 0x07)
+                            pal = payload[pos : pos + 3 * n]
+                            if len(pal) < 3 * n:
+                                return None
+                            pos += 3 * n
+                        if pal is None or pos >= len(payload):
+                            return None
+                        min_code = payload[pos]
+                        pos += 1
+                        data, pos = subblocks(pos)
+                        if data is None or not (2 <= min_code <= 8):
+                            return None
+                        idx = lzw(min_code, data)
+                        if len(idx) < iw * ih:
+                            return None
+                        pal_sum = [
+                            pal[3 * i] + pal[3 * i + 1] + pal[3 * i + 2]
+                            for i in range(len(pal) // 3)
+                        ]
+                        for i in idx[: iw * ih]:
+                            if i >= len(pal_sum):
+                                return None
+                            px_sum += pal_sum[i]
+                        saw_image = True
+                    else:
+                        return None  # unknown block: malformed
+                return None  # ran off the end without a trailer
+            except Exception:
+                return None
+
+        def decode_bmp(payload: bytes):
+            """(width, height, pixel_sum) — a REAL decode of
+            uncompressed (BI_RGB) BITMAPINFOHEADER bitmaps at 8 (palette),
+            24, and 32 bpp: row-stride padding honored, bottom-up vs
+            top-down (negative height) both accepted (row order never
+            changes a sum), each pixel contributing r+g+b (alpha/padding
+            bytes excluded). RLE/bitfield compressions and exotic header
+            sizes fall back. None when not a BMP or malformed."""
+            import struct
+
+            if len(payload) < 54 or payload[:2] != b"BM":
+                return None
+            try:
+                (data_off,) = struct.unpack("<I", payload[10:14])
+                (hdr_size,) = struct.unpack("<I", payload[14:18])
+                if hdr_size < 40:  # BITMAPCOREHEADER etc: fallback
+                    return None
+                bw, bh = struct.unpack("<ii", payload[18:26])
+                planes, bpp = struct.unpack("<HH", payload[26:30])
+                (compression,) = struct.unpack("<I", payload[30:34])
+                if compression != 0 or planes != 1 or bpp not in (8, 24, 32):
+                    return None
+                height = abs(bh)
+                if bw <= 0 or height == 0:
+                    return None
+                stride = (bw * bpp // 8 + 3) & ~3
+                need = data_off + stride * height
+                if need > len(payload):
+                    return None
+                pal_sum = None
+                if bpp == 8:
+                    (n_colors,) = struct.unpack("<I", payload[46:50])
+                    n_colors = n_colors or 256
+                    pal = payload[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+                    if len(pal) < 4 * n_colors:
+                        return None
+                    pal_sum = [
+                        pal[4 * i] + pal[4 * i + 1] + pal[4 * i + 2]
+                        for i in range(n_colors)
+                    ]
+                px_sum = 0
+                bypp = bpp // 8
+                for r in range(height):
+                    row = payload[data_off + r * stride :][: bw * bypp]
+                    if bpp == 8:
+                        for i in row:
+                            if i >= len(pal_sum):
+                                return None
+                            px_sum += pal_sum[i]
+                    elif bpp == 24:
+                        px_sum += sum(row)
+                    else:  # 32: BGRX — drop every 4th (alpha/pad) byte
+                        px_sum += sum(row) - sum(row[3::4])
+                return bw, height, px_sum
+            except Exception:
+                return None
+
         for b in batches:
             out = {k: [] for k in ("media_id", "fmt", "n_bytes", "byte_sum", "width", "height")}
             for mid, payload, meta in zip(b["media_id"], b["data"], b["meta"]):
@@ -391,6 +633,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                         decoded = (n_ch, n_frames, s)
                 if decoded is None:
                     decoded = decode_mp4(payload)
+                if decoded is None:
+                    decoded = decode_jpeg(payload)
+                if decoded is None:
+                    decoded = decode_gif(payload)
+                if decoded is None:
+                    decoded = decode_bmp(payload)
                 out["media_id"].append(mid)
                 out["fmt"].append(meta["fmt"])
                 out["n_bytes"].append(len(payload))
