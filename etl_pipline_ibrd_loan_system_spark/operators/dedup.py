@@ -112,17 +112,7 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join: ids sharing any band bucket become a
     candidate pair (id_a < id_b). Shuffle key (band, bucket) is uniform by
     hash construction."""
-    band_hashes = F.expr(
-        "array(%s)"
-        % ",".join(
-            "xxhash64(%s)"
-            % ",".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
-            for b in range(bands)
-        )
-    )
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
-    )
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -962,3 +952,79 @@ def sorted_neighborhood_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def _band_buckets(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bucket) band table of a MinHash signature frame — the
+    exploded form lsh_candidate_pairs self-joins, factored out so the
+    incremental path can join a NEW batch's bands against a persisted
+    corpus band table instead of re-banding the corpus per batch."""
+    band_hashes = F.expr(
+        "array(%s)"
+        % ",".join(
+            "xxhash64(%s)"
+            % ",".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            for b in range(bands)
+        )
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+
+def incremental_minhash_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup: every pair (>= threshold Jaccard) with at
+    least one side in the NEW batch — batch-vs-corpus and batch-internal
+    — without ever self-joining the corpus.
+
+    This is the steady-state form of minhash_dedup_pairs for a live
+    ingest: the corpus signature/band tables are write-once artifacts
+    (in production, persisted next to the corpus and appended after
+    each accepted batch), so per batch the work is (1) shingle+sign the
+    new docs only, (2) join the SMALL new band table against the corpus
+    band table — Catalyst broadcasts the new side, so the corpus bands
+    stream through with NO shuffle and no corpus×corpus candidate
+    blow-up — and (3) exact-verify candidates against the union shingle
+    store. Cost per batch is O(|batch| + matched corpus bands), not
+    O(|corpus|^2); a full re-dedup never happens again.
+    """
+    from ..cache import pin
+
+    shing_c = pin(word_shingles(corpus, text_col, id_col, n))
+    shing_b = pin(word_shingles(batch, text_col, id_col, n))
+    sig_c = minhash_signatures(shing_c, id_col, k)
+    sig_b = minhash_signatures(shing_b, id_col, k)
+    bk_c = _band_buckets(sig_c, id_col, bands, rows_per_band)
+    bk_b = pin(_band_buckets(sig_b, id_col, bands, rows_per_band))
+
+    # new side vs (corpus ∪ new): one pass over the corpus band table;
+    # both-new pairs arrive twice with swapped roles and fold in the
+    # distinct after least/greatest normalization.
+    all_bk = bk_c.unionByName(bk_b)
+    a = bk_b.select(
+        F.col(id_col).alias("__na"), "band", "bucket"
+    )
+    b = all_bk.select(F.col(id_col).alias("__nb"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("__na") != F.col("__nb"))
+        .select(
+            F.least("__na", "__nb").alias("id_a"),
+            F.greatest("__na", "__nb").alias("id_b"),
+        )
+        .distinct()
+    )
+    shing_all = shing_c.unionByName(shing_b)
+    return jaccard_verify_pairs(shing_all, cands, id_col, threshold)

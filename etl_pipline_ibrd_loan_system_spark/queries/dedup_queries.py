@@ -495,3 +495,37 @@ def dd12_verbatim_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return dedup.verbatim_overlap_pairs(tainted, "text", "doc_id", w=16, max_df=50)
+
+
+@query(
+    "dd13_incremental_neardup",
+    sql=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        -- sound prune: jaccard >= 0.8 implies 0.8 <= |A|/|B| <= 1.25
+        AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def dd13_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: documents split into an existing
+    corpus (doc_id % 10 != 0) and an arriving batch (doc_id % 10 = 0);
+    emit every near-dup pair with at least one NEW side — batch-vs-
+    corpus AND batch-internal — by joining only the new band table
+    against the (persisted-in-production) corpus bands: the corpus is
+    never self-joined and never re-signed per batch
+    (dedup.incremental_minhash_pairs). Oracle is the brute-force
+    restricted-pair Jaccard, so equality also proves recall 1.0 of the
+    banding on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_minhash_pairs(
+        corpus, batch, "text", "doc_id",
+        n=3, k=64, bands=16, rows_per_band=4, threshold=0.8,
+    )
