@@ -52,11 +52,15 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # g3, u1, dq1, dq2, c6, g4, e11, e13, f11, bpe1, j3, e12, sk6, dd10,
 # sm3, s2, dc2, q20, e14, iv1, sp3, dq3, s3, e15, j1c, j1d, m11, g5,
 # dd11, sp4 cluster-aware split, sp5 exact stratified sample, dc3
-# Aho-Corasick decontamination, dd12 verbatim-window overlap) are first
-# in line for the round-7 rotation; st2 (transformWithState) took the
-# one vacated slot this round because it proves a previously-blocked
+# Aho-Corasick decontamination, dd12 verbatim-window overlap, e16
+# time-RANGE frame, zo1 Z-order layout, sk7 sliding HLL, and the
+# reconciliation family c7 snapshot diff / c8 golden record / c9
+# inferred members / dq4 winsorize / dd13 incremental near-dup) are
+# first in line for the round-7 rotation; st2 (transformWithState) took
+# the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
-# 2026-08-14 (165/165 full-registry sweep).
+# 2026-08-14 (165/165 full-registry sweep; later additions selfchecked
+# individually at sf0.001/0.01/0.1 on registration day).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside

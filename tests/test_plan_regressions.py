@@ -431,3 +431,60 @@ def test_join_hints_steer_strategy(spark, sf_dir):
         assert "BroadcastHashJoin" in _plan(hinted)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_c7_diff_is_single_full_outer_key_join(spark, sf_dir, registry):
+    """c7: the snapshot diff is ONE keyed join (full-outer SMJ — both
+    sides are corpus-sized, so broadcast is not expected) with the
+    unchanged-row filter inside the join projection; a second join or a
+    window means the diff stopped being single-pass."""
+    import re
+
+    plan = _plan(registry["c7_snapshot_diff"](spark, sf_dir))
+    assert len(re.findall(r"SortMergeJoin FullOuter", plan)) == 1
+    assert "WindowExec" not in plan and "Window\n" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c8_golden_record_is_single_aggregate_no_window(spark, sf_dir, registry):
+    """c8: survivorship is one combinable MAX(struct) aggregate — any
+    Window or Join in the plan means the rule regressed to a per-key
+    sort or self-join."""
+    plan = _plan(registry["c8_golden_record"](spark, sf_dir))
+    assert "Join" not in plan, "c8 grew a join"
+    assert "Window" not in plan, "c8 grew a window"
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_c9_inferred_members_anti_join_only(spark, sf_dir, registry):
+    """c9: the unmatched key set is ONE left-anti join over projected
+    keys (broadcastable dim side), never a cartesian or a window."""
+    plan = _plan(registry["c9_inferred_members"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_dq4_bounds_broadcast_back(spark, sf_dir, registry):
+    """dq4: per-segment percentile bounds (rows = segments) broadcast
+    back onto the customer scan — an SMJ would shuffle the table to
+    clip it."""
+    plan = _plan(registry["dq4_winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_dd13_corpus_is_never_self_joined(spark, sf_dir, registry):
+    """dd13: the incremental path bands the batch against the corpus —
+    exactly one band-bucket candidate join feeds the verify stage, and
+    nothing in the plan is a cartesian. (A corpus self-join would show
+    a second band-keyed join.)"""
+    import re
+
+    plan = _plan(registry["dd13_incremental_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # joins: 1 band-bucket candidate join + 2 shingle-attach joins in
+    # verify = 3; a corpus self-join would push this to 4+
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins <= 3, f"dd13 plans {n_joins} joins (expected <=3)"
