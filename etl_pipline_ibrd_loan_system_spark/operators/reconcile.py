@@ -43,6 +43,7 @@ def snapshot_diff(
     new: DataFrame,
     key_cols: Sequence[str],
     compare_cols: Sequence[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Keyed delta between two snapshots.
 
@@ -53,19 +54,28 @@ def snapshot_diff(
     both snapshots with all compare columns null-safe-equal are
     absent from the output — the point of a diff is that its size
     tracks the CHANGE mass, not the table.
+
+    With ``include_values`` the delta additionally carries
+    ``old_<c>`` / ``new_<c>`` for every compare column, making it
+    APPLICABLE: ``apply_snapshot_diff(old, delta, ...)`` reconstructs
+    ``new`` exactly (round-trip property-tested) — the artifact a
+    downstream MERGE/CDC consumer actually needs.
     """
     key_cols = list(key_cols)
     compare_cols = list(compare_cols)
-    o = old.alias("__o")
-    n = new.alias("__n")
+    # explicit presence markers: key columns themselves may legally be
+    # NULL under the null-safe key join, so is-null of a key cannot
+    # distinguish "absent row" from "present row with null key"
+    o = old.withColumn("__op", F.lit(True)).alias("__o")
+    n = new.withColumn("__np", F.lit(True)).alias("__n")
     cond = None
     for k in key_cols:
         eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__n.{k}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
 
-    old_present = F.col(f"__o.{key_cols[0]}").isNotNull()
-    new_present = F.col(f"__n.{key_cols[0]}").isNotNull()
+    old_present = F.col("__o.__op").isNotNull()
+    new_present = F.col("__n.__np").isNotNull()
     kind = (
         F.when(~old_present, F.lit("added"))
         .when(~new_present, F.lit("removed"))
@@ -83,13 +93,21 @@ def snapshot_diff(
         old_present & new_present, F.concat_ws(",", *diffs)
     ).otherwise(F.lit(""))
 
+    value_cols = []
+    if include_values:
+        for c in compare_cols:
+            value_cols.append(F.col(f"__o.{c}").alias(f"old_{c}"))
+            value_cols.append(F.col(f"__n.{c}").alias(f"new_{c}"))
     out = joined.select(
         *[
-            F.coalesce(F.col(f"__o.{k}"), F.col(f"__n.{k}")).alias(k)
+            F.when(old_present, F.col(f"__o.{k}"))
+            .otherwise(F.col(f"__n.{k}"))
+            .alias(k)
             for k in key_cols
         ],
         kind.alias("change_kind"),
         changed.alias("changed_cols"),
+        *value_cols,
     )
     # 'changed' with no differing column == unchanged: drop before the
     # stage boundary so only the delta is materialized.
@@ -97,6 +115,35 @@ def snapshot_diff(
         (F.col("change_kind") != F.lit("changed"))
         | (F.col("changed_cols") != F.lit(""))
     )
+
+
+def apply_snapshot_diff(
+    old: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Reconstruct the new snapshot from the old one plus an
+    ``include_values`` delta: rows whose key appears in the delta are
+    replaced (or dropped, for 'removed'); everything else passes
+    through untouched. ONE left-anti key join + a union — the apply
+    cost tracks the delta size, exactly the property that makes
+    diff-then-apply beat full reload at 100 TB.
+    """
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+    o = old.alias("__o")
+    d = delta.select(*key_cols).alias("__d")
+    cond = None
+    for k in key_cols:  # null-safe: a null-keyed delta row still applies
+        eq = F.col(f"__o.{k}").eqNullSafe(F.col(f"__d.{k}"))
+        cond = eq if cond is None else cond & eq
+    untouched = o.join(d, cond, "left_anti")
+    replaced = delta.where(F.col("change_kind") != "removed").select(
+        *key_cols,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+    )
+    return untouched.select(*key_cols, *compare_cols).unionByName(replaced)
 
 
 def golden_record(

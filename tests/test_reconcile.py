@@ -80,3 +80,34 @@ def test_infer_members_requires_full_placeholders(spark):
 
     with pytest.raises(ValueError, match="placeholders missing"):
         infer_members(dim, facts, "id", "fid", {"name": F.lit("p")})
+
+
+def test_diff_apply_round_trip(spark):
+    """old + diff(old, new) == new, exactly — the applicable-delta
+    contract (include_values)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.reconcile import (
+        apply_snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (None, "nullkey", 0)],
+        "k int, name string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 2), (4, "d", 40), (None, "nullkey2", 0)],
+        "k int, name string, v int",
+    )
+    delta = snapshot_diff(old, new, ["k"], ["name", "v"], include_values=True)
+    rebuilt = apply_snapshot_diff(old, delta, ["k"], ["name", "v"])
+    assert sorted(map(repr, rebuilt.collect())) == sorted(map(repr, new.collect()))
+
+
+def test_diff_null_key_rows_classified_by_presence_marker(spark):
+    """A row whose KEY is null is still 'present' — the presence marker
+    (not key-null-ness) drives added/removed classification."""
+    old = spark.createDataFrame([(None, "x")], "k int, v string")
+    new = spark.createDataFrame([(None, "y")], "k int, v string")
+    rows = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0].change_kind == "changed"
+    assert rows[0].changed_cols == "v"
