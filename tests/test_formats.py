@@ -107,3 +107,35 @@ def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
         for r in multimodal.decode_media(media_df).collect()
     }
     assert got == want
+
+
+def test_orc_round_trip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format a warehouse migration meets;
+    values must round-trip bit-identically through it."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    want = _sum_sig(orders)
+    orc_dir = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(orc_dir)
+    got = _sum_sig(spark.read.orc(orc_dir))
+    assert tuple(got) == tuple(want)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on disk: an old batch without a column and a
+    new batch with it read as ONE table under mergeSchema, the missing
+    column null-filled — the file-level twin of f6's union-by-name."""
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("x").alias("a")).write.parquet(
+        p + "/b=1"
+    )
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("y").alias("a"), F.lit(7).alias("extra")
+    ).write.parquet(p + "/b=2")
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(df.columns) == {"id", "a", "extra", "b"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[0].extra is None and rows[4].extra == 7
+    # partition column b is discovered and typed
+    assert rows[0].b == 1 and rows[4].b == 2
