@@ -65,3 +65,58 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, warehouse, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling is the runtime escape hatch the repo's
+    scale notes lean on (salting is the static one — d8): with one key
+    carrying ~all rows, the sort-merge join's hot partition must be
+    SPLIT at runtime (skew=true in the executed plan) while the answer
+    stays exact."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # 50k rows on ONE key vs a trickle on 99 others
+        left = spark.range(50_000).select(
+            F.when(F.col("id") < 49_000, F.lit(7)).otherwise(F.col("id") % 99)
+            .cast("long").alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        joined = left.join(right, "k")
+        # execute THIS frame (count() would build its own plan and the
+        # inspected one would never reach isFinalPlan=true)
+        total = len(joined.collect())
+        expect = left.where(F.col("k") < 100).count()
+        assert total == expect
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
