@@ -110,14 +110,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "st2_stateful_first_event_tws",  # NEW r6: transformWithState unblocked
     "sd1_streaming_dedup",
     "ss1_stream_stream_interval_join",
+    # -- new oracle queries born mid-round (no driver row yet): take
+    #    the tail slots from r5-green unchanged-module pins (d1, d3,
+    #    d6, a1, j2 stay selfcheck-covered) --
+    "c7_snapshot_diff",
+    "c8_golden_record",
+    "c9_inferred_members",
+    "dq4_winsorize",
+    "dd13_incremental_neardup",
     # -- slots to 50 pinned EXPLICITLY (r5-green, unchanged modules) so
     #    new query registrations can never silently shift the window --
     "b1_isin_snapshot_filter",
-    "d1_distinct_projection",
-    "d3_sum_by_group",
-    "d6_distinct_count",
-    "a1_paged_datasource",
-    "j2_binned_range_join",
     "tx8_repetition_filter",
 )
 
