@@ -275,3 +275,99 @@ def test_normalized_banded_pairs_recall_theorem(spark, vecs):
         if abs(r["cos_sim"] - t) > 1e-9
     }
     assert banded == brute
+
+
+# --- reconcile: diff/apply round trip under random snapshots --------------
+
+_snap_st = st.dictionaries(
+    st.integers(0, 6),  # keys
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_snap_st, new=_snap_st)
+def test_snapshot_diff_apply_round_trip_random(spark, old, new):
+    """For ANY pair of snapshots (random adds/drops/changes/nulls):
+    applying diff(old, new) to old reconstructs new exactly, and the
+    delta never contains an unchanged key."""
+    from etl_pipline_ibrd_loan_system_spark.operators.reconcile import (
+        apply_snapshot_diff,
+        snapshot_diff,
+    )
+
+    def df(snap):
+        return spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in sorted(snap.items())],
+            "k int, s string, v int",
+        )
+
+    delta = snapshot_diff(
+        df(old), df(new), ["k"], ["s", "v"], include_values=True
+    ).localCheckpoint(eager=True)
+    for r in delta.collect():
+        assert not (
+            r.k in old and r.k in new and old[r.k] == new[r.k]
+        ), f"unchanged key {r.k} leaked into the delta"
+    rebuilt = {
+        r.k: (r.s, r.v)
+        for r in apply_snapshot_diff(df(old), delta, ["k"], ["s", "v"]).collect()
+    }
+    assert rebuilt == new
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    records=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.one_of(st.none(), st.sampled_from(["x", "y"])),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_golden_record_idempotent_and_serial_equal(spark, records):
+    """golden_record == the serial latest-non-null fold, and applying
+    it to its own output is the identity (idempotence)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.reconcile import golden_record
+
+    rows = [(k, seq, s, v) for seq, (k, s, v) in enumerate(records)]
+    df = spark.createDataFrame(rows, "k int, seq int, s string, v int")
+    out = golden_record(df, ["k"], "seq", ["s", "v"]).localCheckpoint(eager=True)
+
+    expect: dict[int, dict] = {}
+    for k, seq, s, v in rows:
+        e = expect.setdefault(k, {"s": None, "v": None, "n": 0, "last": seq})
+        e["n"] += 1
+        e["last"] = seq
+        if s is not None:
+            e["s"] = s
+        if v is not None:
+            e["v"] = v
+    got = {r.k: r for r in out.collect()}
+    assert set(got) == set(expect)
+    for k, e in expect.items():
+        r = got[k]
+        assert (r.s, r.v, r.n_records, r.last_seq) == (e["s"], e["v"], e["n"], e["last"])
+
+    again = golden_record(
+        out.select("k", F.col("last_seq").alias("seq"), "s", "v"),
+        ["k"], "seq", ["s", "v"],
+    )
+    for r in again.collect():
+        assert (r.s, r.v) == (got[r.k].s, got[r.k].v)
+        assert r.n_records == 1
