@@ -595,6 +595,178 @@ def m11_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d15_cube",
+    sql=f"""
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "sum_price")}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+    """,
+)
+def d15_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: every grouping-set combination of (status, order year) —
+    detail, both one-dimension margins, and the grand total — in ONE
+    Expand + hash aggregate (4 grouping sets × input rows map-side, one
+    shuffle of partials). Completes the grouping family next to m8
+    (ROLLUP) and d12 (explicit GROUPING SETS); same leftmost-is-MSB
+    grouping_id() bitmask on both engines. At 100 TB the Expand
+    multiplies map output ×4 but the shuffle still carries only
+    aggregated partials per grouping set — never 4 scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+        )
+        .select("o_orderstatus", "order_year", "gid", "n_orders", "sum_price")
+    )
+
+
+_BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "m12_market_basket",
+    sql=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey FROM items
+      GROUP BY l_partkey HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    ), pruned AS (
+      SELECT i.l_orderkey, i.l_partkey FROM items i
+      JOIN freq USING (l_partkey)
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders_together
+    FROM pruned a JOIN pruned b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+    """,
+)
+def m12_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs (market-basket co-occurrence) with a-priori
+    pruning: a pair can only reach min support if BOTH items do, so item
+    frequencies are counted first (one partial-aggregated shuffle over
+    the ~|parts| key space) and infrequent items leave the pipeline
+    BEFORE the order-keyed self-join — at 100 TB this is the difference
+    between joining the long tail of one-off items (quadratic in basket
+    width) and joining only the frequent-item sublattice. The self-join
+    shuffles once on orderkey (both sides co-partitioned, a single
+    exchange each), pair fan-out is bounded by the pruned basket width,
+    and `part_a < part_b` canonicalizes pairs so each is counted once.
+    Same shape as the FP-growth/Apriori candidate-generation step of a
+    recommendation pipeline."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from ..cache import pin
+
+    items = pin(items)
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("__supp"))
+        .filter(F.col("__supp") >= _BASKET_MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    pruned = items.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = pruned.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = pruned.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= _BASKET_MIN_SUPPORT)
+    )
+
+
+@query(
+    "m13_pareto_share",
+    sql="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+      FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT SUM(revenue) AS total FROM rev
+    ), run AS (
+      SELECT custkey, revenue,
+             CAST(row_number() OVER (
+               ORDER BY revenue DESC, custkey
+             ) AS BIGINT) AS rank,
+             SUM(revenue) OVER (
+               ORDER BY revenue DESC, custkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS running
+      FROM rev
+    )
+    SELECT custkey, CAST(revenue AS DOUBLE) AS revenue, rank,
+           CAST(running AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CAST(running AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+             OR CAST(running - revenue AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+             AS in_top80
+    FROM run, tot
+    """,
+)
+def m13_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: customers ranked by revenue with the
+    running cumulative revenue share; `in_top80` marks the minimal
+    prefix covering 80% of revenue (a customer is in if the share
+    BEFORE adding them is still under 0.8). The cumulative sum runs in
+    exact decimal space and divides once into double, so both engines
+    round identically. The global window runs at CUSTOMER grain — three
+    to four orders of magnitude below the fact table after the keyed
+    aggregate — and ROWS UNBOUNDED PRECEDING with a total (revenue,
+    custkey) order keeps it deterministic; at 100 TB the same two-pass
+    range-bucket decomposition as e1b/dd11 replaces the single-task
+    window (per-bucket local cumsum + broadcast bucket offsets), which
+    this grain does not yet need."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue")
+    )
+    from ..cache import pin
+
+    rev = pin(rev)
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = Window.orderBy(F.desc("revenue"), "custkey")
+    run = rev.select(
+        "custkey",
+        "revenue",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.sum("revenue")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running"),
+    )
+    share = F.col("running").cast("double") / F.col("total").cast("double")
+    prev_share = (F.col("running") - F.col("revenue")).cast("double") / F.col(
+        "total"
+    ).cast("double")
+    return run.join(F.broadcast(tot)).select(
+        "custkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rank",
+        share.alias("cum_share"),
+        ((share <= 0.8) | (prev_share < 0.8)).alias("in_top80"),
+    )
+
+
 from ..operators import zorder  # noqa: E402
 
 

@@ -215,3 +215,64 @@ def dq3_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("zscore"),
         )
     )
+
+
+@query(
+    "dq5_benford_screen",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+    ), tot AS (
+      SELECT SUM(n) AS total FROM obs
+    )
+    SELECT first_digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed_p,
+           CAST(floor(1000000 * (CAST(first_digit + 1 AS DOUBLE) / CAST(first_digit AS DOUBLE)))
+                AS BIGINT) AS benford_ratio_ppm,
+           abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+               - (CAST(first_digit + 1 AS DOUBLE) / CAST(first_digit AS DOUBLE) - 1.0)
+                 / 1.0) > 0.05 AS flagged_rough
+    FROM obs, tot
+    """,
+)
+def dq5_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals: observed first-digit
+    distribution next to a log-free Benford reference. The canonical
+    expected frequency is log10(1+1/d); to stay inside this repo's
+    no-transcendentals cross-engine discipline the reference is carried
+    as the exact rational ratio (d+1)/d in ppm (monotone in the Benford
+    probability, so the flag threshold is a fixed affine transform away)
+    and the rough flag compares observed p against (d+1)/d - 1 — a
+    deliberately simple fraud-screen shape. One projection (first digit
+    via integer/string ops, no pow/log), one 9-key aggregate, a one-row
+    total broadcast back: nothing here grows with data volume except
+    the initial scan, so the screen is free at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    from ..cache import pin
+
+    obs = pin(obs)
+    tot = obs.agg(F.sum("n").alias("total"))
+    d = F.col("first_digit").cast("double")
+    observed_p = F.col("n").cast("double") / F.col("total").cast("double")
+    ratio = (d + F.lit(1.0)) / d
+    return obs.join(F.broadcast(tot)).select(
+        "first_digit",
+        "n",
+        observed_p.alias("observed_p"),
+        F.floor(F.lit(1000000.0) * ratio).cast("bigint").alias("benford_ratio_ppm"),
+        (F.abs(observed_p - (ratio - F.lit(1.0)) / F.lit(1.0)) > 0.05).alias(
+            "flagged_rough"
+        ),
+    )

@@ -404,3 +404,106 @@ def s2_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.table("s2_enriched").localCheckpoint(eager=True)
         finally:
             q.stop()
+
+
+# --- s4: watermark late-data drop ----------------------------------------
+
+_S4_SQL = f"""
+    WITH wm AS (
+      SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000 - 3600000000::BIGINT) AS w
+      FROM events WHERE event_id % 4 = 1
+    ), kept AS (
+      SELECT * FROM events
+      WHERE event_id % 4 IN (1, 2)
+         OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm)
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM kept
+    GROUP BY date_trunc('hour', ts), event_type
+    """
+
+
+@query("s4_watermark_late_drop", sql=_S4_SQL)
+def s4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-enforced late-data DROP through a real three-batch
+    stream — the one streaming semantics every other stream query here
+    deliberately avoids by spanning the whole range with its watermark.
+
+    Spark's micro-batch watermark protocol (statefulOperators.scala:
+    late-events filter vs eviction watermark) is lenient by one batch:
+    rows in batch N are filtered against the watermark computed from
+    batches 0..N-2 (the "previous" watermark), while state eviction
+    uses batches 0..N-1. So the replay stages three deterministic
+    batches by event_id ring class:
+
+      batch0 (%4 == 1)      advances the watermark to max(ts)-1h
+      batch1 (%4 == 2)      filtered vs the initial 1970 watermark: all kept
+      batch2 (%4 in {{0,3}})  filtered vs wm1 = ms-floor(max ts of batch0)-1h:
+                            a row survives iff its window END > wm1
+
+    The oracle replays exactly that — including the millisecond floor
+    Spark applies to tracked event time — so the gate proves the drop
+    rule, not just "a stream ran". Update-mode emissions are folded to
+    final state per key via max_by on the monotone count (each
+    re-emission of a key strictly increases n_events). Verified
+    boundary: window_end > wm kept, <= dropped (watermarkPredicateForKeys
+    is LessThanOrEqual)."""
+    import glob
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stage = tempfile.mkdtemp(prefix="s4_events_")
+    ring = F.col("event_id") % 4
+    batches = [raw.where(ring == 1), raw.where(ring == 2),
+               raw.where((ring == 3) | (ring == 0))]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{stage}/b{i}")
+        part = glob.glob(f"{stage}/b{i}/*.parquet")[0]
+        shutil.move(part, f"{stage}/{i:02d}.parquet")
+        shutil.rmtree(f"{stage}/b{i}")
+        # file order IS batch order: FileStreamSource picks files by
+        # modification time, so pin mtimes far apart
+        os.utime(f"{stage}/{i:02d}.parquet", (1_000_000 + i * 1000,) * 2)
+    schema = spark.read.parquet(f"{stage}/00.parquet").schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    agg = tumbling_window_agg(
+        s,
+        ts_col="ts",
+        window="1 hour",
+        group_cols=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+        watermark="1 hour",
+    ).drop("window_end")
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(agg, "s4_windows", output_mode="update")
+        try:
+            emitted = spark.table("s4_windows").localCheckpoint(eager=True)
+        finally:
+            q.stop()
+    final = (
+        emitted.groupBy("window_start", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value"), "n_events"
+            ).alias("st")
+        )
+        .select(
+            "window_start",
+            "event_type",
+            F.col("st.n_events").alias("n_events"),
+            F.col("st.sum_value").alias("sum_value"),
+        )
+    )
+    return final

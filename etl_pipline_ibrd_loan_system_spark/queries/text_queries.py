@@ -330,3 +330,130 @@ def iv1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.inverted_index(
         docs, "text", "doc_id", min_df=2, max_df_frac=0.8
     )
+
+
+# --- iv2: BM25-lite ranked retrieval -------------------------------------
+
+_BM25_TERMS = ("scan", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_sql() -> str:
+    """Oracle: the identical arithmetic, term scores added left-to-right
+    so double rounding matches Spark bit-for-bit."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({_TOKS}, t -> t = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in _BM25_TERMS
+    )
+
+    def score(t: str) -> str:
+        idf = f"(CAST(n AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5)"
+        dl_norm = f"(1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        return (
+            f"({idf}) * (CAST(tf_{t} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+            f" / (CAST(tf_{t} AS DOUBLE) + {_BM25_K1} * {dl_norm})"
+        )
+
+    total = " + ".join(f"({score(t)})" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS dl,
+             {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _BM25_TERMS)},
+           {total} AS score
+    FROM base, stats
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@query("iv2_bm25_topk", sql=_bm25_sql())
+def iv2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-lite top-10 retrieval for a fixed 3-term query. The idf is
+    the log-free rational Robertson form (N - df + 0.5)/(df + 0.5) —
+    per-term monotone in df like ln-idf but bit-replayable across
+    engines (this module's no-transcendentals discipline; ln differs in
+    the last ulp between libm builds). All inputs to the double
+    arithmetic are exact integers (tf, dl, N, df), every operation is
+    IEEE correctly-rounded, and term scores add in fixed left-to-right
+    order, so Spark and DuckDB produce bit-identical scores.
+
+    Scale shape: one projection pass computes (dl, tf per term) from
+    each document — the full token stream is never shuffled; corpus
+    statistics (N, Σdl, df per term) reduce to ONE row and broadcast
+    back; scoring is a pure projection; top-10 is TakeOrderedAndProject
+    (per-partition heaps, no global sort). At 100 TB with an ad-hoc
+    term set the iv1 inverted index supplies (df, postings) instead and
+    scoring joins the posting lists — this fixed-term form is the
+    index-free scan twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+    def tf_col(term: str) -> F.Column:
+        # NB: a two-parameter lambda would be given (element, index) by
+        # F.filter — the term must close over a dedicated function scope
+        return (
+            F.size(F.filter(toks, lambda x: x == term))
+            .cast("bigint")
+            .alias(f"tf_{term}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(t) for t in _BM25_TERMS],
+    )
+    from ..cache import pin
+
+    base = pin(base)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def score(t: str) -> F.Column:
+        n, df = F.col("n").cast("double"), F.col(f"df_{t}").cast("double")
+        tf = F.col(f"tf_{t}").cast("double")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n").cast("double")
+        idf = (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+        dl_norm = (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        return idf * (tf * F.lit(_BM25_K1 + 1.0)) / (
+            tf + F.lit(_BM25_K1) * dl_norm
+        )
+
+    total = score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        total = total + score(t)
+    any_tf = F.col(f"tf_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        any_tf = any_tf + F.col(f"tf_{t}")
+    return (
+        base.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select(
+            "doc_id",
+            "dl",
+            *[f"tf_{t}" for t in _BM25_TERMS],
+            total.alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )

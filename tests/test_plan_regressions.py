@@ -488,3 +488,49 @@ def test_dd13_corpus_is_never_self_joined(spark, sf_dir, registry):
     # verify = 3; a corpus self-join would push this to 4+
     n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert n_joins <= 3, f"dd13 plans {n_joins} joins (expected <=3)"
+
+
+def test_m12_basket_prunes_before_self_join(spark, sf_dir, registry):
+    """m12: the a-priori support filter must broadcast onto the item
+    stream BEFORE the order-keyed self-join — if the frequent-item set
+    stops broadcasting (or the self-join goes cartesian) the pruning no
+    longer bounds pair fan-out at scale."""
+    plan = _plan(registry["m12_market_basket"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "m12 lost the broadcast support filter"
+    assert "CartesianProduct" not in plan
+    import re
+
+    # exactly one non-broadcast (orderkey-equi) join: the pair self-join
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1
+
+
+def test_iv2_bm25_stats_broadcast_topk_heap(spark, sf_dir, registry):
+    """iv2: corpus statistics reduce to ONE row and broadcast back, and
+    the top-10 is TakeOrderedAndProject (per-partition heaps) — a global
+    Sort or an SMJ against the one-row stats means the scan twin lost
+    its shape."""
+    plan = _plan(registry["iv2_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "iv2 regressed to a global sort"
+    assert "SortMergeJoin" not in plan, "iv2 stats join stopped broadcasting"
+
+
+def test_dq5_benford_single_digit_aggregate(spark, sf_dir, registry):
+    """dq5: the screen is one 9-key aggregate plus a broadcast total —
+    no window, no SMJ, nothing that grows with data volume."""
+    plan = _plan(registry["dq5_benford_screen"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "WindowExec" not in plan and "Window\n" not in plan
+
+
+def test_d15_cube_is_single_expand_aggregate(spark, sf_dir, registry):
+    """d15: CUBE compiles to ONE Expand + hash aggregate — a union of
+    four scans would show four parquet reads."""
+    import re
+
+    plan = _plan(registry["d15_cube"](spark, sf_dir))
+    # formatted output names each node once in the tree and once in the
+    # details section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "d15 regressed to multi-scan"
+    )
+    assert "Expand" in plan
