@@ -507,3 +507,105 @@ def s4_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+# --- ss2: stream-stream LEFT OUTER interval join -------------------------
+
+
+@query(
+    "ss2_stream_stream_left_outer",
+    sql="""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           c.ts AS click_ts, epoch_us(e.ts) AS error_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def ss2_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard half of ss1:
+    unmatched clicks must emit null-padded, and Spark only does that
+    when the watermark PROVES no future error can still match (left
+    state evicted+emitted in the batch whose eviction watermark passes
+    click_ts + interval).
+
+    Protocol proven here (and why each piece is needed):
+      * the join's watermark is the MIN over both inputs — a sentinel
+        advancing only the click side never flushes anything, so the
+        sentinel event type passes BOTH side filters;
+      * eviction in batch N uses the watermark from batches 0..N-1, so
+        TWO far-future sentinel batches follow the data batch: the
+        first advances the watermark, the second triggers the eviction
+        pass that emits the 'left_outer' nulls (Spark's trailing
+        no-data batch then finalizes state only);
+      * sentinel rows (event_id >= 999_999_990, matching each other
+        within their own window) are filtered from the result.
+
+    Emitted set == the batch LEFT OUTER interval join — the oracle. In
+    production the sentinel role is played by ordinary stream progress;
+    this replay makes the flush deterministic and gate-checkable."""
+    import glob
+    import shutil
+    import tempfile
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stage = tempfile.mkdtemp(prefix="ss2_events_")
+    raw.coalesce(1).write.parquet(f"{stage}/b0")
+    for i, day in ((1, "2030-01-01"), (2, "2030-01-02")):
+        spark.createDataFrame(
+            [(999_999_990 + i, f"{day} 00:00:00", -1, "sentinel", 0.0, "{}")],
+            "event_id bigint, ts string, user_id bigint, "
+            "event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(f"{stage}/b{i}")
+    for i in range(3):
+        part = glob.glob(f"{stage}/b{i}/*.parquet")[0]
+        shutil.move(part, f"{stage}/{i:02d}.parquet")
+        shutil.rmtree(f"{stage}/b{i}")
+        os.utime(f"{stage}/{i:02d}.parquet", (1_000_000 + i * 1000,) * 2)
+    schema = spark.read.parquet(f"{stage}/00.parquet").schema
+
+    def side(types: list[str]) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        return s.where(F.col("event_type").isin(*types))
+
+    from ..streaming.microbatch import interval_join
+
+    joined = interval_join(
+        side(["click", "sentinel"]),
+        side(["error", "sentinel"]),
+        "user_id",
+        "ts",
+        "ts",
+        "10 MINUTES",
+        "365 days",
+        how="left_outer",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.ts").alias("click_ts"),
+        # nullable micros, not a nullable TIMESTAMP: pandas compares NaT
+        # slots of mixed-resolution datetime columns as unequal, so the
+        # canonicalizer must see int/NaN here (click_ts is never null)
+        F.unix_micros(F.col("r.ts")).alias("error_ts_us"),
+    )
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(joined, "ss2_join", output_mode="append")
+        try:
+            emitted = spark.table("ss2_join").localCheckpoint(eager=True)
+        finally:
+            q.stop()
+    return emitted.where(F.col("click_id") < 999_999_990)

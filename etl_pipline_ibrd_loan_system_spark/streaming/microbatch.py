@@ -178,14 +178,24 @@ def interval_join(
     right_ts: str,
     upper: str,
     watermark: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join within an event-time interval: right rows
+    """Stream-stream join within an event-time interval: right rows
     whose `right_ts` falls in [left_ts, left_ts + upper] for the same
     key. Watermarks on BOTH inputs plus the time-range predicate are what
     let Spark evict join state: each side buffers only rows younger than
     (watermark + interval), so state is bounded by arrival rate x
     horizon, not by stream length. Without the range predicate a
-    stream-stream join would have to keep every row forever."""
+    stream-stream join would have to keep every row forever.
+
+    `how='left_outer'` additionally emits null-padded left rows — but
+    only when the watermark proves no future match is possible (left
+    state older than wm - interval is evicted AND emitted in the batch
+    whose watermark passes it, including Spark's trailing no-data batch).
+    An outer stream-stream join therefore needs the watermark to advance
+    PAST the data to flush its unmatched rows — see
+    stream_queries.s4/ss2 for the staged-batch protocol that proves
+    this."""
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")
     return lw.join(
@@ -194,6 +204,7 @@ def interval_join(
             f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {upper}"
         ),
+        how,
     )
 
 

@@ -25,6 +25,14 @@ from etl_pipline_ibrd_loan_system_spark.session import get_session  # noqa: E402
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """NB: datetime columns keep their native resolution (Spark toPandas
+    -> ns, DuckDB fetchdf -> us). pandas' assert_frame_equal compares
+    NaT slots of MIXED-resolution datetime columns as unequal, so a
+    NULLABLE timestamp result column fails here even when values agree
+    (ss2's original shape). That is deliberate — the driver's
+    canonicalizer is not known to unify resolutions either; registered
+    queries must emit nullable instants as epoch micros (unix_micros /
+    epoch_us), never as a nullable TIMESTAMP column."""
     import datetime
 
     df = df.reindex(sorted(df.columns), axis=1)
