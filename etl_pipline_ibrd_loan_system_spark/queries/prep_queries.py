@@ -741,3 +741,62 @@ def sp5_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
+
+
+@query(
+    "fb1_quantile_binning",
+    sql="""
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.50) AS q2,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    ), binned AS (
+      SELECT o.o_orderpriority,
+             CASE WHEN o_totalprice <= q1 THEN 0
+                  WHEN o_totalprice <= q2 THEN 1
+                  WHEN o_totalprice <= q3 THEN 2
+                  ELSE 3 END AS bin,
+             o_totalprice
+      FROM orders o JOIN cuts USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, CAST(bin AS BIGINT) AS bin,
+           COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM binned GROUP BY o_orderpriority, bin
+    """,
+)
+def fb1_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equal-frequency feature binning (QuantileDiscretizer
+    shape): exact quartile boundaries per order priority in ONE
+    aggregate over the 5 group keys (Spark `percentile` == DuckDB
+    `quantile_cont`, the d9 parity pair), broadcast back onto the scan,
+    bin assignment as a pure projection, then the per-bin profile. The
+    boundary statistic never moves row data — the only full-stream
+    shuffle is the final (priority, bin) aggregate of map-side-combined
+    partials. MLlib's approxQuantile trades this exactness for a
+    streaming sketch; at 100 TB swap the percentile call for
+    sk2's mergeable histogram quantiles and keep the identical
+    broadcast-back plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("q2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    binned = orders.join(F.broadcast(cuts), "o_orderpriority").select(
+        "o_orderpriority",
+        F.when(p <= F.col("q1"), 0)
+        .when(p <= F.col("q2"), 1)
+        .when(p <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("bin"),
+        p.alias("price"),
+    )
+    return binned.groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )

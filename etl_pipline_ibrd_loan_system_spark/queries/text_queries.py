@@ -457,3 +457,113 @@ def iv2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# --- tx16: chi-squared discriminative terms ------------------------------
+
+
+@query(
+    "tx16_chi2_terms",
+    sql=f"""
+    WITH ex AS (
+      SELECT DISTINCT doc_id, lang, unnest(list_distinct({_TOKS})) AS token
+      FROM documents
+    ), n_total AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), n_lang AS (
+      SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang
+    ), tl AS (
+      SELECT token, lang, COUNT(*) AS a FROM ex GROUP BY token, lang
+    ), t AS (
+      SELECT token, SUM(a) AS dft FROM tl GROUP BY token
+    ), cells AS (
+      SELECT tl.token, tl.lang,
+             CAST(tl.a AS DOUBLE) AS a,
+             CAST(t.dft - tl.a AS DOUBLE) AS b,
+             CAST(n_lang.nl - tl.a AS DOUBLE) AS c,
+             CAST(n_total.n - t.dft - (n_lang.nl - tl.a) AS DOUBLE) AS d,
+             CAST(n_total.n AS DOUBLE) AS n
+      FROM tl JOIN t USING (token) JOIN n_lang USING (lang), n_total
+    )
+    SELECT * FROM (
+      SELECT lang, token,
+             CAST(a AS BIGINT) AS df_in_lang,
+             n * (a * d - b * c) * (a * d - b * c)
+               / ((a + b) * (c + d) * (a + c) * (b + d)) AS chi2,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY n * (a * d - b * c) * (a * d - b * c)
+                        / ((a + b) * (c + d) * (a + c) * (b + d)) DESC,
+                        token
+             ) AS BIGINT) AS rank
+      FROM cells
+      WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    ) WHERE rank <= 10
+    """,
+)
+def tx16_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 language-discriminative terms by chi-squared association —
+    the classic feature-selection statistic over the (term presence x
+    language) contingency table. Every cell is an exact integer count,
+    the statistic is a pure rational expression of them (no
+    transcendentals), and both engines evaluate the identical
+    correctly-rounded double expression — bit-exact cross-engine even
+    where N*(ad-bc)^2 exceeds 2^53, because IEEE multiplication rounds
+    identically on identical inputs.
+
+    Shuffle budget: one (token, lang)-keyed partial-aggregated count of
+    distinct doc-term pairs, one token-keyed re-aggregate REUSING those
+    partials for corpus df (never re-scanning the token stream), and
+    language totals broadcast back. The per-lang rank window partitions
+    by language — few huge partitions at 100 TB, so the sp5 two-window
+    (lang, hash-bucket) top-k decomposition is the documented scale
+    path, exactly as in tx11."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    ex = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(toks)).alias("token")
+    ).distinct()
+    tl = ex.groupBy("token", "lang").agg(F.count(F.lit(1)).alias("a"))
+    from ..cache import pin
+
+    tl = pin(tl)
+    t = tl.groupBy("token").agg(F.sum("a").alias("dft"))
+    n_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    cells = (
+        tl.join(t, "token")
+        .join(F.broadcast(n_lang), "lang")
+        .join(F.broadcast(n_total))
+        .select(
+            "token",
+            "lang",
+            F.col("a").cast("double").alias("a"),
+            (F.col("dft") - F.col("a")).cast("double").alias("b"),
+            (F.col("nl") - F.col("a")).cast("double").alias("c"),
+            (F.col("n") - F.col("dft") - (F.col("nl") - F.col("a")))
+            .cast("double")
+            .alias("d"),
+            F.col("n").cast("double").alias("n"),
+        )
+    )
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    chi2 = (
+        n * (a * d - b * c) * (a * d - b * c)
+        / ((a + b) * (c + d) * (a + c) * (b + d))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "token")
+    return (
+        cells.where(
+            ((a + b) > 0) & ((c + d) > 0) & ((a + c) > 0) & ((b + d) > 0)
+        )
+        .select(
+            "lang",
+            "token",
+            a.cast("bigint").alias("df_in_lang"),
+            chi2.alias("chi2"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 10)
+    )
