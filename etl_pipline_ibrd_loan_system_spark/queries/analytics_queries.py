@@ -788,3 +788,43 @@ def zo1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.zorder_layout(
         ev, "user_id", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"
     )
+
+
+@query(
+    "e17_mad_robust_stats",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           MIN(med) AS median,
+           quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+    """,
+)
+def e17_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median absolute deviation per event type — the robust
+    dispersion statistic outlier screens should prefer over stddev
+    (dq3's z-score is moment-based; MAD survives the very outliers it
+    hunts). Two passes by construction (the deviation needs the median
+    first): pass one reduces to |types| medians (Spark `percentile` ==
+    DuckDB `quantile_cont`, the d9 parity pair) and broadcasts them
+    back; pass two aggregates |x - med| with the same exact-percentile
+    machinery. Nothing between the two scans materializes more than the
+    group-key cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("median"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )

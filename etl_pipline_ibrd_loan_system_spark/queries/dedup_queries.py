@@ -529,3 +529,125 @@ def dd13_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, "text", "doc_id",
         n=3, k=64, bands=16, rows_per_band=4, threshold=0.8,
     )
+
+
+# --- dd14: phonetic (Soundex-style) blocking pairs ------------------------
+
+
+def _phonetic_expr(col: str) -> str:
+    """One SQL expression string computing the phonetic blocking code,
+    shared VERBATIM by Spark and DuckDB (both implement lower/substr/
+    upper/translate/replace/concat with identical semantics, so the
+    cross-engine contract is the expression text itself).
+
+    Variant of Soundex, deterministic by construction: consonant
+    classes map to digits via translate (vowels+hwy+digits to '0'),
+    zeros drop, runs collapse via three fixpoint replace passes per
+    digit (exact for runs <= 8, and deterministic PERIOD — classic
+    Soundex's letter-by-letter collapse needs a loop SQL doesn't have),
+    code = first letter + first 3 digits zero-padded. RE2 (DuckDB) has
+    no backreferences, which rules out the regexp '(\\d)\\1+' collapse —
+    hence the generated replace chain."""
+    digits = f"replace(translate(substr({col}, 2), "
+    digits += "'bfpvcgjkqsxzdtlmnraeiouhwy0123456789', "
+    digits += "'11112222222233455600000000' || repeat('0', 10)), '0', '')"
+    collapsed = digits
+    for d in "123456":
+        for _ in range(3):
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    return (
+        f"upper(substr({col}, 1, 1)) || substr({collapsed} || '000', 1, 3)"
+    )
+
+
+# Deterministic planted misspellings (the dd9/dd12/dc2 taint pattern):
+# each must land in its correct word's block; 'kustomer' deliberately
+# does NOT pair with 'customer' (K235 vs C235) — the classic Soundex
+# first-letter blindness, asserted as a miss in tests/test_dedup.py.
+_DD14_PLANTED = (
+    "wydget", "gere", "anvill", "batsh", "windoe", "merje", "kustomer",
+)
+_DD14_CAP = 20
+_PHON = _phonetic_expr("token")
+
+
+@query(
+    "dd14_phonetic_blocking",
+    sql=f"""
+    WITH vocab AS (
+      SELECT DISTINCT token FROM (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), t -> t != '')) AS token
+        FROM documents
+        UNION
+        SELECT unnest(string_split(lower(p_name), ' ')) FROM part
+        UNION
+        SELECT unnest([{", ".join(repr(t) for t in _DD14_PLANTED)}])
+      )
+    ), coded AS (
+      SELECT token, {_PHON} AS code FROM vocab
+      WHERE regexp_matches(token, '^[a-z]+$')
+    ), blocks AS (
+      SELECT code FROM coded GROUP BY code
+      HAVING COUNT(*) BETWEEN 2 AND {_DD14_CAP}
+    )
+    SELECT a.code, a.token AS tok_a, b.token AS tok_b
+    FROM coded a JOIN coded b ON a.code = b.code AND a.token < b.token
+    JOIN blocks ON a.code = blocks.code
+    """,
+)
+def dd14_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for fuzzy string dedup: vocabulary terms that
+    SOUND alike share a 4-char code and become candidate pairs — the
+    classic record-linkage blocking key family (Soundex/NYSIIS),
+    complementing the spelling-distance family (tx14 edit distance,
+    dd11 sorted neighborhood). The code expression is generated ONCE and
+    evaluated verbatim by both engines; planted misspellings (taint
+    pattern) prove each lands in its true word's block, while
+    'kustomer' documents the first-letter miss inherent to the family.
+
+    Scale shape: the code is a projection over the DISTINCT vocabulary
+    (corpus-frequency-independent — the token stream reduces to vocab
+    before any phonetic work), the self-join keys on the code, and the
+    [2, cap] block-size band drops both singletons and degenerate
+    mega-blocks (same guard as dd12's document-frequency cap) so no
+    reducer ever materializes a quadratic block."""
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    planted = spark.createDataFrame(
+        [(t,) for t in _DD14_PLANTED], "token string"
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .union(
+            part.select(
+                F.explode(F.split(F.lower("p_name"), " ")).alias("token")
+            )
+        )
+        .union(planted)
+        .where(F.col("token").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    coded = vocab.select("token", F.expr(_PHON).alias("code"))
+    from ..cache import pin
+
+    coded = pin(coded)
+    blocks = (
+        coded.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .where((F.col("bs") >= 2) & (F.col("bs") <= _DD14_CAP))
+        .select(F.col("code").alias("__bcode"))
+    )
+    a = coded.alias("a")
+    b = coded.alias("b")
+    return (
+        a.join(b, (F.col("a.code") == F.col("b.code"))
+               & (F.col("a.token") < F.col("b.token")))
+        .join(F.broadcast(blocks), F.col("a.code") == F.col("__bcode"))
+        .select(
+            F.col("a.code").alias("code"),
+            F.col("a.token").alias("tok_a"),
+            F.col("b.token").alias("tok_b"),
+        )
+    )

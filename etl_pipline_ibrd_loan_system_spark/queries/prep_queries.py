@@ -800,3 +800,40 @@ def fb1_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("price").alias("lo"),
         F.max("price").alias("hi"),
     )
+
+
+@query(
+    "sp6_temporal_split",
+    sql="""
+    WITH cut AS (
+      SELECT quantile_cont(epoch(o_orderdate), 0.8) AS c FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN epoch(o_orderdate) <= c THEN 'train' ELSE 'test' END
+             AS split
+    FROM orders, cut
+    """,
+)
+def sp6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split at the exact 80th percentile of the
+    order-date distribution — the leakage-free split for forecasting
+    tasks, where hash splits (sp1) would let the future leak into
+    training. The cutoff is ONE exact-percentile row (epoch seconds,
+    integer-exact, so `<=` lands identically on both engines) broadcast
+    onto the scan; the assignment is a pure projection. Composes with
+    sp4's cluster-awareness when near-dup docs straddle the cut."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = orders.agg(
+        F.expr("percentile(unix_seconds(cast(o_orderdate as timestamp)), 0.8)")
+        .alias("c")
+    )
+    return orders.join(F.broadcast(cut)).select(
+        "o_orderkey",
+        F.when(
+            F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+            <= F.col("c"),
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -193,3 +193,31 @@ def test_verbatim_overlap_counts_shared_windows(spark):
         dedup.verbatim_overlap_pairs(df3, "text", "doc_id", w=8, max_df=2).count()
         == 0
     )
+
+
+def test_dd14_phonetic_blocking_catches_planted_misspellings(spark, sf_dir):
+    """Every planted misspelling must pair with its true word; the
+    deliberate first-letter miss (kustomer vs customer, K235 != C235)
+    must NOT pair — the documented Soundex-family blindness."""
+    import __spark_entry__ as entrymod
+
+    rows = (
+        entrymod.queries()["dd14_phonetic_blocking"](spark, sf_dir)
+        .collect()
+    )
+    pairs = {frozenset((r.tok_a, r.tok_b)) for r in rows}
+    for bad, good in (
+        ("wydget", "widget"),
+        ("gere", "gear"),
+        ("anvill", "anvil"),
+        ("batsh", "batch"),
+        ("windoe", "window"),
+        ("merje", "merge"),
+    ):
+        assert frozenset((bad, good)) in pairs, f"{bad} missed {good}"
+    assert frozenset(("kustomer", "customer")) not in pairs
+    # blocking never pairs tokens whose codes differ
+    by_code = {}
+    for r in rows:
+        by_code.setdefault(r.code, set()).update((r.tok_a, r.tok_b))
+    assert all(len(v) >= 2 for v in by_code.values())
