@@ -225,3 +225,47 @@ def bfs_hops(
         known = known.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return known
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: minimum path cost from any seed in at
+    most `rounds` edge relaxations. `edges` carries (src, dst, w) with
+    INTEGER weights — distances stay integer-exact, so any partitioning
+    yields bit-identical results (the g3 pagerank discipline).
+
+    Each round is one (dist |x| edges) join keyed on src plus one
+    combinable MIN aggregate over (previous dists UNION relaxed
+    candidates) — the same per-round shuffle budget as bfs_hops, with
+    the visited anti-join replaced by the min fold (a node's cost may
+    IMPROVE after first discovery, the thing BFS may assume away only
+    for unit weights). localCheckpoint per round keeps lineage flat;
+    at 100 TB the edge table is the static side — range-partition it
+    on src once and every round reuses the layout."""
+    edges = edges.select(
+        F.col("src").cast("bigint"),
+        F.col("dst").cast("bigint"),
+        F.col(weight).cast("bigint").alias("w"),
+    ).localCheckpoint(eager=False)
+    dist = seeds.select(
+        F.col("node").cast("bigint"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

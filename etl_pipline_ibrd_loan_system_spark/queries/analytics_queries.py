@@ -828,3 +828,80 @@ def e17_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("med").alias("median"),
         F.expr("percentile(adev, 0.5)").alias("mad"),
     )
+
+
+def _g6_oracle() -> str:
+    """Unrolled Bellman-Ford CTEs: d{k+1}(v) = min(d{k}(v), min over
+    edges (u,v,w) of d{k}(u) + w)."""
+    rounds = []
+    prev = "d0"
+    for k in (1, 2, 3):
+        rounds.append(
+            f"d{k} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {prev} UNION ALL "
+            f"SELECT e.dst AS node, {prev}.dist + e.w AS dist "
+            f"FROM edges e JOIN {prev} ON e.src = {prev}.node"
+            f") GROUP BY node)"
+        )
+        prev = f"d{k}"
+    return f"""
+    WITH pair AS (
+      SELECT o_custkey AS cust, l_suppkey AS supp, COUNT(DISTINCT o_orderkey) AS n
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ), e0 AS (
+      SELECT cust AS src, supp + 1000000 AS dst,
+             1 + greatest(0, 5 - n) AS w
+      FROM pair
+    ),
+    edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst, src, w FROM e0),
+    d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node, 0 AS dist
+           FROM supplier WHERE s_nationkey < 5),
+    {", ".join(rounds)}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d3
+    """
+
+
+@query("g6_weighted_shortest_path", sql=_g6_oracle())
+def g6_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted shortest paths (Bellman-Ford, 3
+    relaxations) over the symmetric trade graph, seeded at the nation
+    0-4 suppliers — the weighted completion of g5's BFS: edge cost is
+    the integer 1 + max(0, 5 - n_orders) (strong trading pairs are
+    cheap links), so a node's cost can IMPROVE after first discovery
+    and the min fold, not a visited set, carries the semantics. All
+    arithmetic integer-exact (operators/graph.bellman_ford); the
+    oracle unrolls the identical three relaxation rounds."""
+    from ..operators.graph import bellman_ford
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    pair = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(F.count_distinct("o_orderkey").alias("n"))
+    )
+    e0 = pair.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + 1000000).alias("dst"),
+        (F.lit(1) + F.greatest(F.lit(0), F.lit(5) - F.col("n"))).alias("w"),
+    )
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        supplier.where(F.col("s_nationkey") < 5)
+        .select((F.col("s_suppkey") + 1000000).alias("node"))
+    )
+    return bellman_ford(edges, seeds, rounds=3)
