@@ -216,3 +216,34 @@ def infer_members(
         F.col(dim_key), *dim_cols, F.lit(False).alias(flag_col)
     )
     return present.unionByName(inferred)
+
+
+def incremental_join_view(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str,
+) -> DataFrame:
+    """Incremental maintenance of the equi-join view V = A ⋈ B under
+    append-only deltas on BOTH sides — the classic delta-join algebra:
+
+        V_new = V_old ∪ (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    The refresh cost is proportional to the DELTAS, never to |A|x|B|:
+    each delta term broadcasts its (small) delta side, so the two big
+    relations are probed in place and nothing re-shuffles the history.
+    V_old itself is whatever the previous refresh materialized — here
+    it is computed once from the old sides to keep the operator
+    self-contained; a production pipeline passes the stored view in.
+    Complements operators/rollup.py (incremental AGGREGATE maintenance)
+    with the join half of view maintenance; correctness is the algebra
+    itself, proven by the c10 oracle recomputing the full join."""
+    out = a_old.join(b_old, on)  # V_old (materialized in production)
+    for term in (
+        F.broadcast(a_delta).join(b_old, on),
+        a_old.join(F.broadcast(b_delta), on),
+        F.broadcast(a_delta).join(F.broadcast(b_delta), on),
+    ):
+        out = out.unionByName(term)
+    return out

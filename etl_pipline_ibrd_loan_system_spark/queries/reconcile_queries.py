@@ -219,3 +219,60 @@ def dq4_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, "c_acctbal", ["c_mktsegment"], 0.05, 0.95, out_col="c_acctbal_w"
     )
     return out.select("c_custkey", "c_mktsegment", "c_acctbal", "c_acctbal_w")
+
+
+# --- c10: incremental join-view maintenance -------------------------------
+# Deterministic split of both sides into (old, delta): recent orders are
+# the fact delta, late-arriving customers (custkey % 10 == 0) the dim
+# delta. The oracle recomputes the FULL join of the unioned sides — the
+# delta algebra must reproduce it exactly.
+
+
+@query(
+    "c10_incremental_join_view",
+    sql="""
+    SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def c10_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental equi-join view maintenance (delta-join algebra):
+    V_new = V_old ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with both delta terms
+    broadcasting their delta side so history never re-shuffles
+    (operators/reconcile.incremental_join_view — the join half of view
+    maintenance beside m7's incremental rollup). Old/delta splits are
+    deterministic (orders after the 80th-percentile date; customers
+    with custkey % 10 == 0 arriving late), and the oracle recomputes
+    the monolithic join of the unioned inputs — hash equality IS the
+    correctness of the algebra, including the ΔA⋈ΔB corner(late
+    customer x new order) a naive two-term refresh silently drops."""
+    from ..operators.reconcile import incremental_join_view
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cut = orders.agg(
+        F.expr(
+            "percentile(unix_seconds(cast(o_orderdate as timestamp)), 0.8)"
+        ).alias("c")
+    )
+    o = orders.join(F.broadcast(cut)).withColumn(
+        "__new",
+        F.unix_seconds(F.col("o_orderdate").cast("timestamp")) > F.col("c"),
+    )
+    a_old = o.where(~F.col("__new"))
+    a_delta = o.where(F.col("__new"))
+    b_old = cust.where(F.col("c_custkey") % 10 != 0)
+    b_delta = cust.where(F.col("c_custkey") % 10 == 0)
+    view = incremental_join_view(
+        a_old.withColumnRenamed("o_custkey", "k"),
+        a_delta.withColumnRenamed("o_custkey", "k"),
+        b_old.withColumnRenamed("c_custkey", "k"),
+        b_delta.withColumnRenamed("c_custkey", "k"),
+        on="k",
+    )
+    return view.select(
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        "c_mktsegment",
+        "o_totalprice",
+    )

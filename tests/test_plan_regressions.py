@@ -534,3 +534,14 @@ def test_d15_cube_is_single_expand_aggregate(spark, sf_dir, registry):
         "d15 regressed to multi-scan"
     )
     assert "Expand" in plan
+
+
+def test_c10_delta_terms_broadcast(spark, sf_dir, registry):
+    """c10: each of the three delta-join terms must broadcast its delta
+    side — a delta term planned as SMJ means the refresh re-shuffles
+    history and the incremental claim is void."""
+    plan = _plan(registry["c10_incremental_join_view"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "fewer than 3 broadcast delta joins:\n" + plan
+    )
+    assert "CartesianProduct" not in plan
