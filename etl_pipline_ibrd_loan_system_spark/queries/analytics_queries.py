@@ -905,3 +905,53 @@ def g6_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") + 1000000).alias("node"))
     )
     return bellman_ford(edges, seeds, rounds=3)
+
+
+@query(
+    "m14_yoy_growth",
+    sql="""
+    WITH yearly AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)
+    )
+    SELECT n_name, yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev - lag(rev) OVER w AS DOUBLE)
+                 / CAST(lag(rev) OVER w AS DOUBLE), 6) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def m14_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the period-over-period
+    BI measure: aggregate FIRST to (nation, year) grain (decimal-exact
+    sums), then the lag window runs over ~25 nations x a handful of
+    years, never the fact table. The growth ratio subtracts and divides
+    in double on the exact decimal totals, rounded to 6 places; the
+    first year of each nation is NULL by lag semantics on both engines
+    (nullable double — fine for the canonicalizer, unlike nullable
+    timestamps, see selfcheck.normalize)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("yoy_growth"),
+    )
