@@ -57,7 +57,10 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # reconciliation family c7 snapshot diff / c8 golden record / c9
 # inferred members / dq4 winsorize / dd13 incremental near-dup, and
 # the third-wave set d15 cube, m12 market basket, m13 pareto,
-# iv2 bm25, dq5 benford, s4 watermark late-drop) are
+# iv2 bm25, dq5 benford, s4 watermark late-drop, ss2 outer stream
+# join, e17 MAD, sp6 temporal split, dd14 phonetic blocking,
+# g6 bellman-ford, c10 incremental join view, m14 yoy, tx16 chi2,
+# fb1 quantile binning) are
 # first in line for the round-7 rotation; st2 (transformWithState) took
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
