@@ -100,7 +100,11 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):  # Spark directory layout (.scale/sf1)
+            path = os.path.join(path, "*.parquet")
+        if os.path.isdir(os.path.dirname(path)) and (
+            os.path.exists(path) or path.endswith("*.parquet")
+        ):
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
