@@ -675,3 +675,111 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             yield pd.DataFrame({"media_id": b["media_id"], "feature": feats})
 
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id bigint, n_frames bigint, sample_rate bigint, "
+    "fingerprints array<bigint>"
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    frame: int = 256,
+    hop: int = 128,
+    fan_out: int = 3,
+) -> DataFrame:
+    """Shazam-style constellation fingerprint over WAV payloads: decode
+    integer PCM (stdlib RIFF walk, mono-mixed), frame into `frame`-sample
+    windows every `hop` samples, take each frame's dominant rFFT bin
+    (numpy, vectorized across all frames of a payload at once), then
+    hash (peak_a, peak_b, dt) for each peak and its next `fan_out`
+    successors into 64-bit landmark keys. Matching clips share landmark
+    keys; lookup is an equi-join on the key — the similarity search
+    stays in dd/sm-family territory, this operator only produces the
+    keys.
+
+    Non-WAV / float / malformed payloads yield n_frames=0 and an empty
+    key list (never a throw — 100 TB corpora carry junk). Not in the
+    oracle registry: an FFT is genuinely not SQL-expressible, so this
+    ships as an operator with wave-module-encoded pytest fixtures
+    (tests/test_audio_fp.py) instead of a DuckDB twin — the same
+    evidence tier as the committing file sink."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def pcm(payload: bytes):
+            """(samples float64 mono, rate) or None."""
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                return None
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                body = payload[pos + 8 : pos + 8 + ln]
+                if cid == b"fmt " and len(body) >= 16:
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)
+            if fmt is None or data is None or fmt[0] != 1:
+                return None  # PCM only; float/ADPCM take no fingerprint
+            _, nch, rate, _, _, bits = fmt
+            if bits == 16:
+                a = np.frombuffer(
+                    data[: len(data) // 2 * 2], dtype="<i2"
+                ).astype(np.float64)
+            elif bits == 8:
+                a = (
+                    np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                )
+            else:
+                return None
+            if nch > 1:
+                a = a[: len(a) // nch * nch].reshape(-1, nch).mean(axis=1)
+            return a, rate
+
+        def landmarks(samples: "np.ndarray") -> list[int]:
+            n = (len(samples) - frame) // hop + 1
+            if n <= 0:
+                return []
+            idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+            frames = samples[idx] * np.hanning(frame)[None, :]
+            mags = np.abs(np.fft.rfft(frames, axis=1))
+            mags[:, 0] = 0.0  # DC carries no pitch
+            peaks = mags.argmax(axis=1)
+            keys = []
+            for i in range(n):
+                for j in range(i + 1, min(i + 1 + fan_out, n)):
+                    keys.append(
+                        (int(peaks[i]) << 24)
+                        | (int(peaks[j]) << 8)
+                        | (j - i)
+                    )
+            return keys
+
+        for b in batches:
+            out = {"media_id": [], "n_frames": [], "sample_rate": [],
+                   "fingerprints": []}
+            for mid, payload in zip(b["media_id"], b["data"]):
+                decoded = pcm(bytes(payload))
+                if decoded is None:
+                    out["media_id"].append(mid)
+                    out["n_frames"].append(0)
+                    out["sample_rate"].append(0)
+                    out["fingerprints"].append([])
+                    continue
+                samples, rate = decoded
+                n = max(0, (len(samples) - frame) // hop + 1)
+                out["media_id"].append(mid)
+                out["n_frames"].append(n)
+                out["sample_rate"].append(rate)
+                out["fingerprints"].append(landmarks(samples))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

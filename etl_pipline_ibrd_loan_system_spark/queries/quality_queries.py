@@ -276,3 +276,62 @@ def dq5_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_rough"
         ),
     )
+
+
+_TOKENIZE_SALT = "etl2024"
+
+
+@query(
+    "b15_pii_tokenize",
+    sql=f"""
+    WITH tc AS (
+      SELECT sha256('{_TOKENIZE_SALT}' || CAST(c_custkey AS VARCHAR))
+               AS custkey_token,
+             c_mktsegment
+      FROM customer
+    ), toj AS (
+      SELECT sha256('{_TOKENIZE_SALT}' || CAST(o_custkey AS VARCHAR))
+               AS custkey_token,
+             o_totalprice
+      FROM orders
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           MIN(custkey_token) AS min_token
+    FROM toj JOIN tc USING (custkey_token)
+    GROUP BY c_mktsegment
+    """,
+)
+def b15_pii_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII tokenization (salted-hash masking) that
+    PRESERVES JOINABILITY — the standard governance transform for
+    shipping warehouse extracts without raw identifiers: both the fact
+    and the dimension tokenize the customer key with the same salted
+    SHA-256, and the join runs entirely on tokens. The oracle computes
+    the identical tokens (Spark sha2(...,256) == DuckDB sha256, both
+    lowercase hex over identical salted strings), joins on them, and
+    must reproduce the per-segment order counts AND the minimum token
+    value — proving the mask is deterministic, collision-free at this
+    scale, and join-transparent. Pure projection + one token-keyed
+    join: the mask adds zero shuffles over the unmasked plan (and the
+    token join keys hash-distribute exactly like the raw keys did)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def token(col: str) -> F.Column:
+        return F.sha2(
+            F.concat(F.lit(_TOKENIZE_SALT), F.col(col).cast("string")), 256
+        )
+
+    tc = cust.select(
+        token("c_custkey").alias("custkey_token"), "c_mktsegment"
+    )
+    toj = orders.select(token("o_custkey").alias("custkey_token"))
+    return (
+        toj.join(tc, "custkey_token")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("custkey_token").alias("min_token"),
+        )
+    )
