@@ -567,3 +567,43 @@ def tx16_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 10)
     )
+
+
+@query(
+    "tx17_keyword_in_context",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), hits AS (
+      SELECT doc_id, t, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM toks
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(list_slice(t, greatest(pos - 2, 1), pos + 2), ' ')
+             AS context
+    FROM hits WHERE tok = 'merge'
+    """,
+)
+def tx17_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context (concordance) extraction: every occurrence of
+    the query term with a +/-2-token window, the corpus-linguistics
+    view behind "show me how this token is used" tooling. posexplode
+    carries the position, the context is an in-place array slice of the
+    SAME row's token array — per-row projection only, no self-join, no
+    shuffle at all (the one-stage plan is the point: a join-based
+    neighbor lookup would shuffle the token stream twice). 1-based
+    slice arithmetic matches list_slice exactly; both engines clamp the
+    left edge with greatest(pos-2, 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    hits = docs.select(
+        "doc_id", toks.alias("t"), F.posexplode(toks).alias("p0", "tok")
+    ).where(F.col("tok") == "merge")
+    pos = F.col("p0") + 1  # 1-based, as list_slice/slice index
+    start = F.greatest(pos - 2, F.lit(1))
+    length = pos + 2 - start + 1
+    return hits.select(
+        "doc_id",
+        pos.cast("bigint").alias("pos"),
+        F.array_join(F.slice("t", start, length), " ").alias("context"),
+    )
