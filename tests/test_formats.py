@@ -139,3 +139,92 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert rows[0].extra is None and rows[4].extra == 7
     # partition column b is discovered and typed
     assert rows[0].b == 1 and rows[4].b == 2
+
+
+def test_parquet_layout_tuning_roundtrip(spark, sf_dir, tmp_path):
+    """Write-side layout knobs a 100 TB table lives or dies by: zstd
+    codec, bounded file sizes via maxRecordsPerFile, and row-group
+    sizing via parquet.block.size — all must round-trip bit-identically
+    and actually shape the files (file count = ceil(rows/maxRecords))."""
+    import glob
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    path = str(tmp_path / "tuned")
+    (
+        orders.repartition(1)
+        .write.option("compression", "zstd")
+        .option("maxRecordsPerFile", 1000)
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(path)
+    )
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == -(-n // 1000), "maxRecordsPerFile not honored"
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # bit-identical decimal-exact checksum over a numeric column
+    from pyspark.sql import functions as F
+
+    def chk(df):
+        return df.agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+        ).collect()[0].s
+
+    assert chk(back) == chk(orders)
+    # zstd actually applied (parquet footer advertises the codec)
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_streaming_available_now_trigger_drains_and_stops(spark, sf_dir, tmp_path):
+    """Trigger.AvailableNow — the production batch-drain mode (bounded
+    backfill through the streaming engine, then auto-stop): must
+    process every staged file in rate-limited batches and terminate on
+    its own, unlike processingTime triggers which run forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "avnow_src")
+    os.makedirs(src)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    for i in range(3):
+        events.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    import glob as g
+    import shutil
+
+    for i in range(3):
+        part = g.glob(f"{src}/b{i}/*.parquet")[0]
+        shutil.move(part, f"{src}/{i:02d}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+    schema = spark.read.parquet(f"{src}/00.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not self-stop"
+    got = {r.event_type: r.n for r in spark.table("avnow").collect()}
+    exp = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
