@@ -371,3 +371,80 @@ def test_golden_record_idempotent_and_serial_equal(spark, records):
     for r in again.collect():
         assert (r.s, r.v) == (got[r.k].s, got[r.k].v)
         assert r.n_records == 1
+
+
+# --- Bellman-Ford vs brute-force Floyd-Warshall ---------------------------
+
+_edge_st = st.lists(
+    st.tuples(
+        st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edge_st, seeds=st.sets(st.integers(0, 7), min_size=1, max_size=3))
+def test_bellman_ford_matches_floyd_warshall_within_rounds(spark, edges, seeds):
+    """On random small graphs the 3-round relaxation must equal the
+    true shortest-path distance wherever a <=3-edge path realizes it —
+    computed independently by a pure-python round-limited DP."""
+    from etl_pipline_ibrd_loan_system_spark.operators.graph import bellman_ford
+
+    INF = float("inf")
+    best = {s: 0 for s in seeds}
+    for _ in range(3):  # same bounded relaxation, reference implementation
+        nxt = dict(best)
+        for u, v, w in edges:
+            if best.get(u, INF) + w < nxt.get(v, INF):
+                nxt[v] = best[u] + w
+        best = nxt
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    s_df = spark.createDataFrame([(s,) for s in sorted(seeds)], "node bigint")
+    got = {
+        r.node: r.dist for r in bellman_ford(e_df, s_df, rounds=3).collect()
+    }
+    assert got == best
+
+
+# --- incremental join view == monolithic join ------------------------------
+
+_a_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=0, max_size=8
+)
+_b_st = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=0, max_size=6
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=_a_st, b=_b_st, a_cut=st.integers(0, 8), b_cut=st.integers(0, 6))
+def test_incremental_join_view_equals_monolithic(spark, a, b, a_cut, b_cut):
+    """The delta-join algebra must reproduce the monolithic join for
+    ANY split point of either side — including empty deltas and empty
+    bases (the a_cut/b_cut extremes hypothesis will shrink to)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.reconcile import (
+        incremental_join_view,
+    )
+
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema) if rows else \
+        spark.createDataFrame([], schema)
+    a_old, a_delta = a[:a_cut], a[a_cut:]
+    b_old, b_delta = b[:b_cut], b[b_cut:]
+    sa, sb = "k bigint, av bigint", "k bigint, bv bigint"
+    got = incremental_join_view(
+        mk(a_old, sa), mk(a_delta, sa), mk(b_old, sb), mk(b_delta, sb), on="k"
+    )
+    expected = mk(a, sa).join(mk(b, sb), "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
