@@ -316,6 +316,71 @@ def cluster_split(
     return hash_split(assigned, "cluster_id", splits, salt)
 
 
+def temperature_flatten(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    temperature: int | None = 2,
+    salt: str = "temp:",
+    precision: int = 1_000_000,
+) -> DataFrame:
+    """α-temperature source rebalancing — the multilingual-sampling recipe
+    (kept rows ∝ n_s^(1/T)), anchored at the SMALLEST source so it only
+    ever down-samples (Bernoulli can't up-sample).
+
+    Each source keeps rate_s = (n_min/n_s)^(1 - 1/T): the smallest source
+    keeps everything, larger sources are thinned toward it, and the kept
+    count per source is n_s · rate_s ∝ n_s^(1/T) — exactly α-smoothing
+    with α = 1/T. T=1 is the identity (natural distribution), T=None is
+    the uniform cap (every source down to n_min), T=2/T=4 interpolate.
+
+    `temperature` is restricted to {1, 2, 4, None}: those exponents
+    (0, ½, ¾, 1) are evaluated as a chain of IEEE-correctly-rounded ops
+    (one divide, sqrt, sqrt·sqrt(sqrt)) that is bit-identical on any
+    engine — an arbitrary T would need pow(), whose last-ulp rounding
+    differs across libm builds and would make the floor() threshold
+    flip on boundary rows between Spark and an ANSI-SQL replay.
+
+    Scale: one tiny per-source count aggregate (rows = #sources), the
+    1-row minimum broadcast back, then a pure per-row hash-threshold
+    projection — the corpus itself never shuffles, so this streams at
+    scan speed at 100 TB like `hash_split`/`stratified_sample`.
+    """
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    n_min = counts.agg(F.min("n_source").cast("bigint").alias("__n_min"))
+    ratio = F.col("__n_min").cast("double") / F.col("n_source").cast("double")
+    if temperature == 1:
+        rate = F.lit(1.0)
+    elif temperature == 2:
+        rate = F.sqrt(ratio)
+    elif temperature == 4:
+        rate = F.sqrt(ratio) * F.sqrt(F.sqrt(ratio))
+    elif temperature is None:
+        rate = ratio
+    else:
+        raise ValueError(
+            "temperature must be 1, 2, 4 or None (see docstring: the "
+            "exponent chain must be correctly-rounded to replay cross-engine)"
+        )
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            source_col,
+            "n_source",
+            F.floor(rate * precision).cast("bigint").alias("keep_thresh"),
+        )
+    )
+    bucket = _bucket(F.col(id_col), salt, precision)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("temp_bucket", bucket.cast("bigint"))
+        .where(F.col("temp_bucket") < F.col("keep_thresh"))
+        .select(id_col, source_col, "n_source", "keep_thresh", "temp_bucket")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

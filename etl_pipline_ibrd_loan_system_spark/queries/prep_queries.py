@@ -837,3 +837,40 @@ def sp6_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+_TEMP_HASH = _HASH60.format(x="'temp:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "mx3_temperature_flatten",
+    sql=f"""
+    WITH counts AS (
+      SELECT lang, count(*)::BIGINT AS n_source FROM documents GROUP BY lang
+    ), mn AS (
+      SELECT min(n_source)::BIGINT AS n_min FROM counts
+    ), rates AS (
+      SELECT lang, n_source,
+             CAST(floor(sqrt(n_min::DOUBLE / n_source::DOUBLE) * 1000000)
+                  AS BIGINT) AS keep_thresh
+      FROM counts, mn
+    )
+    SELECT d.doc_id, d.lang, r.n_source, r.keep_thresh,
+           {_TEMP_HASH} % 1000000 AS temp_bucket
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_TEMP_HASH} % 1000000 < r.keep_thresh
+    """,
+)
+def mx3_temperature_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-temperature language rebalancing at T=2 (kept docs per language
+    ∝ sqrt(n_lang), anchored at the smallest language) — the standard
+    multilingual data-mixing smoothing, as a deterministic hash-Bernoulli
+    so the oracle replays every keep decision bit-for-bit. The rate math
+    is one divide + one sqrt + one multiply + floor, all IEEE
+    correctly-rounded, so the integer threshold agrees cross-engine;
+    the corpus never shuffles (per-row projection against a broadcast
+    rate table). Complements mx1 (weighted interleave order) and mx2
+    (quality-greedy token budgets): mx3 decides MEMBERSHIP by source
+    size, the others decide order and budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.temperature_flatten(docs, "lang", "doc_id", temperature=2)

@@ -444,3 +444,61 @@ def test_exact_stratified_sample_sizes(spark):
         r["sample_rank"] for r in out.where(F.col("lang") == "big").collect()
     )
     assert ranks == list(range(1, 11))
+
+
+# ------------------------------------------------- temperature_flatten
+
+
+def _temp_corpus(spark, sizes: dict[str, int]):
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, src string")
+
+
+def test_temperature_flatten_smallest_source_keeps_everything(spark):
+    df = _temp_corpus(spark, {"big": 400, "small": 25})
+    out = sampling.temperature_flatten(df, "src", "doc_id", temperature=2)
+    kept = {r["src"]: r["n"] for r in
+            out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert kept["small"] == 25  # rate = (25/25)^0.5 = 1: nothing dropped
+    # big keeps ~sqrt(25*400)=100 in expectation (binomial, sd~9.5)
+    assert 60 <= kept["big"] <= 140
+
+
+def test_temperature_flatten_orders_by_temperature(spark):
+    df = _temp_corpus(spark, {"big": 400, "small": 25})
+
+    def kept_big(t):
+        out = sampling.temperature_flatten(df, "src", "doc_id", temperature=t)
+        return out.where(F.col("src") == "big").count()
+
+    t1, t2, t4, tinf = kept_big(1), kept_big(2), kept_big(4), kept_big(None)
+    assert t1 == 400  # identity: natural distribution untouched
+    # monotone flattening: higher temperature thins large sources more
+    assert t1 > t2 > t4 > tinf
+    # uniform cap lands near n_min (rate = 25/400, expectation 25, sd~4.9)
+    assert 5 <= tinf <= 45
+
+
+def test_temperature_flatten_is_deterministic_and_validates(spark):
+    df = _temp_corpus(spark, {"a": 100, "b": 10})
+    one = sorted(r["doc_id"] for r in
+                 sampling.temperature_flatten(df, "src", "doc_id").collect())
+    two = sorted(r["doc_id"] for r in
+                 sampling.temperature_flatten(df, "src", "doc_id").collect())
+    assert one == two  # pure hash function of the id: rerun-stable
+    with pytest.raises(ValueError, match="temperature"):
+        sampling.temperature_flatten(df, "src", "doc_id", temperature=3)
+
+
+def test_temperature_flatten_plan_never_shuffles_the_corpus(spark):
+    df = _temp_corpus(spark, {"a": 50, "b": 5})
+    plan = _plan(sampling.temperature_flatten(df, "src", "doc_id"))
+    # rate table joins back as a broadcast: the corpus-side scan must not
+    # hit an Exchange hashpartitioning on the way to the filter
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
