@@ -508,3 +508,142 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_score", "rank")
     )
+
+
+# --------------------------------------------------------- random projection
+
+
+def rp_signs(d_in: int, d_out: int, salt: str = "rp:") -> list[list[int]]:
+    """±1 Achlioptas/JL sign matrix derived from the shared 60-bit md5 hash
+    (dedup.shared_hash60's exact formula, computed driver-side): entry
+    (j, i) is +1 iff hash60(f"{salt}{j}:{i}") is even. A pure function of
+    the salt — every engine (and the DuckDB oracle, via the same md5
+    expression) regenerates the identical matrix, so nothing random ever
+    ships with the job."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [1 if h60(f"{salt}{j}:{i}") % 2 == 0 else -1 for i in range(1, d_in + 1)]
+        for j in range(d_out)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_in: int = 64,
+    d_out: int = 16,
+    salt: str = "rp:",
+) -> DataFrame:
+    """Johnson–Lindenstrauss compression: project d_in-dim embeddings onto
+    d_out hash-derived ±1 directions, scaled by 1/sqrt(d_out).
+
+    Each output coordinate is a signed sum of the input coordinates in
+    fixed left-to-right order — addition order is pinned by expression
+    shape, the ±1 multiplies are exact sign flips, and the final scale
+    (d_out a power of 4 → sqrt exact) is one correctly-rounded divide,
+    so the reduced vectors are bit-identical on any engine. JL gives
+    |<x,y> - <Px,Py>| = O(|x||y|/sqrt(d_out)) — enough to shortlist
+    neighbors in 4x less memory/IO before exact re-ranking, the same
+    shrink-then-verify shape as int8_topk (quantization) and ivf_topk
+    (partitioning).
+
+    Scale: pure per-row projection, zero shuffle, no driver state — the
+    matrix is regenerated from the salt on every executor via literal
+    expressions (nothing is broadcast). Output: (id, rp_vec array<double>).
+    """
+    import math
+
+    signs = rp_signs(d_in, d_out, salt)
+    scale = math.sqrt(d_out)  # IEEE sqrt == SQL sqrt(): correctly rounded
+    v = F.col(vec_col).cast("array<double>")
+
+    def coord(j: int):
+        # compact HOF fold (runtime loop) rather than a 64-term unrolled
+        # expression: the unrolled form at d_in=64 x d_out=16 exceeds the
+        # JVM 64KB method limit and silently drops out of whole-stage
+        # codegen. The x * (+-1.0) multiplies are exact sign flips and the
+        # 0.0-seeded left fold is the same shape `cosine` proves equal to
+        # DuckDB's list_sum.
+        sj = F.array(*[F.lit(1.0 if s == 1 else -1.0) for s in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(v, sj, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, term: acc + term,
+        )
+        return (dot / F.lit(scale)).alias(f"rp_{j}")
+
+    return df.withColumn(
+        "rp_vec", F.array(*[coord(j) for j in range(d_out)])
+    )
+
+
+def rp_shortlist_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    d_out: int = 32,
+    shortlist: int = 100,
+    salt: str = "rp:",
+) -> DataFrame:
+    """Shrink-then-verify ANN: shortlist `shortlist` candidates per query
+    in JL-reduced space (d_out dims — 2x less dot-product work and
+    memory traffic at d_out=32), then re-rank ONLY the candidates with
+    exact full-dimension cosine. Same output schema as cosine_topk, so
+    recall against the exact answer is directly measurable (recall == the
+    shortlist's hit rate: exact re-ranking cannot lose a candidate).
+
+    Scale: the expensive corpus-wide scoring runs in reduced space; the
+    exact re-rank touches queries x shortlist rows only. The candidate
+    join back to full vectors is a shuffle of the candidate set, not the
+    corpus (carry the full vector through the shortlist stage instead
+    when vectors are small enough to double-ship)."""
+    cr = random_project(corpus, id_col, vec_col, d_out=d_out, salt=salt)
+    qr = random_project(queries, id_col, vec_col, d_out=d_out, salt=salt)
+    cand = cosine_topk(cr, qr, id_col, "rp_vec", k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    from .dedup import cosine as _cos
+
+    full_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    full_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        cand.join(full_c, "neighbor_id")
+        .join(F.broadcast(full_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def rp_oracle_expr(j: int, d_in: int, vec: str, d_out: int, salt: str = "rp:") -> str:
+    """DuckDB expression replaying random_project's j-th coordinate: the
+    same ±1.0 literal vector, the same elementwise multiply, the same
+    left-fold sum (list_sum == Spark's 0.0-seeded aggregate, the identity
+    `cosine`'s oracle already relies on)."""
+    signs = rp_signs(d_in, d_out, salt)[j]
+    lst = "[" + ", ".join("1.0" if s == 1 else "-1.0" for s in signs) + "]"
+    return (
+        f"(list_sum(list_transform(range(1, {d_in + 1}), "
+        f"i -> {vec}[i]::DOUBLE * ({lst})[i])) / sqrt({d_out}.0))"
+    )

@@ -151,3 +151,97 @@ def sm3_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
         "vec_id", "embedding", k=5,
     )
+
+
+_RP_COORDS = ",\n           ".join(
+    f"{similarity.rp_oracle_expr(j, 64, 'embedding', 16)} AS c{j}"
+    for j in range(16)
+)
+
+
+@query(
+    "rp1_random_projection",
+    sql=f"""
+    WITH proj AS (
+      SELECT vec_id,
+           {_RP_COORDS}
+      FROM embeddings
+    )
+    SELECT vec_id, dim::BIGINT AS dim, rp_value
+    FROM proj
+    UNPIVOT (rp_value FOR dim IN ({", ".join(f"c{j} AS '{j}'" for j in range(16))}))
+    """,
+)
+def rp1_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 64->16 compression of the embedding corpus,
+    exploded to (vec_id, dim, rp_value) rows so the gate hashes scalar
+    doubles. The oracle regenerates the SAME ±1 matrix from the md5 salt
+    and replays each coordinate's left-to-right signed fold — the check
+    is bit-exact, not approximate; the JL distance-preservation bound is
+    property-tested in tests/test_similarity.py against sm1's exact
+    neighbors. Zero shuffle: the projection is a per-row expression and
+    the matrix lives in the plan as literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    reduced = similarity.random_project(emb, "vec_id", "embedding", 64, 16)
+    return reduced.select(
+        "vec_id", F.posexplode("rp_vec").alias("dim", "rp_value")
+    ).select(F.col("vec_id"), F.col("dim").cast("bigint").alias("dim"), "rp_value")
+
+
+def _cosn(a: str, b: str, n: int) -> str:
+    """Cosine over n-dim DOUBLE lists — same fold order as dedup.cosine."""
+    return f"""
+      list_sum(list_transform(range(1, {n + 1}), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(1, {n + 1}), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, {n + 1}), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+    """
+
+
+def _rp_list(vec: str, d_out: int) -> str:
+    """The full reduced vector as a DuckDB list literal of rp coordinates."""
+    return "[" + ", ".join(
+        similarity.rp_oracle_expr(j, 64, vec, d_out) for j in range(d_out)
+    ) + "]"
+
+
+@query(
+    "rp2_jl_rerank_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    qp AS (SELECT query_id, qv, {_rp_list('qv', 32)} AS qr FROM q),
+    cp AS (SELECT neighbor_id, cv, {_rp_list('cv', 32)} AS cr FROM c),
+    short AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cosn('qr', 'cr', 32)} DESC, neighbor_id ASC
+             ) AS srank
+      FROM qp CROSS JOIN cp
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, {_cos('qv', 'cv')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY {_cos('qv', 'cv')} DESC, neighbor_id ASC
+             ) AS rank
+      FROM short WHERE srank <= 100
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+    FROM rer WHERE rank <= 5
+    """,
+)
+def rp2_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL shrink-then-verify ANN: 100-candidate shortlist per query in
+    32-dim hash-projected space, exact 64-dim cosine re-rank of the
+    candidates. The oracle replays the ENTIRE dataflow — the same ±1
+    matrix regenerated from the md5 salt, the same reduced-space ranking,
+    the same re-rank — so the check proves the distributed plan computes
+    this ANN answer exactly (like sm2's IVF replay); recall vs the exact
+    sm1 answer is the property test's job (0.80 on structureless random
+    vectors at sf0.01, deterministic because nothing is sampled at
+    runtime)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_shortlist_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, d_out=32, shortlist=100,
+    )
