@@ -232,6 +232,7 @@ def bellman_ford(
     seeds: DataFrame,
     rounds: int = 3,
     weight: str = "w",
+    edge_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford: minimum path cost from any seed in at
     most `rounds` edge relaxations. `edges` carries (src, dst, w) with
@@ -243,14 +244,26 @@ def bellman_ford(
     candidates) — the same per-round shuffle budget as bfs_hops, with
     the visited anti-join replaced by the min fold (a node's cost may
     IMPROVE after first discovery, the thing BFS may assume away only
-    for unit weights). localCheckpoint per round keeps lineage flat;
-    at 100 TB the edge table is the static side — range-partition it
-    on src once and every round reuses the layout."""
+    for unit weights). localCheckpoint per round keeps lineage flat.
+
+    `edge_partitions` is the 100 TB escape the round-6 decade sweep
+    demanded (g6 scaled 2.8x across 10x edges — every round re-shuffled
+    the static edge table): hash-partition edges on src ONCE and pin the
+    layout; each round's join then reuses the cached partitioning, so
+    only the (small) frontier/dist side moves per round. The per-round
+    shuffle drops from O(|E|) to O(|dist|). Cache-pinned, so the driver
+    loop releases it after the query materializes."""
     edges = edges.select(
         F.col("src").cast("bigint"),
         F.col("dst").cast("bigint"),
         F.col(weight).cast("bigint").alias("w"),
-    ).localCheckpoint(eager=False)
+    )
+    if edge_partitions:
+        from ..cache import pin
+
+        edges = pin(edges.repartition(edge_partitions, "src"))
+    else:
+        edges = edges.localCheckpoint(eager=False)
     dist = seeds.select(
         F.col("node").cast("bigint"), F.lit(0).cast("bigint").alias("dist")
     ).distinct().localCheckpoint(eager=True)

@@ -904,7 +904,10 @@ def g6_weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier.where(F.col("s_nationkey") < 5)
         .select((F.col("s_suppkey") + 1000000).alias("node"))
     )
-    return bellman_ford(edges, seeds, rounds=3)
+    # edges partitioned on src ONCE and cache-pinned: each relaxation
+    # round reuses the layout instead of re-shuffling the static edge
+    # table (the 2.8x-per-decade fix from the round-6 sf1 sweep)
+    return bellman_ford(edges, seeds, rounds=3, edge_partitions=32)
 
 
 @query(

@@ -74,3 +74,58 @@ def test_bellman_ford_partition_invariance(spark):
         for r in bellman_ford(edges.repartition(13), seeds, rounds=3).collect()
     )
     assert a == b
+
+
+def test_bellman_ford_pinned_edge_layout_parity_and_reuse(spark):
+    """edge_partitions pins a src-hash layout of the static edge table;
+    results must be identical to the re-shuffle-every-round path
+    (integer weights: partition-invariant), and the relaxation join must
+    read edges from the cache (InMemoryTableScan in the plan) instead of
+    recomputing the edge lineage each round."""
+    from etl_pipline_ibrd_loan_system_spark.cache import release_pinned
+    from etl_pipline_ibrd_loan_system_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 9), (3, 4, 2), (4, 1, 7)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    base = {
+        (r.node, r.dist) for r in bellman_ford(edges, seeds, rounds=3).collect()
+    }
+    pinned = {
+        (r.node, r.dist)
+        for r in bellman_ford(edges, seeds, rounds=3, edge_partitions=4).collect()
+    }
+    assert pinned == base
+    assert release_pinned() >= 1  # the layout was registered for cleanup
+
+    # layout-reuse proof on one relaxation round (the per-round plan is
+    # checkpointed away inside bellman_ford, so assert on its shape
+    # directly): the edge side comes from the cache, and the only
+    # Exchange hash-partitions the dist side into the cached layout
+    from etl_pipline_ibrd_loan_system_spark.cache import pin
+    from pyspark.sql import functions as F
+
+    e = pin(edges.repartition(4, "src"))
+    e.count()  # materialize the cache
+    dist = seeds.select("node", F.lit(0).cast("bigint").alias("dist"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at scale the edge side is far beyond broadcast size: force the
+        # SMJ shape the layout reuse exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        relax = dist.join(e, dist.node == e.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        plan = relax._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "InMemoryTableScan" in plan
+    # everything after InMemoryRelation is the cached BUILD plan (its
+    # one-time repartition Exchange included in the toString) — live
+    # Exchanges are only those before it: exactly one, on the dist side
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert live.count("Exchange hashpartitioning") == 1, plan
+    release_pinned()
