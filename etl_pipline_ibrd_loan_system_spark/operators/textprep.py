@@ -596,3 +596,49 @@ def bpe_encode(
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = ("javascript",),
+    require_terminal_punct: bool = True,
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style corpus cleaning (the public recipe of Raffel et al. 2020,
+    §2.2 — the line/document rules behind the C4 dataset): drop lines
+    with fewer than `min_words` words, lines containing a blocklist term,
+    and (optionally) lines not ending in terminal punctuation; flag whole
+    documents that contain a doc-level blocklist term ("lorem ipsum",
+    code-brace) or retain fewer than `min_kept_lines` clean lines.
+
+    Everything is array/string HOF expressions over the split lines —
+    per-row projection, zero shuffle, scan-speed at any corpus size, and
+    every keep decision replays exactly in ANSI SQL (list_filter with the
+    same conditions). Returns (id, n_lines, n_kept_lines, clean_text,
+    doc_kept); downstream stages filter on doc_kept and read clean_text.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def ok(line):
+        cond = F.size(F.split(F.trim(line), " +")) >= min_words
+        for term in blocklist:
+            cond = cond & ~F.lower(line).contains(term)
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]\s*$')
+        return cond
+
+    kept = F.filter(lines, ok)
+    doc_ok = F.lit(True)
+    for term in doc_blocklist:
+        doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(term)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        (doc_ok & (F.size(kept) >= min_kept_lines)).alias("doc_kept"),
+    )

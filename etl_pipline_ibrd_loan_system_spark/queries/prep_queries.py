@@ -874,3 +874,69 @@ def mx3_temperature_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, the others decide order and budget."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.temperature_flatten(docs, "lang", "doc_id", temperature=2)
+
+
+@query(
+    "tx17_c4_line_filter",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), lined AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) + 1, 8),
+                            i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+               AS lines
+      FROM t WHERE len(toks) >= 1
+    ), f AS (
+      SELECT doc_id, lines,
+             list_filter(lines,
+               l -> len(string_split_regex(trim(l), ' +')) >= 3
+                    AND NOT contains(lower(l), 'slow')) AS kept,
+             array_to_string(lines, chr(10)) AS lined_text
+      FROM lined
+    )
+    SELECT doc_id,
+           len(lines)::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept_lines,
+           -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+           (NOT contains(lower(lined_text), 'lorem ipsum')
+            AND NOT contains(lined_text, '{{')
+            AND len(kept) >= 3) AS doc_kept
+    FROM f
+    """,
+)
+def tx17_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over the documents corpus. The synthetic corpus has no
+    newlines, so line structure is synthesized first (8-token chunks —
+    the dd12 windowing idiom) and the rules that bite here are the
+    word-count floor and a blocklist term ('slow' stands in for C4's
+    'javascript', which this vocabulary never emits); the terminal-
+    punctuation and doc-blocklist rules are exercised on crafted
+    fixtures in tests/test_prep.py. The oracle replays chunking and
+    every line keep decision verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    lined = docs.select(
+        "doc_id", toks.alias("toks")
+    ).where(F.size("toks") >= 1).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(8)),
+                lambda s: F.array_join(F.slice(F.col("toks"), s, 8), " "),
+            ),
+            "\n",
+        ).alias("lined_text"),
+    )
+    return textprep.c4_line_filter(
+        lined,
+        "lined_text",
+        "doc_id",
+        min_words=3,
+        blocklist=("slow",),
+        require_terminal_punct=False,
+        doc_blocklist=("lorem ipsum", "{"),
+        min_kept_lines=3,
+    )

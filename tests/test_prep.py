@@ -502,3 +502,61 @@ def test_temperature_flatten_plan_never_shuffles_the_corpus(spark):
     # hit an Exchange hashpartitioning on the way to the filter
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------- c4_line_filter
+
+
+def test_c4_line_filter_full_rule_set(spark):
+    """Terminal punctuation, word-count floor, line blocklist, doc-level
+    blocklist and min-kept-lines — each rule exercised on a crafted doc
+    (the oracle query tx17 covers the word-count/blocklist rules on the
+    corpus, which has no punctuation to trigger the rest)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "A good sentence ends with a period.\n"
+                "too short.\n"
+                "Enable javascript to view this page.\n"
+                "no terminal punctuation here\n"
+                "Another proper sentence stays in place.\n"
+                "And a third one survives as well.",
+            ),
+            (2, "This page uses lorem ipsum filler text everywhere.\n"
+                "A perfectly fine sentence number two.\n"
+                "A perfectly fine sentence number three.\n"
+                "A perfectly fine sentence number four."),
+            (3, "if (x) { return; }\n"
+                "Sentence one is quite alright.\n"
+                "Sentence two is quite alright.\n"
+                "Sentence three is quite alright."),
+            (4, "Only one surviving line in this document."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textprep.c4_line_filter(docs, "text", "doc_id").collect()
+    }
+    # doc 1: 6 lines -> period-ended, >=3-word, non-js lines survive
+    assert out[1].n_lines == 6 and out[1].n_kept_lines == 3
+    assert out[1].doc_kept  # 3 kept lines, no doc-level hit
+    assert "javascript" not in out[1].clean_text
+    assert "no terminal punctuation" not in out[1].clean_text
+    assert "too short." not in out[1].clean_text  # 2 words < 3
+    # doc 2: all 4 lines pass the LINE rules (the lorem line is a valid
+    # sentence), but the doc-level 'lorem ipsum' rule kills the document
+    assert out[2].n_kept_lines == 4 and not out[2].doc_kept
+    # doc 3: brace kills the document
+    assert not out[3].doc_kept
+    # doc 4: clean line but below min_kept_lines
+    assert out[4].n_kept_lines == 1 and not out[4].doc_kept
+
+
+def test_c4_line_filter_is_pure_projection(spark):
+    docs = spark.createDataFrame([(1, "One fine sentence here.")],
+                                 "doc_id long, text string")
+    plan = _plan(textprep.c4_line_filter(docs, "text", "doc_id"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
