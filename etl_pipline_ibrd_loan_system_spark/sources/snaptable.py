@@ -1,0 +1,316 @@
+"""Minimal snapshot-log table format over parquet: bucket-level
+copy-on-write MERGE, snapshot isolation, time travel, rollback, vacuum.
+
+Why this exists: the reference's SCD dimension sinks are per-row UPDATE
+commands (`project SSIS::bor_dim.dtsx:454,566`) whose Spark-native
+production twin is MERGE INTO on a Delta/Iceberg table
+(operators/scd.py::scd2_merge_sql). This sandbox has no MERGE-capable
+format (delta-spark cannot be installed — recorded tripwire in
+tests/test_scd.py), so the MERGE twin stopped at validated SQL text.
+This module supplies the missing half: the EXECUTION shape a table
+format gives that statement, built from first principles on plain
+parquet + JSON manifests, so merge semantics run for real here and the
+claims about them are tested, not asserted.
+
+Design (the Delta/Iceberg core, minus what 100 TB doesn't need here):
+
+- Immutable data files under `data/commit-v{N}/__bucket=k/`, written
+  once, never modified. Each table row lives in bucket
+  `pmod(xxhash64(key), n_buckets)` — a pure function of the business
+  key, so any writer can locate a key's bucket without reading data.
+- A JSON manifest per version (`_snapshots/v{N}.json`) listing the data
+  files of EVERY bucket, plus schema, key and parent version. Manifests
+  are created with O_CREAT|O_EXCL: two concurrent committers racing to
+  the same version — one wins, the other gets ConflictError (optimistic
+  concurrency, the Delta protocol's log-entry rule).
+- A CURRENT pointer published by atomic rename. Readers resolve CURRENT
+  once and then read immutable files: full snapshot isolation; a crash
+  anywhere before the rename leaves the previous snapshot intact and
+  the half-commit unreachable (orphan files for vacuum).
+- MERGE = bucket-level copy-on-write: a staging batch touches only the
+  buckets its keys hash into; the merge reads THOSE buckets' files,
+  applies scd2_apply to that slice, writes replacement files, and the
+  new manifest re-references every untouched bucket's files verbatim.
+  Merge cost scales with the touched key set, not the table — the
+  entire point of MERGE over rewrite-the-world (with uniform hashing a
+  small batch still touches most buckets; raise n_buckets so bucket
+  count >> batch keys when batches are narrow).
+- Time travel = read any retained manifest. Rollback = repoint CURRENT
+  (data untouched). Vacuum = delete files no retained manifest
+  references.
+
+Scale notes: the manifest holds file PATHS only — O(n_buckets x files
+per bucket), fine into the tens of thousands of files; beyond that
+Iceberg splits manifests per partition and this module's layout would
+grow the same second level. The touched-bucket discovery collects at
+most n_buckets ints (bounded driver state, the IVF-centroid rule).
+Surrogate keys in merged loads use the hash strategy — stable without
+any global row_number, which is also SCALE.md's prescription.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SNAP_DIR = "_snapshots"
+DATA_DIR = "data"
+
+
+class ConflictError(RuntimeError):
+    """Another committer published this version first (optimistic
+    concurrency): re-read CURRENT and retry the merge on top of it."""
+
+
+def _snap_dir(root: str) -> str:
+    return os.path.join(root, SNAP_DIR)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(_snap_dir(root), f"v{version:08d}.json")
+
+
+def _current_path(root: str) -> str:
+    return os.path.join(_snap_dir(root), "CURRENT")
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(_current_path(root), encoding="utf-8") as fh:
+            return int(json.load(fh)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def read_manifest(root: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            raise FileNotFoundError(f"no CURRENT snapshot under {root!r}")
+    with open(_manifest_path(root, version), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _next_version(root: str) -> int:
+    """Smallest unused version number: one past the MAX existing manifest
+    (not parent+1 — after a rollback the abandoned versions' manifests
+    still exist until vacuum, and a new commit must not collide with
+    them; parentage records lineage, the version number is just a slot)."""
+    try:
+        versions = [
+            int(n[1:-5])
+            for n in os.listdir(_snap_dir(root))
+            if n.startswith("v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        return 1
+    return max(versions, default=0) + 1
+
+
+def _bucket_col(key: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+
+
+def _write_commit(
+    spark: SparkSession, root: str, df: DataFrame, key: str,
+    n_buckets: int, version: int,
+) -> dict[str, list[str]]:
+    """Write df's rows into per-bucket parquet under an immutable commit
+    dir; return {bucket: [file paths]}. The __bucket partition column is
+    directory-encoded, so data files carry only the table schema."""
+    outdir = os.path.join(root, DATA_DIR, f"commit-v{version:08d}")
+    (
+        df.withColumn("__bucket", _bucket_col(key, n_buckets))
+        .repartition("__bucket")
+        .write.partitionBy("__bucket")
+        .mode("errorifexists")
+        .parquet(outdir)
+    )
+    from .maintenance import _hadoop
+
+    fs, hpath, _ = _hadoop(spark, outdir)
+    files: dict[str, list[str]] = {}
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        parent = p.getParent().getName()  # "__bucket=k"
+        bucket = parent.split("=", 1)[1]
+        files.setdefault(bucket, []).append(p.toString())
+    return files
+
+
+def _publish(root: str, manifest: dict) -> None:
+    """Two-phase commit: exclusive-create the manifest (conflict gate),
+    then atomically repoint CURRENT."""
+    os.makedirs(_snap_dir(root), exist_ok=True)
+    path = _manifest_path(root, manifest["version"])
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ConflictError(
+            f"version {manifest['version']} already committed under {root!r}"
+        ) from exc
+    with os.fdopen(fd, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    tmp = _current_path(root) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": manifest["version"]}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _current_path(root))
+
+
+def create(
+    spark: SparkSession, root: str, df: DataFrame, key: str,
+    n_buckets: int = 16,
+) -> dict:
+    """Initialize the table at version 1 from `df` (e.g. an scd2_init
+    result). Returns the published manifest."""
+    if current_version(root) is not None:
+        raise FileExistsError(f"snapshot table already exists at {root!r}")
+    files = _write_commit(spark, root, df, key, n_buckets, version=1)
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "key": key,
+        "n_buckets": n_buckets,
+        "schema": df.schema.json(),
+        "buckets": files,
+    }
+    _publish(root, manifest)
+    return manifest
+
+
+def read(
+    spark: SparkSession, root: str, version: int | None = None,
+    buckets: Sequence[int] | None = None,
+) -> DataFrame:
+    """Snapshot read: the file list comes from one immutable manifest, so
+    concurrent commits never tear a scan. `buckets` restricts the read to
+    the named buckets (the merge's pruning path)."""
+    m = read_manifest(root, version)
+    wanted = (
+        set(str(b) for b in buckets) if buckets is not None
+        else set(m["buckets"])
+    )
+    paths = [p for b, fl in m["buckets"].items() if b in wanted for p in fl]
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def scd2_merge(
+    spark: SparkSession, root: str, staging: DataFrame, *,
+    t1_cols: Sequence[str] = (), t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (), asof: str = "1970-01-01",
+    broadcast_dim: bool = True,
+) -> dict:
+    """Execute one SCD2 merge as a bucket-level copy-on-write commit.
+
+    Semantics are exactly operators/scd.scd2_apply (the overwrite-rebuild
+    the oracle checks), restricted to the touched buckets: staged keys
+    all hash into them, and SCD2 decisions are per-key, so every other
+    bucket's rows are unchanged by construction and their files are
+    re-referenced without being read OR rewritten. Surrogate keys use
+    the hash strategy (stable under any partitioning; a dense sequence
+    would need a global max over the untouched buckets this merge never
+    reads). Returns the published manifest, with `touched_buckets` noted.
+    """
+    from ..operators.scd import scd2_apply
+
+    m = read_manifest(root)
+    key, n_buckets = m["key"], m["n_buckets"]
+    touched = sorted(
+        r["__b"]
+        for r in staging.select(
+            _bucket_col(key, n_buckets).alias("__b")
+        ).distinct().collect()
+    )  # bounded driver state: <= n_buckets ints
+    old_slice = read(spark, root, buckets=touched)
+    new_slice = scd2_apply(
+        old_slice, staging, key,
+        t1_cols=t1_cols, t2_cols=t2_cols, fixed_cols=fixed_cols,
+        asof=asof, sk_strategy="hash", broadcast_dim=broadcast_dim,
+    )
+    version = _next_version(root)
+    files = _write_commit(spark, root, new_slice, key, n_buckets, version)
+    buckets = {b: fl for b, fl in m["buckets"].items()
+               if int(b) not in set(touched)}
+    buckets.update(files)
+    manifest = {
+        "version": version,
+        "parent": m["version"],
+        "key": key,
+        "n_buckets": n_buckets,
+        "schema": m["schema"],
+        "buckets": buckets,
+        "touched_buckets": touched,
+    }
+    _publish(root, manifest)
+    return manifest
+
+
+def rollback(root: str, to_version: int) -> None:
+    """Repoint CURRENT at a retained snapshot — data files untouched, so
+    this is O(1) and reversible until vacuum drops the newer files."""
+    # validate the target exists before flipping the pointer
+    read_manifest(root, to_version)
+    tmp = _current_path(root) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"version": to_version}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _current_path(root))
+
+
+def vacuum(spark: SparkSession, root: str, retain_last: int = 2) -> dict:
+    """Delete data files referenced by NO retained snapshot. Retained =
+    the last `retain_last` manifests on the parent chain from CURRENT
+    (time travel keeps working for those); everything else — older
+    versions and unreachable half-commits alike — is garbage."""
+    head = current_version(root)
+    if head is None:
+        raise FileNotFoundError(f"no CURRENT snapshot under {root!r}")
+    chain: list[dict] = []
+    v: int | None = head
+    while v is not None and len(chain) < retain_last:
+        mf = read_manifest(root, v)
+        chain.append(mf)
+        v = mf["parent"]
+    keep = {p for mf in chain for fl in mf["buckets"].values() for p in fl}
+    from .maintenance import _hadoop
+
+    datadir = os.path.join(root, DATA_DIR)
+    fs, hpath, jvm = _hadoop(spark, datadir)
+    deleted = 0
+    it = fs.listFiles(hpath, True)
+    doomed = []
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        if p.toString() not in keep:
+            doomed.append(p)
+    for p in doomed:
+        fs.delete(p, False)
+        deleted += 1
+    # drop manifests older than the retained chain (their files are gone)
+    retained_versions = {mf["version"] for mf in chain}
+    for name in os.listdir(_snap_dir(root)):
+        if name.startswith("v") and name.endswith(".json"):
+            ver = int(name[1:-5])
+            if ver not in retained_versions:
+                os.unlink(os.path.join(_snap_dir(root), name))
+    return {"deleted_files": deleted, "retained_versions": sorted(retained_versions)}
