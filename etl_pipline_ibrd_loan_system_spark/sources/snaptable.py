@@ -314,3 +314,33 @@ def vacuum(spark: SparkSession, root: str, retain_last: int = 2) -> dict:
             if ver not in retained_versions:
                 os.unlink(os.path.join(_snap_dir(root), name))
     return {"deleted_files": deleted, "retained_versions": sorted(retained_versions)}
+
+
+def changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int,
+    compare_cols: Sequence[str] | None = None,
+    include_values: bool = False,
+) -> DataFrame:
+    """Change-data-feed read: the keyed row delta between two retained
+    snapshots (added / removed / changed + which columns), computed by
+    reconcile.snapshot_diff over the two manifests' file sets. With
+    `include_values` the delta is APPLICABLE — apply_snapshot_diff
+    reconstructs the newer snapshot exactly — so downstream consumers
+    can subscribe to table changes without re-reading the table: the
+    delta's size tracks the merge's change mass, not the table.
+
+    Keyed on (key, sk): in an SCD2 table the business key recurs across
+    versions, and the surrogate key identifies the exact row slice a
+    merge closed or opened."""
+    from ..operators.reconcile import snapshot_diff
+
+    old = read(spark, root, version=from_version)
+    new = read(spark, root, version=to_version)
+    m = read_manifest(root, to_version)
+    key = m["key"]
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in (key, "sk")]
+    return snapshot_diff(
+        old, new, [key, "sk"], list(compare_cols),
+        include_values=include_values,
+    )

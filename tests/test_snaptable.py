@@ -183,3 +183,47 @@ def test_create_twice_refuses(spark, tmp_path):
                       asof="2024-01-01", sk_strategy="hash"),
             "bk",
         )
+
+
+def test_changes_feed_tracks_merge_change_mass(spark, tmp_path):
+    """CDF read between v1 and v2: exactly the rows the merge touched —
+    the closed bk2 slice shows 'changed' (end_date/is_current flipped),
+    the fresh bk1-T1 overwrite shows 'changed' (name), the new bk2
+    version and the brand-new bk4 show 'added'; untouched bk3 is absent."""
+    root, _ = _make_table(spark, tmp_path)
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD2),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
+    )
+    delta = snaptable.changes(spark, root, 1, 2)
+    rows = delta.collect()
+    by_bk = {}
+    for r in rows:
+        by_bk.setdefault(r.bk, []).append(r)
+    assert 3 not in by_bk  # untouched key: no delta row
+    kinds = sorted((r.bk, r.change_kind) for r in rows)
+    assert (4, "added") in kinds           # brand-new key
+    assert (2, "added") in kinds           # fresh T2 version (new sk)
+    assert (2, "changed") in kinds         # old slice closed
+    assert (1, "changed") in kinds         # T1 overwrite in place
+    # the closed slice's changed columns are the SCD bookkeeping ones
+    closed = [r for r in rows if r.bk == 2 and r.change_kind == "changed"][0]
+    assert set(closed.changed_cols.split(",")) == {"end_date", "is_current"}
+
+
+def test_changes_feed_round_trips(spark, tmp_path):
+    from etl_pipline_ibrd_loan_system_spark.operators.reconcile import (
+        apply_snapshot_diff,
+    )
+
+    root, _ = _make_table(spark, tmp_path)
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD2),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
+    )
+    old = snaptable.read(spark, root, version=1)
+    new = snaptable.read(spark, root, version=2)
+    delta = snaptable.changes(spark, root, 1, 2, include_values=True)
+    compare = [c for c in new.columns if c not in ("bk", "sk")]
+    rebuilt = apply_snapshot_diff(old, delta, ["bk", "sk"], compare)
+    assert _rows(rebuilt) == _rows(new)
