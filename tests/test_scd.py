@@ -271,9 +271,13 @@ def test_merge_execution_blocker_r6():
          test_merge_on_parquet_table_is_guarded).
 
     The validated-SQL ceiling (generation + Spark-parse + branch-route
-    equivalence vs scd2_apply) therefore stands. This test is a
-    TRIPWIRE: if the sandbox ever gains delta-spark or DuckDB >= 1.4,
-    it FAILS on purpose — the correct response is to execute the MERGE
+    equivalence vs scd2_apply) therefore stands for the SQL STATEMENT;
+    the EXECUTION shape a table format would give it is now implemented
+    from first principles in sources/snaptable.py (bucket-level
+    copy-on-write merge over a snapshot log, proven row-identical to
+    scd2_apply in tests/test_snaptable.py). This test is a TRIPWIRE: if
+    the sandbox ever gains delta-spark or DuckDB >= 1.4, it FAILS on
+    purpose — the correct response is to execute the MERGE statement
     against the g1 oracle and delete this test.
     """
     import importlib.util
