@@ -214,7 +214,7 @@ def scd2_merge(
     spark: SparkSession, root: str, staging: DataFrame, *,
     t1_cols: Sequence[str] = (), t2_cols: Sequence[str] = (),
     fixed_cols: Sequence[str] = (), asof: str = "1970-01-01",
-    broadcast_dim: bool = True,
+    broadcast_dim: bool = True, manifest_extra: dict | None = None,
 ) -> dict:
     """Execute one SCD2 merge as a bucket-level copy-on-write commit.
 
@@ -256,6 +256,7 @@ def scd2_merge(
         "schema": m["schema"],
         "buckets": buckets,
         "touched_buckets": touched,
+        **(manifest_extra or {}),
     }
     _publish(root, manifest)
     return manifest
@@ -344,3 +345,46 @@ def changes(
         old, new, [key, "sk"], list(compare_cols),
         include_values=include_values,
     )
+
+
+def scd2_merge_sink(
+    spark: SparkSession, root: str, *,
+    t1_cols: Sequence[str] = (), t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (), asof_base: str = "2024-01-01",
+):
+    """foreachBatch sink merging each micro-batch into the snapshot table
+    with EXACTLY-ONCE EFFECT over Spark's at-least-once delivery.
+
+    The manifest a sink commit publishes carries the epoch id IN the
+    committed content (manifest_extra), so the epoch watermark and the
+    version become visible in the same atomic pointer flip — the same
+    skip rule as streaming/microbatch.py's rollup state machine, here
+    enforced by the table format itself: a re-delivered epoch (epoch <=
+    the CURRENT manifest's sink_epoch) publishes nothing, a crash
+    between merge and publish re-delivers into a clean retry, a crash
+    after publish re-delivers into a no-op.
+
+    `asof_base` + epoch days gives each micro-batch a deterministic,
+    strictly increasing SCD2 effective date (replays of an epoch reuse
+    its date, so retries are also semantically idempotent).
+
+    Usage: `stream.writeStream.foreachBatch(scd2_merge_sink(...))`.
+    """
+    import datetime
+
+    base = datetime.date.fromisoformat(asof_base)
+
+    def batch_fn(batch_df: DataFrame, epoch: int) -> bool:
+        m = read_manifest(root)
+        last = m.get("sink_epoch")
+        if last is not None and epoch <= last:
+            return False  # re-delivered epoch: already folded in
+        asof = (base + datetime.timedelta(days=epoch)).isoformat()
+        scd2_merge(
+            spark, root, batch_df,
+            t1_cols=t1_cols, t2_cols=t2_cols, fixed_cols=fixed_cols,
+            asof=asof, manifest_extra={"sink_epoch": epoch},
+        )
+        return True
+
+    return batch_fn

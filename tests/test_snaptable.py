@@ -227,3 +227,49 @@ def test_changes_feed_round_trips(spark, tmp_path):
     compare = [c for c in new.columns if c not in ("bk", "sk")]
     rebuilt = apply_snapshot_diff(old, delta, ["bk", "sk"], compare)
     assert _rows(rebuilt) == _rows(new)
+
+
+def test_streaming_sink_exactly_once_effect(spark, tmp_path):
+    """The foreachBatch sink folds each epoch exactly once: re-delivered
+    epochs publish nothing, out-of-order re-delivery after later epochs
+    publishes nothing, and a fresh epoch advances both the table and the
+    watermark atomically."""
+    root, _ = _make_table(spark, tmp_path)
+    sink = snaptable.scd2_merge_sink(
+        spark, root, t1_cols=["name"], t2_cols=["city"],
+    )
+    assert sink(_staging(spark, LOAD2), 0) is True
+    v_after_0 = snaptable.current_version(root)
+    state_after_0 = _rows(snaptable.read(spark, root))
+    # crash-replay: Spark re-delivers epoch 0
+    assert sink(_staging(spark, LOAD2), 0) is False
+    assert snaptable.current_version(root) == v_after_0
+    assert _rows(snaptable.read(spark, root)) == state_after_0
+    # next epoch merges with a later effective date
+    assert sink(_staging(spark, LOAD3), 1) is True
+    m = snaptable.read_manifest(root)
+    assert m["sink_epoch"] == 1
+    assert snaptable.read(spark, root).where(
+        "bk = 4 and is_current"
+    ).first().city == "beja"
+    # stale re-delivery of an OLD epoch after newer ones: no-op
+    assert sink(_staging(spark, LOAD2), 0) is False
+    assert snaptable.read_manifest(root)["sink_epoch"] == 1
+
+
+def test_streaming_sink_replay_is_semantically_idempotent(spark, tmp_path):
+    """Even if the epoch watermark were lost (the pre-publish crash
+    window), re-merging the same batch with the same effective date
+    yields an identical table: every staged row classifies as unchanged.
+    This is the backstop behind the exactly-once claim."""
+    root, _ = _make_table(spark, tmp_path)
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD2),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
+    )
+    once = _rows(snaptable.read(spark, root))
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD2),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
+    )
+    assert _rows(snaptable.read(spark, root)) == once
