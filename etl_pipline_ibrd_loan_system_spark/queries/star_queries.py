@@ -208,3 +208,47 @@ def m3_build_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, bk_col="c_mktsegment", attr_cols=[], sk_col="segment_sk",
         sk_strategy="dense",
     )
+
+
+@query(
+    "g7_snapshot_table_merge",
+    sql=f"""
+    {_DIM1_SQL}
+    SELECT s_suppkey, s_name, s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM dim1
+    """,
+)
+def g7_snapshot_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The g1 SCD2 load executed THROUGH the snapshot-log table format
+    (sources/snaptable.py): init commit, one bucket-level copy-on-write
+    merge, snapshot read back. The oracle is the same portable SCD2
+    rebuild SQL as g1 minus the surrogate key (merge sks are xxhash64,
+    which DuckDB cannot replay; every semantic column — key, T1/T2
+    attributes, validity interval, currency flag — is value-checked).
+    Proves the table-format path is row-identical to the oracle-checked
+    rebuild on the driver's own fixture, not just on unit fixtures. The
+    result is checkpointed before the temp table is removed."""
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="g7_snaptable_")
+    try:
+        snaptable.create(spark, root, dim0, "s_suppkey", n_buckets=8)
+        snaptable.scd2_merge(
+            spark, root, staging,
+            t1_cols=["s_acctbal"], t2_cols=["s_name"],
+            fixed_cols=["s_nationkey"], asof=ASOF1,
+        )
+        return snaptable.read(spark, root).select(
+            "s_suppkey", "s_name", "s_acctbal", "s_nationkey",
+            F.col("start_date").cast("string").alias("start_date"),
+            F.col("end_date").cast("string").alias("end_date"),
+            "is_current",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
