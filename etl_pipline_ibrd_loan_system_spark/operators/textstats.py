@@ -300,3 +300,46 @@ def inverted_index(
         )
         .select("token", "df", "postings")
     )
+
+
+def hashing_tf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    salt: str = "htf:",
+) -> DataFrame:
+    """Feature-hashing term-frequency vectors (the HashingTF trick): token
+    t lands in bucket hash60(salt+t) % dim; the vector is the per-bucket
+    token count. No vocabulary pass, no fit step, no dictionary to ship —
+    the classic stateless featurizer for corpus-scale text, and the
+    bridge from text to the embedding operators (compose with
+    similarity.random_project / cosine_topk for text ANN).
+
+    Implemented as a per-row HOF projection: the token->bucket list is
+    materialized ONCE (the word_shingles lesson — an inlined hash
+    expression would md5 every token dim times), then counts[j] =
+    size(filter(buckets, b==j)): O(dim x |tokens|) integer compares per
+    row, entirely JVM-side with ZERO shuffle, which beats the
+    explode+groupBy alternative (one full-corpus shuffle) for the small
+    dims feature hashing uses. The bucket hash is the shared md5 key, so
+    the whole vector replays bit-for-bit in ANSI SQL. Returns
+    (id, tf_vec array<bigint>).
+    """
+    from .dedup import shared_hash60, tokenize
+
+    toks = tokenize(F.col(text_col))
+    toks = F.filter(toks, lambda t: t != "")
+    base = df.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: shared_hash60(F.concat(F.lit(salt), t)) % dim
+        ).alias("__buckets"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(
+            F.filter(F.col("__buckets"), lambda b: b == j)
+        ).cast("bigint"),
+    )
+    return base.select(F.col(id_col), vec.alias("tf_vec"))

@@ -607,3 +607,35 @@ def tx17_keyword_in_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.cast("bigint").alias("pos"),
         F.array_join(F.slice("t", start, length), " ").alias("context"),
     )
+
+
+_HTF_HASH = "CAST('0x' || substr(md5('htf:' || t), 1, 15) AS BIGINT)"
+
+
+@query(
+    "fv1_hashing_tf",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_HTF_HASH} % 64) AS buckets
+      FROM t
+    )
+    SELECT doc_id, j::BIGINT AS dim,
+           len(list_filter(buckets, x -> x = j))::BIGINT AS tf
+    FROM b CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+    """,
+)
+def fv1_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF vectors over the corpus, exploded to
+    (doc_id, dim, tf) so the gate hashes scalars. Stateless featurizer:
+    no vocabulary fit, nothing to broadcast; the md5 bucket assignment
+    replays in the oracle so every count is value-checked. The vector
+    form feeds the embedding family — tests compose it with
+    random_project + cosine_topk for end-to-end text ANN."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = textstats.hashing_tf(docs, "text", "doc_id", dim=64)
+    return vecs.select(
+        "doc_id", F.posexplode("tf_vec").alias("dim", "tf")
+    ).select("doc_id", F.col("dim").cast("bigint").alias("dim"), "tf")

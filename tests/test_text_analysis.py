@@ -1,0 +1,61 @@
+"""Feature-hashing TF vectors: counts, determinism, and the stateless
+text-ANN composition (hashing_tf -> random_project -> cosine_topk)."""
+
+from __future__ import annotations
+
+
+
+def test_hashing_tf_composes_into_text_ann(spark):
+    """End-to-end text ANN from stateless pieces: hashing_tf -> JL
+    random_project -> cosine_topk. Exact-duplicate texts have identical
+    TF vectors, hence identical projections, hence cosine 1 — the
+    duplicate must rank first in BOTH full and reduced space."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators import (
+        similarity,
+        textstats,
+    )
+
+    corpus_rows = [
+        (10, "spark joins tables with hash partitioning"),
+        (11, "ducks swim on the calm lake at dawn"),
+        (12, "window functions rank rows within groups"),
+        (13, "the cat sat on the warm mat"),
+    ]
+    query_rows = [
+        (1, "spark joins tables with hash partitioning"),  # dup of 10
+        (2, "window functions rank rows within groups"),   # dup of 12
+    ]
+    docs = spark.createDataFrame(corpus_rows + query_rows,
+                                 "doc_id long, text string")
+    vecs = textstats.hashing_tf(docs, "text", "doc_id", dim=64).select(
+        "doc_id", F.col("tf_vec").cast("array<double>").alias("v")
+    )
+    corpus = vecs.where("doc_id >= 10")
+    queries = vecs.where("doc_id < 10")
+    top_full = similarity.cosine_topk(corpus, queries, "doc_id", "v", k=1)
+    got = {r.query_id: r.neighbor_id for r in top_full.collect()}
+    assert got == {1: 10, 2: 12}
+    top_reduced = similarity.rp_shortlist_topk(
+        corpus, queries, "doc_id", "v", k=1, d_out=16, shortlist=3
+    )
+    got_r = {r.query_id: r.neighbor_id for r in top_reduced.collect()}
+    assert got_r == {1: 10, 2: 12}
+
+
+def test_hashing_tf_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.tf_vec for r in
+           textstats.hashing_tf(docs, "text", "doc_id", dim=8).collect()}
+    assert sum(out[1]) == 4 and max(out[1]) >= 3  # 'a' x3 share a bucket
+    assert sum(out[2]) == 0 and len(out[2]) == 8  # empty doc: zero vector
+    again = {r.doc_id: r.tf_vec for r in
+             textstats.hashing_tf(docs, "text", "doc_id", dim=8).collect()}
+    assert out == again
