@@ -160,3 +160,38 @@ def winsorize(
         F.col("__lo"), F.least(F.col("__hi"), F.col(value_col).cast("double"))
     )
     return joined.withColumn(out_col, clamped).drop("__lo", "__hi")
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    generalize: dict[str, Column] | None = None,
+) -> DataFrame:
+    """k-anonymity screen over a quasi-identifier combination: report
+    every equivalence class (distinct quasi-value tuple) with its size
+    and whether it violates the k floor — the data-governance gate a
+    training corpus needs BEYOND per-row PII scrubbing (textprep
+    pii_scrub): a row whose quasi-identifiers isolate it in a group of
+    fewer than k records is re-identifiable even with direct
+    identifiers removed (Sweeney 2002, public recipe).
+
+    `generalize` optionally coarsens columns before grouping (e.g.
+    truncate zip codes, bucket ages) — the standard fix loop: screen,
+    generalize the offending column, re-screen.
+
+    One hash aggregate over the quasi key; the row set never moves
+    anywhere else, and the report size is the number of equivalence
+    classes, not rows. Suppression/generalization decisions then join
+    back by the same key (broadcast at realistic class counts).
+    """
+    sel = [
+        (generalize[c] if generalize and c in generalize else F.col(c)).alias(c)
+        for c in quasi_cols
+    ]
+    return (
+        df.select(*sel)
+        .groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+        .withColumn("violates_k", F.col("class_size") < k)
+    )

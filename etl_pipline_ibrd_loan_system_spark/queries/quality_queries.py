@@ -335,3 +335,25 @@ def b15_pii_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("custkey_token").alias("min_token"),
         )
     )
+
+
+@query(
+    "dq6_k_anonymity",
+    sql="""
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*)::BIGINT AS class_size,
+           (COUNT(*) < 15) AS violates_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def dq6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen on the customer quasi-identifier pair
+    (nationkey, market segment) at k=15: every equivalence class with
+    its size and violation flag. One hash aggregate at class grain —
+    the governance gate that catches re-identifiable rows AFTER direct
+    identifiers are scrubbed."""
+    from ..operators.quality import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=15)

@@ -51,3 +51,31 @@ def test_profile_table_metrics(spark):
     assert (prof["k"].min_value, prof["k"].max_value) == ("1", "2")
     assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
     assert (prof["s"].min_value, prof["s"].max_value) == ("a", "c")
+
+
+def test_k_anonymity_flags_and_generalization_fix(spark):
+    """Small classes are flagged; generalizing the offending column
+    coarsens classes until the k floor holds — the standard screen ->
+    generalize -> re-screen loop."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators.quality import k_anonymity
+
+    rows = [("1000" + str(i % 2), "a") for i in range(6)] + [("20001", "b")]
+    df = spark.createDataFrame(rows, "zip string, seg string")
+    out = {
+        (r.zip, r.seg): (r.class_size, r.violates_k)
+        for r in k_anonymity(df, ["zip", "seg"], k=3).collect()
+    }
+    assert out[("20001", "b")] == (1, True)   # singleton: re-identifiable
+    assert out[("10000", "a")] == (3, False)
+    # generalize: truncate zip to 3-digit prefix -> the two 1000x classes
+    # merge to size 6; the singleton remains a violation (next loop would
+    # coarsen further or suppress)
+    gen = k_anonymity(
+        df, ["zip", "seg"], k=3,
+        generalize={"zip": F.substring("zip", 1, 3)},
+    )
+    got = {(r.zip, r.seg): (r.class_size, r.violates_k) for r in gen.collect()}
+    assert got[("100", "a")] == (6, False)
+    assert got[("200", "b")] == (1, True)
