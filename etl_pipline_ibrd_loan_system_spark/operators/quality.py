@@ -195,3 +195,32 @@ def k_anonymity(
         .agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
         .withColumn("violates_k", F.col("class_size") < k)
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,  # noqa: E741 — the literature's name
+) -> DataFrame:
+    """l-diversity screen: k-anonymity's required companion. A class can
+    satisfy the k size floor and still leak — if all its rows share one
+    sensitive value, membership alone discloses it (homogeneity attack,
+    Machanavajjhala et al. 2007, public recipe). Reports each
+    equivalence class with its count of DISTINCT sensitive values and
+    the violation flag (distinct-l-diversity).
+
+    Same single hash aggregate shape as k_anonymity, with a
+    count_distinct partial — both screens usually run in one pass over
+    the same grouping in practice; kept separate here so each oracle
+    checks one property.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).cast("bigint")
+            .alias("sensitive_values"),
+        )
+        .withColumn("violates_l", F.col("sensitive_values") < l)
+    )

@@ -357,3 +357,26 @@ def dq6_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=15)
+
+
+@query(
+    "dq7_l_diversity",
+    sql="""
+    SELECT c_nationkey,
+           COUNT(*)::BIGINT AS class_size,
+           COUNT(DISTINCT c_mktsegment)::BIGINT AS sensitive_values,
+           (COUNT(DISTINCT c_mktsegment) < 3) AS violates_l
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def dq7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity screen (l=3) with nationkey as the quasi
+    identifier and market segment standing in for the sensitive
+    attribute: a nation bucket whose members all share one segment
+    discloses the segment by membership alone, however large the
+    bucket (the homogeneity attack k-anonymity misses)."""
+    from ..operators.quality import l_diversity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity(cust, ["c_nationkey"], "c_mktsegment", l=3)

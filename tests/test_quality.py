@@ -79,3 +79,26 @@ def test_k_anonymity_flags_and_generalization_fix(spark):
     got = {(r.zip, r.seg): (r.class_size, r.violates_k) for r in gen.collect()}
     assert got[("100", "a")] == (6, False)
     assert got[("200", "b")] == (1, True)
+
+
+def test_l_diversity_catches_homogeneous_class(spark):
+    """A class can pass the k floor and still be homogeneous in the
+    sensitive attribute — that's the leak l-diversity exists to catch."""
+    from etl_pipline_ibrd_loan_system_spark.operators.quality import (
+        k_anonymity,
+        l_diversity,
+    )
+
+    rows = (
+        [("100", "flu")] * 5            # big class, ONE sensitive value
+        + [("200", "flu"), ("200", "cold"), ("200", "ok")]
+    )
+    df = spark.createDataFrame(rows, "zip string, diagnosis string")
+    k = {r.zip: r.violates_k for r in k_anonymity(df, ["zip"], k=3).collect()}
+    assert k == {"100": False, "200": False}  # both pass k=3
+    ld = {
+        r.zip: (r.sensitive_values, r.violates_l)
+        for r in l_diversity(df, ["zip"], "diagnosis", l=2).collect()
+    }
+    assert ld["100"] == (1, True)   # homogeneous: membership discloses
+    assert ld["200"] == (3, False)
