@@ -388,3 +388,31 @@ def scd2_merge_sink(
         return True
 
     return batch_fn
+
+
+def lookup(
+    spark: SparkSession, root: str, keys: Sequence,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-read path: serve a bounded key list by reading ONLY the
+    buckets those keys hash into — the table format's answer to
+    "fetch these entities" without a full scan (hash bucketing gives
+    O(keys/n_buckets) of the table's files, the same pruning the merge
+    path uses for writes). The key->bucket map is computed by one tiny
+    Spark job over the key list (xxhash64 is a JVM function; the list
+    is bounded, so the collect is bounded driver state)."""
+    m = read_manifest(root, version)
+    key, n_buckets = m["key"], m["n_buckets"]
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    key_type = schema[key].dataType
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], T.StructType([T.StructField(key, key_type)])
+    )
+    buckets = sorted(
+        r["__b"]
+        for r in kdf.select(
+            _bucket_col(key, n_buckets).alias("__b")
+        ).distinct().collect()
+    )
+    slice_df = read(spark, root, version=version, buckets=buckets)
+    return slice_df.join(F.broadcast(kdf), key, "left_semi")

@@ -273,3 +273,22 @@ def test_streaming_sink_replay_is_semantically_idempotent(spark, tmp_path):
         t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
     )
     assert _rows(snaptable.read(spark, root)) == once
+
+
+def test_lookup_reads_only_the_keys_buckets(spark, tmp_path):
+    root, _ = _make_table(spark, tmp_path)
+    got = snaptable.lookup(spark, root, [2]).collect()
+    assert [r.bk for r in got] == [2]
+    # IO proof: the slice behind a 1-key lookup is a strict subset of
+    # the table's buckets (file pruning, not post-scan filtering)
+    m = snaptable.read_manifest(root)
+    kdf = spark.createDataFrame([(2,)], "bk long")
+    b = [
+        r["__b"]
+        for r in kdf.select(
+            snaptable._bucket_col("bk", m["n_buckets"]).alias("__b")
+        ).collect()
+    ]
+    files_read = [p for bb in b for p in m["buckets"].get(str(bb), [])]
+    all_files = [p for fl in m["buckets"].values() for p in fl]
+    assert 0 < len(files_read) < len(all_files)
