@@ -62,7 +62,8 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # g6 bellman-ford, c10 incremental join view, m14 yoy, tx16 chi2,
 # fb1 quantile binning, and the fifth-wave set mx3 temperature
 # flatten, rp1/rp2 JL projection + shrink-then-verify ANN, tx17 C4
-# line filter, g7 snapshot-table merge) are
+# line filter, g7 snapshot-table merge, fv1 hashing TF, dq6/dq7
+# anonymity screens) are
 # first in line for the round-7 rotation; st2 (transformWithState) took
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
