@@ -574,3 +574,163 @@ def sk7_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (operators/sketches.py::hll_sliding_oracle_sql)."""
     ev = load_table(spark, sf_dir, "events")
     return sketches.hll_sliding_distinct(ev, "user_id", "ts", window_days=2)
+
+
+# --- round-6 seventh wave: value-change islands + exact interpolation ---
+
+
+@query(
+    "e18_interval_compaction",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, SUM(changed) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    )
+    SELECT user_id, event_type, island,
+           MIN(event_id) AS first_event_id,
+           MAX(event_id) AS last_event_id,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS run_value
+    FROM islands
+    GROUP BY user_id, event_type, island
+    """,
+)
+def e18_interval_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-change islands (interval compaction): consecutive same-type
+    events per user collapse into one run — the timeseries-compression
+    twin of e14's time-gap sessionization (SCD-style interval storage
+    for high-churn attribute streams). Plan shape: the lag window, the
+    running island sum, and the final run aggregate all share ONE
+    user_id exchange (same single-Exchange discipline as e14); nothing
+    ever re-partitions. Run ids restart per user, so the island counter
+    never needs a global sequence. Exactness: island boundaries are
+    integer flags; run_value folds in decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    run = (
+        ev.withColumn("changed", changed)
+        .withColumn(
+            "island",
+            F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("run_value"),
+        )
+    )
+    return run
+
+
+@query(
+    "e19_linear_interpolate",
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t,
+             CASE WHEN event_id % 5 = 0
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS known_cents
+      FROM events
+    ), anchored AS (
+      SELECT event_id, user_id, t, known_cents,
+             last_value(CASE WHEN known_cents IS NOT NULL
+                             THEN struct_pack(t := t, c := known_cents) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS prev,
+             first_value(CASE WHEN known_cents IS NOT NULL
+                              THEN struct_pack(t := t, c := known_cents) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next
+      FROM base
+    )
+    SELECT event_id, user_id,
+           known_cents IS NOT NULL AS is_anchor,
+           CASE
+             WHEN known_cents IS NOT NULL THEN known_cents
+             WHEN prev.t IS NULL OR next.t IS NULL THEN NULL
+             WHEN next.t = prev.t THEN prev.c
+             ELSE (prev.c * (next.t - t) + next.c * (t - prev.t))
+                  // (next.t - prev.t)
+           END AS interp_cents
+    FROM anchored
+    """,
+)
+def e19_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of a sparsely-observed series:
+    every 5th event is an anchor (value quantized to integer cents),
+    the rest interpolate between the nearest anchors on each side.
+    Exactness discipline: time is integer epoch-microseconds, values are
+    integer cents, and the interpolation is one integer floor-division
+    of a non-negative numerator — float-free, so both engines emit
+    identical bigints (double interpolation would round differently).
+    The anchor (t, value) pair forward/backward-fills as ONE struct, so
+    the weight and the value always come from the same anchor row (the
+    ADVICE r5 asof lesson). Plan: both fills share one user_id exchange;
+    leading/trailing rows with no anchor on one side emit NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select(
+        "event_id",
+        "user_id",
+        us.alias("t"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.round(F.col("value") * 100).cast("bigint"),
+        ).alias("known_cents"),
+    )
+    anchor = F.when(
+        F.col("known_cents").isNotNull(),
+        F.struct(F.col("t").alias("t"), F.col("known_cents").alias("c")),
+    )
+    wp = Window.partitionBy("user_id").orderBy("t", "event_id")
+    prev = F.last(anchor, ignorenulls=True).over(
+        wp.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nxt = F.first(anchor, ignorenulls=True).over(
+        wp.rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = base.select(
+        "event_id",
+        "user_id",
+        "t",
+        "known_cents",
+        prev.alias("prev"),
+        nxt.alias("next"),
+    )
+    interp = (
+        F.when(F.col("known_cents").isNotNull(), F.col("known_cents"))
+        .when(
+            F.col("prev.t").isNull() | F.col("next.t").isNull(), F.lit(None)
+        )
+        .when(F.col("next.t") == F.col("prev.t"), F.col("prev.c"))
+        .otherwise(
+            F.expr(
+                "(prev.c * (next.t - t) + next.c * (t - prev.t))"
+                " DIV (next.t - prev.t)"
+            )
+        )
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.col("known_cents").isNotNull().alias("is_anchor"),
+        interp.alias("interp_cents"),
+    )
