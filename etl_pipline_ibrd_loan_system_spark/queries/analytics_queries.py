@@ -958,3 +958,120 @@ def m14_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double"), 6
         ).alias("yoy_growth"),
     )
+
+
+# --- round-6 seventh wave: feature-engineering encoders -----------------
+
+
+@query(
+    "fv2_target_encode",
+    sql="""
+    WITH total AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS gsum,
+             COUNT(*)::BIGINT AS gcnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cat AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS cat_sum,
+             COUNT(*)::BIGINT AS cat_cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, cat_cnt,
+           (cat_cnt * 1000000) // gcnt AS freq_ppm,
+           ROUND((cat_sum + 100.0 * (gsum / gcnt))
+                 / (cat_cnt + 100.0), 4) AS target_enc
+    FROM cat, total
+    """,
+)
+def fv2_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (market
+    segment -> mean order value, shrunk toward the global mean with
+    pseudo-count m=100): the standard leak-resistant categorical
+    encoder for tabular ML. Plan shape at 100 TB: the fact joins the
+    broadcast customer key projection once, ONE combinable aggregate
+    produces category grain (5 rows), the 1-row global stats cross-join
+    onto it — nothing after the aggregate exceeds category cardinality.
+    Exactness: sums fold in decimal; the shrinkage formula is evaluated
+    in double with an identical operation tree on both engines;
+    frequency is integer ppm (floor division)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    cat = joined.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("cat_sum"),
+        F.count(F.lit(1)).alias("cat_cnt"),
+    )
+    total = joined.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("gsum"),
+        F.count(F.lit(1)).alias("gcnt"),
+    )
+    return cat.crossJoin(F.broadcast(total)).select(
+        "c_mktsegment",
+        "cat_cnt",
+        F.expr("cat_cnt * 1000000 DIV gcnt").alias("freq_ppm"),
+        F.round(
+            (F.col("cat_sum") + 100.0 * (F.col("gsum") / F.col("gcnt")))
+            / (F.col("cat_cnt") + 100.0),
+            4,
+        ).alias("target_enc"),
+    )
+
+
+@query(
+    "fv3_vector_scale",
+    sql="""
+    WITH ex AS (
+      SELECT vec_id, i.i AS dim, embedding[i.i]::DOUBLE AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+    ), st AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim
+    )
+    SELECT vec_id, ex.dim::BIGINT AS dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(FLOOR((x - mn) / (mx - mn) * 1000000) AS BIGINT)
+           END AS scaled_ppm
+    FROM ex JOIN st ON ex.dim = st.dim
+    """,
+)
+def fv3_vector_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max scaling of the embedding corpus (the
+    feature-store normalization pass before quantization or indexing),
+    emitted as (vec_id, dim, scaled_ppm) scalars per rp1's convention.
+    Plan shape: posexplode is narrow; the stats aggregate map-side
+    combines to 64 rows per partition before one tiny shuffle; the
+    stats broadcast back onto the exploded scan — the corpus itself
+    never shuffles. Exactness: min/max over doubles are order-free,
+    the rescale is one fixed IEEE expression tree on both engines, and
+    FLOOR squashes the result to integer ppm (Spark's double->bigint
+    cast truncates while DuckDB's rounds, so the explicit FLOOR is the
+    cross-engine contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    st = ex.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    joined = ex.join(F.broadcast(st), "dim")
+    scaled = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1000000)
+    )
+    return joined.select(
+        "vec_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        scaled.alias("scaled_ppm"),
+    )
