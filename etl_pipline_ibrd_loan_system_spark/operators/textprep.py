@@ -642,3 +642,40 @@ def c4_line_filter(
         F.array_join(kept, "\n").alias("clean_text"),
         (doc_ok & (F.size(kept) >= min_kept_lines)).alias("doc_kept"),
     )
+
+
+def unicode_normalize(
+    df: DataFrame, text_col: str, form: str = "NFC", out_col: str | None = None
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column — the
+    corpus-cleaning pass that folds combining sequences into composed
+    codepoints so dedup hashes, tokenizers, and equality joins see one
+    canonical byte form (mojibake and width variants otherwise split
+    identical texts into distinct keys).
+
+    Spark has no built-in normalizer, so this is an Arrow `mapInPandas`
+    kernel over stdlib `unicodedata` — batched columnar transfer, zero
+    shuffle, composes with scan pushdown; the per-row Python cost is the
+    documented tax (a JVM ICU UDF would lift it, but ICU4J isn't in the
+    sandbox). Rows stream through one pass; output schema = input with
+    `out_col` (default: in place) as a string column."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    out = out_col or text_col
+    fields = list(df.schema.fields)
+    if out not in df.columns:
+        fields = fields + [T.StructField(out, T.StringType(), True)]
+    schema = T.StructType(fields)
+
+    def kernel(batches):
+        for pdf in batches:
+            pdf[out] = pdf[text_col].map(
+                lambda t: unicodedata.normalize(form, t)
+                if t is not None
+                else None
+            )
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)

@@ -639,3 +639,186 @@ def fv1_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select(
         "doc_id", F.posexplode("tf_vec").alias("dim", "tf")
     ).select("doc_id", F.col("dim").cast("bigint").alias("dim"), "tf")
+
+
+# --- round-6 seventh wave: normalization, Gopher rules, phrase search ---
+
+
+@query(
+    "tx18_unicode_normalize",
+    sql="""
+    SELECT doc_id,
+           length(inj)::BIGINT AS len_injected,
+           length(nfc_normalize(inj))::BIGINT AS len_normalized,
+           (length(inj) - length(nfc_normalize(inj)))::BIGINT AS n_composed,
+           md5(nfc_normalize(inj)) AS norm_digest
+    FROM (
+      SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS inj
+      FROM documents
+    )
+    """,
+)
+def tx18_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textprep.unicode_normalize): the
+    corpus is first seeded with decomposed sequences (every 'e' gains
+    U+0301 COMBINING ACUTE — a deterministic projection BOTH engines
+    apply, so the oracle checks real composition work, not an ASCII
+    no-op), then the Arrow kernel folds e+◌́ -> é. Verified per doc:
+    codepoint counts before/after (each composition removes exactly one
+    codepoint) and the md5 of the normalized text — a byte-level
+    equality check on the kernel's output against DuckDB's ICU
+    normalizer. Scale: pure per-row map, zero shuffle."""
+    from ..operators import textprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.select(
+        "doc_id",
+        F.regexp_replace("text", "e", "e\u0301").alias("inj"),
+    )
+    norm = textprep.unicode_normalize(inj, "inj", form="NFC", out_col="norm")
+    return norm.select(
+        "doc_id",
+        F.length("inj").cast("bigint").alias("len_injected"),
+        F.length("norm").cast("bigint").alias("len_normalized"),
+        (F.length("inj") - F.length("norm")).cast("bigint").alias("n_composed"),
+        F.md5(F.col("norm").cast("binary")).alias("norm_digest"),
+    )
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "tx19_gopher_rules",
+    sql=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             list_sum(list_transform(toks, t -> len(t)))::BIGINT AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+               AS n_alpha,
+             len(list_filter(toks,
+                 t -> list_contains({list(_GOPHER_STOPS)!r}, t)))::BIGINT
+               AS n_stop,
+             len(list_filter(toks,
+                 t -> t = '#' OR t = '...'))::BIGINT AS n_sym
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t != '') AS toks
+        FROM documents
+      )
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 50 AND n_words <= 100000) AS wordcount_ok,
+           (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+             AS meanlen_ok,
+           (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+           (n_stop >= 2) AS stopword_ok,
+           (10 * n_sym <= n_words) AS symbol_ok,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2
+            AND 10 * n_sym <= n_words) AS keep
+    FROM feats
+    """,
+)
+def tx19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1):
+    word-count bounds [50, 1e5], mean word length in [3, 10],
+    >=80% of words contain an alphabetic character, >=2 stop words,
+    symbol-to-word ratio ('#'/'...') <= 0.1. Complements tx2 (ratio
+    scores) and tx17 (C4 line rules) — this is the rule family used to
+    gate LLM pretraining corpora. All thresholds compare in INTEGER
+    space (3n <= Σlen, 5·alpha >= 4n, 10·sym <= n) so no division ever
+    happens — bit-exact across engines by construction. Line-level
+    Gopher rules (bullet/ellipsis fractions) need newline-preserving
+    text; the fixture corpus is single-line, so they live with tx17's
+    line machinery. Scale: one projection pass over the scan, zero
+    shuffle, whole-stage codegen HOFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.isin(*_GOPHER_STOPS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    wordcount_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    meanlen_ok = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    stopword_ok = F.col("n_stop") >= 2
+    symbol_ok = 10 * F.col("n_sym") <= F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "n_words",
+        wordcount_ok.alias("wordcount_ok"),
+        meanlen_ok.alias("meanlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (
+            wordcount_ok & meanlen_ok & alpha_ok & stopword_ok & symbol_ok
+        ).alias("keep"),
+    )
+
+
+@query(
+    "iv3_phrase_search",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(range(1, len(t)),
+               i -> t[i] = 'fast' AND t[i + 1] = 'table'))::BIGINT
+             AS n_matches
+    FROM toks
+    WHERE len(list_filter(range(1, len(t)),
+              i -> t[i] = 'fast' AND t[i + 1] = 'table')) > 0
+    """,
+)
+def iv3_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("fast table") through the inverted
+    index: per-term postings with positions (iv1's index grown a
+    position column), restricted to the query's terms BEFORE any join —
+    only two terms' postings ever move — then adjacency is one integer
+    equi-join (doc, pos+1 = pos) and a per-doc count. Counts overlapping
+    occurrences, exactly like the oracle's per-row positional scan.
+    Scale: term filter pushes into the posting build so the index scan
+    prunes to the query terms; postings join on (doc_id, pos) integer
+    keys; no all-token materialization survives the filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    postings = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).where(F.col("term").isin("fast", "table"))
+    a = postings.where(F.col("term") == "fast").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = postings.where(F.col("term") == "table").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(
+        b,
+        (a.doc_id == b.doc_b) & (b.pos_b == a.pos_a + 1),
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
