@@ -1028,3 +1028,77 @@ def incremental_minhash_pairs(
     )
     shing_all = shing_c.unionByName(shing_b)
     return jaccard_verify_pairs(shing_all, cands, id_col, threshold)
+
+
+def prefix_filtered_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact CONTAINMENT join: pairs (a, b) with
+    C(a,b) = |Sa ∩ Sb| / |Sa| >= t — the asymmetric near-dup test that
+    catches a short document duplicated INSIDE a longer one, which
+    symmetric Jaccard structurally misses (a 100-word doc pasted into a
+    10,000-word doc has J ≈ 0.01 but C = 1.0). The standard second pass
+    after dd2/dd3 in corpus dedup (Broder's containment, the
+    quotation/boilerplate-absorption case).
+
+    Prefix filter, containment form: if C(a,b) >= t then b must hit one
+    of a's first |Sa| - ceil(t*|Sa|) + 1 shingles in the global hash
+    order (pigeonhole on a's suffix; any total order works, recall 1.0
+    by the same theorem as prefix_filtered_jaccard_pairs). The query
+    side therefore explodes only its prefix (~(1-t)|Sa|+1 rows), while
+    the candidate side must stream ALL its shingles — containment has
+    no symmetric size bound, so the b-side stream is the honest cost;
+    the only sound size prune is |Sb| >= t*|Sa|. At 100 TB: shuffle
+    carries shingle streams keyed by (block, gram-hash), never the pair
+    space; pair multiplicity collapses via dropDuplicates on ids before
+    the exact verify."""
+    from ..cache import pin
+
+    t = float(threshold)
+    shingled = (
+        word_shingles(df, text_col, id_col, n)
+        .join(df.select(id_col, block_col), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col("shingles").alias("sh"),
+            F.array_sort(
+                F.transform(F.col("shingles"), lambda s: shared_hash60(s))
+            ).alias("hs"),
+        )
+    )
+    sz = F.size("hs")
+    plen = sz + F.floor(-sz * F.lit(t)).cast("int") + 1
+    pinned = pin(shingled)
+    a = pinned.select(
+        F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
+        F.col("sh").alias("sh_a"), F.size("sh").alias("na"),
+        F.explode(F.slice("hs", 1, plen)).alias("ph"),
+    )
+    b = pinned.select(
+        F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
+        F.col("sh").alias("sh_b"), F.size("sh").alias("nb"),
+        F.explode("hs").alias("ph"),
+    )
+    cands = (
+        a.join(b, ["ph"], "inner")
+        .where(
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("id_a") != F.col("id_b"))
+            # sound prune: C >= t implies |Sb| >= |Sa ∩ Sb| >= t|Sa|
+            & (F.col("nb") * F.lit(1.0) >= F.col("na") * t)
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "sh_a", "sh_b")
+    )
+    c = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        "sh_a"
+    )
+    return cands.select("id_a", "id_b", c.alias("containment")).where(
+        F.col("containment") >= threshold
+    )

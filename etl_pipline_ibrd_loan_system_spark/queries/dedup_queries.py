@@ -651,3 +651,27 @@ def dd14_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.token").alias("tok_b"),
         )
     )
+
+
+@query(
+    "dd15_containment_pairs",
+    sql=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id != b.doc_id
+        -- sound prune: C >= 0.8 implies |Sb| >= 0.8 * |Sa|
+        AND len(b.s) * 1.0 >= len(a.s) * 0.8
+    ) WHERE containment >= 0.8
+    """,
+)
+def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|Sa∩Sb|/|Sa| >= 0.8) within
+    lang blocks — the short-doc-inside-long-doc case Jaccard misses;
+    prefix-filtered with recall 1.0 by theorem, so the brute-force
+    oracle is valid verbatim (dedup.prefix_filtered_containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filtered_containment_pairs(
+        docs, "text", "doc_id", block_col="lang", n=3, threshold=0.8
+    )
