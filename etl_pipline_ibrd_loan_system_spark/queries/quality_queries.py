@@ -380,3 +380,105 @@ def dq7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return l_diversity(cust, ["c_nationkey"], "c_mktsegment", l=3)
+
+
+@query(
+    "dq8_cusum_drift",
+    sql="""
+    WITH RECURSIVE counts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, n_events,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM counts
+    ), tot AS (
+      SELECT event_type, COUNT(*)::BIGINT AS m, SUM(n_events)::BIGINT AS t
+      FROM seq GROUP BY 1
+    ), rec AS (
+      SELECT s.event_type, s.day, s.n_events, s.i,
+             GREATEST(0, s.n_events * tot.m - tot.t)::BIGINT AS cusum_scaled
+      FROM seq s JOIN tot USING (event_type) WHERE s.i = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.n_events, s.i,
+             GREATEST(0, r.cusum_scaled + s.n_events * tot.m - tot.t)::BIGINT
+      FROM seq s
+      JOIN rec r ON s.event_type = r.event_type AND s.i = r.i + 1
+      JOIN tot ON tot.event_type = s.event_type
+    )
+    SELECT rec.event_type, day, n_events, cusum_scaled,
+           (cusum_scaled * 2 > tot.t) AS alarm
+    FROM rec JOIN tot ON tot.event_type = rec.event_type
+    """,
+)
+def dq8_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM volume-drift screen over the daily event series —
+    the streaming-monitoring classic (Page 1954): s_d = max(0,
+    s_{d-1} + n_d - mean), alarming when cumulative excess passes h.
+    Everything is scaled by the day count m so the recurrence stays in
+    BIGINT (s_d' = max(0, s_{d-1}' + n_d*m - total); h = total/2) — no
+    float mean, bit-exact across engines. Spark computes the recurrence
+    as a per-type `aggregate` fold over the sorted (day, count) array:
+    the heavy work is the map-side-combined daily count; the fold only
+    ever sees one array per type, bounded by the observed-day count
+    (time-bounded state, same argument as e15's rolling frame). The
+    oracle replays with a recursive CTE. Days with zero events don't
+    appear in the series (both engines skip them identically); a
+    production spine-join fills them — e5 is that machinery."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = counts.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n_events"))
+        ).alias("series")
+    )
+    m = F.size("series").cast("bigint")
+    t = F.aggregate(
+        "series", F.lit(0).cast("bigint"), lambda acc, x: acc + x["n_events"]
+    )
+    fold = F.aggregate(
+        "series",
+        F.expr(
+            "struct(CAST(0 AS BIGINT) AS s, "
+            "CAST(array() AS array<struct<day:date,n:bigint,c:bigint>>) "
+            "AS out)"
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                acc["s"] + x["n_events"] * F.col("m") - F.col("t"),
+            ).alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["n_events"].alias("n"),
+                        F.greatest(
+                            F.lit(0).cast("bigint"),
+                            acc["s"]
+                            + x["n_events"] * F.col("m")
+                            - F.col("t"),
+                        ).alias("c"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda acc: acc["out"],
+    )
+    return (
+        per_type.withColumn("m", m)
+        .withColumn("t", t)
+        .select("event_type", "t", F.explode(fold).alias("row"))
+        .select(
+            "event_type",
+            F.col("row.day").alias("day"),
+            F.col("row.n").alias("n_events"),
+            F.col("row.c").alias("cusum_scaled"),
+            (F.col("row.c") * 2 > F.col("t")).alias("alarm"),
+        )
+    )
