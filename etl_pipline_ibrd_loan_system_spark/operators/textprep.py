@@ -679,3 +679,101 @@ def unicode_normalize(
             yield pdf
 
     return df.mapInPandas(kernel, schema)
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 8,
+    mask: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style, the LBFS/rsync/casync
+    boundary rule): a chunk boundary falls after every position whose
+    trailing w-char polynomial rolling hash ≡ 0 (mod `mask`), so chunk
+    boundaries move WITH the content — inserting one byte re-chunks
+    only the neighborhood, unlike fixed-size blocks where every
+    downstream block shifts. Emits (id, chunk_idx, chunk_len,
+    chunk_md5): the md5 stream is the storage-dedup key (identical
+    passages yield identical chunk hashes wherever they sit).
+
+    Plan shape: pure per-row projection over the scan — zero shuffle,
+    composes with pushdown; expected chunk length = `mask` chars and
+    per-row cost is O(len * w). Each intermediate array (chars,
+    boundary positions, bounds) is materialized as its OWN projection
+    step: referencing the boundary transform from inside the chunk
+    lambda would re-inline the O(len*w) hash scan at every one of the
+    4 references (the word_shingles lesson, compounded — the inlined
+    tree hung codegen outright at 50 rows before this split)."""
+    from .textstats import FP_BASE, FP_MOD
+
+    base = df.where(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.length(text_col).cast("bigint").alias("__n"),
+        F.split(F.col(text_col), "").alias("__chars"),
+    )
+    chars = F.col("__chars")
+
+    def gram_hash(p: Column) -> Column:
+        h: Column = F.lit(0).cast("bigint")
+        for j in range(w):
+            c = F.ascii(
+                F.element_at(chars, (p - F.lit(w - 1 - j)).cast("int"))
+            ).cast("bigint")
+            h = (h * F.lit(FP_BASE) + c) % F.lit(FP_MOD)
+        return h
+
+    positions = F.when(
+        F.col("__n") - 1 >= w,
+        F.sequence(F.lit(w).cast("bigint"), F.col("__n") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    with_bpos = base.select(
+        id_col,
+        "__text",
+        "__n",
+        F.filter(
+            F.transform(
+                positions, lambda p: F.when(gram_hash(p) % mask == 0, p)
+            ),
+            lambda p: p.isNotNull(),
+        ).alias("__bpos"),
+    )
+    with_bounds = with_bpos.select(
+        id_col,
+        "__text",
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            F.col("__bpos"),
+            F.array(F.col("__n")),
+        ).alias("__bounds"),
+    )
+    bounds = F.col("__bounds")
+    text = F.col("__text")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0).cast("bigint"), F.size(bounds).cast("bigint") - 2
+        ),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            (
+                F.element_at(bounds, (i + 2).cast("int"))
+                - F.element_at(bounds, (i + 1).cast("int"))
+            ).alias("chunk_len"),
+            F.md5(
+                text.substr(
+                    F.element_at(bounds, (i + 1).cast("int")) + 1,
+                    F.element_at(bounds, (i + 2).cast("int"))
+                    - F.element_at(bounds, (i + 1).cast("int")),
+                ).cast("binary")
+            ).alias("chunk_md5"),
+        ),
+    )
+    return with_bounds.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk_len").alias("chunk_len"),
+        F.col("__c.chunk_md5").alias("chunk_md5"),
+    )

@@ -822,3 +822,49 @@ def iv3_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+@query(
+    "u2_content_defined_chunks",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, text, length(text)::BIGINT AS n
+      FROM documents WHERE length(text) > 0
+    ), pos AS (
+      SELECT doc_id, text, n,
+             list_concat(list_concat(
+               [0::BIGINT],
+               list_filter(list_transform(range(8, n), p ->
+                 CASE WHEN list_reduce(
+                   list_transform(range(0, 8), j ->
+                     ascii(substr(text, (p - 7 + j)::INTEGER, 1))::BIGINT),
+                   (a, c) -> (a * 1000003 + c) % 2147483647) % 32 = 0
+                 THEN p::BIGINT ELSE NULL END), p -> p IS NOT NULL)),
+               [n]) AS bounds
+      FROM base
+    )
+    SELECT doc_id, unnest(list_transform(range(0, len(bounds) - 1), i ->
+      struct_pack(
+        chunk_idx := i,
+        chunk_len := bounds[(i + 2)::INTEGER] - bounds[(i + 1)::INTEGER],
+        chunk_md5 := md5(substr(text, (bounds[(i + 1)::INTEGER] + 1)::INTEGER,
+          (bounds[(i + 2)::INTEGER] - bounds[(i + 1)::INTEGER])::INTEGER)))),
+      recursive := true)
+    FROM pos
+    """,
+)
+def u2_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the corpus (expected chunk = 32
+    chars, window w=8): boundaries follow content so shared passages
+    chunk identically regardless of position — the dedup-stable
+    alternative to tx10's fixed-size token chunks, and the storage
+    layer's dedup primitive (textprep.content_defined_chunks). The
+    oracle replays the rolling hash with the shared FP constants and
+    the exact bounds arithmetic; md5 per chunk checks the slicing
+    byte-for-byte."""
+    from ..operators import textprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textprep.content_defined_chunks(
+        docs, "text", "doc_id", w=8, mask=32
+    )
