@@ -783,3 +783,205 @@ def audio_fingerprint(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id bigint, ahash bigint, tier string"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: luminance grid
+    -> 8x8 block means -> 64 bits (1 where the block mean exceeds the
+    global mean, MSB = block (0,0)). Uniform brightness/contrast shifts
+    preserve the above/below-mean pattern, so re-encoded or
+    gamma-shifted copies of an image land within a few Hamming bits —
+    the image twin of SimHash, feeding the same banded near-dup join
+    (`ahash_near_pairs`).
+
+    Decode tiers mirror decode_media's honesty rule: payloads with the
+    PNG signature are really decoded (stdlib zlib + unfilter; 8-bit
+    gray / RGB / RGBA, non-interlaced — the common encoder output; the
+    exotic variants decode_media handles are a sum-only path and fall
+    back here), tier='png'. Everything else hashes 64 equal byte
+    buckets of the raw payload (tier='bytes') so every row still gets
+    a 64-bit signature and the downstream join stays total. Arrow
+    mapInPandas kernel, self-contained closure, zero shuffle."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def png_lum_grid(payload: bytes):
+            if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+                return None
+            try:
+                pos, width, height, idat = 8, None, None, []
+                bit_depth = color_type = interlace = None
+                data = bytes(payload)
+                while pos + 8 <= len(data):
+                    (length,) = struct.unpack(">I", data[pos : pos + 4])
+                    ctype = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + length]
+                    if ctype == b"IHDR":
+                        width, height, bit_depth, color_type, _, _, interlace = (
+                            struct.unpack(">IIBBBBB", body)
+                        )
+                    elif ctype == b"IDAT":
+                        idat.append(body)
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + length
+                if not idat or not width or not height:
+                    return None
+                if bit_depth != 8 or interlace != 0:
+                    return None
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+                if channels is None:
+                    return None
+                raw = zlib.decompress(b"".join(idat))
+                stride = width * channels
+                if len(raw) < (stride + 1) * height:
+                    return None
+                grid = np.empty((height, width), dtype=np.float64)
+                prev = bytearray(stride)
+                for y in range(height):
+                    base = y * (stride + 1)
+                    ftype = raw[base]
+                    line = bytearray(raw[base + 1 : base + 1 + stride])
+                    bpp = channels
+                    if ftype == 1:
+                        for i in range(bpp, stride):
+                            line[i] = (line[i] + line[i - bpp]) & 0xFF
+                    elif ftype == 2:
+                        for i in range(stride):
+                            line[i] = (line[i] + prev[i]) & 0xFF
+                    elif ftype == 3:
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                    elif ftype == 4:
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            b = prev[i]
+                            c = prev[i - bpp] if i >= bpp else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pr = (
+                                a
+                                if (pa <= pb and pa <= pc)
+                                else (b if pb <= pc else c)
+                            )
+                            line[i] = (line[i] + pr) & 0xFF
+                    elif ftype != 0:
+                        return None
+                    prev = line
+                    arr = np.frombuffer(bytes(line), dtype=np.uint8).reshape(
+                        width, channels
+                    )
+                    if color_type == 0:
+                        grid[y] = arr[:, 0]
+                    elif color_type == 4:
+                        grid[y] = arr[:, 0]
+                    else:  # RGB / RGBA: integer-weighted luminance
+                        grid[y] = (
+                            77 * arr[:, 0].astype(np.int64)
+                            + 150 * arr[:, 1].astype(np.int64)
+                            + 29 * arr[:, 2].astype(np.int64)
+                        ) / 256.0
+                return grid
+            except Exception:
+                return None
+
+        def ahash_bits(values: "np.ndarray") -> int:
+            mean = values.mean()
+            h = 0
+            for v in values.ravel():
+                h = (h << 1) | (1 if v > mean else 0)
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        def block_means(grid: "np.ndarray") -> "np.ndarray":
+            hh, ww = grid.shape
+            out = np.empty((8, 8), dtype=np.float64)
+            ys = [hh * i // 8 for i in range(9)]
+            xs = [ww * i // 8 for i in range(9)]
+            for r in range(8):
+                for c in range(8):
+                    blk = grid[ys[r] : max(ys[r + 1], ys[r] + 1),
+                               xs[c] : max(xs[c + 1], xs[c] + 1)]
+                    out[r, c] = blk.mean()
+            return out
+
+        for b in batches:
+            hashes, tiers = [], []
+            for p in b["data"]:
+                grid = png_lum_grid(p)
+                if grid is not None and grid.size >= 1:
+                    hashes.append(ahash_bits(block_means(grid)))
+                    tiers.append("png")
+                else:
+                    a = np.frombuffer(bytes(p), dtype=np.uint8)
+                    if a.size == 0:
+                        hashes.append(0)
+                        tiers.append("bytes")
+                        continue
+                    bounds = [a.size * i // 64 for i in range(65)]
+                    sums = np.array(
+                        [
+                            a[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+                            .astype(np.float64)
+                            .mean()
+                            for i in range(64)
+                        ]
+                    )
+                    hashes.append(ahash_bits(sums))
+                    tiers.append("bytes")
+            import pandas as pd  # noqa: F811
+
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "ahash": hashes, "tier": tiers}
+            )
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_pairs(
+    hashed: DataFrame, max_hamming: int = 7, bits: int = 64, n_bands: int = 8
+) -> DataFrame:
+    """Banded Hamming join over 64-bit image hashes: split into 8 bands
+    of 8 bits; pigeonhole guarantees any pair within n_bands-1 = 7
+    differing bits shares an exact band, so candidates come from a
+    band-keyed equi-join (shuffle carries (band, chunk) keys, never the
+    pair space) and the exact popcount verifies. Same theorem and shape
+    as dedup.simhash_near_pairs, over decode-tier signatures."""
+    from .dedup import hamming64
+
+    band_bits = bits // n_bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("ahash"), i * band_bits).bitwiseAND(
+                (1 << band_bits) - 1
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = hashed.select(
+        "media_id", "ahash", F.posexplode(chunks).alias("band", "chunk")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming64(F.col("a.ahash"), F.col("b.ahash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
