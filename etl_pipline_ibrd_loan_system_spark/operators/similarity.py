@@ -647,3 +647,90 @@ def rp_oracle_expr(j: int, d_in: int, vec: str, d_out: int, salt: str = "rp:") -
         f"(list_sum(list_transform(range(1, {d_in + 1}), "
         f"i -> {vec}[i]::DOUBLE * ({lst})[i])) / sqrt({d_out}.0))"
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist: int = 20,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-k: greedily pick argmax of
+    lam*rel(c) - mu*max_{s in selected} sim(c, s) — relevance traded
+    against redundancy, the retrieval twin of dedup (a near-identical
+    neighbor of an already-picked result scores itself out).
+
+    Scale shape: relevance is one broadcast-query cosine pass over the
+    corpus (exact, = cosine_topk); everything AFTER the shortlist cut
+    is bounded by n_queries x shortlist (+ shortlist² pairwise sims per
+    query, all Spark-computed doubles) — BOUNDED DRIVER STATE by
+    design, the IVF-centroid argument: the greedy's sequential data
+    dependence runs driver-side over ≤ q·s² numbers the executors
+    produced; the corpus is never collected. `mu` is an explicit
+    parameter (NOT 1-lam: 1-0.7 rounds to 0.30000000000000004 while the
+    oracle's literal 0.3 doesn't — the weights must be literal-identical
+    on both engines). Ties break on ascending id at every step."""
+    sl = cosine_topk(corpus, queries, id_col, vec_col, k=shortlist)
+    cv = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    sa = (
+        sl.select("query_id", F.col("neighbor_id").alias("aid"))
+        .join(cv, F.col("aid") == F.col("nid"))
+        .select("query_id", "aid", F.col("v").alias("va"))
+    )
+    sb = (
+        sl.select("query_id", F.col("neighbor_id").alias("bid"))
+        .join(cv, F.col("bid") == F.col("nid"))
+        .select("query_id", "bid", F.col("v").alias("vb"))
+    )
+    sims = (
+        sa.join(sb, ["query_id"])
+        .where(F.col("aid") < F.col("bid"))
+        .select(
+            "query_id",
+            "aid",
+            "bid",
+            cosine(F.col("va"), F.col("vb")).alias("s"),
+        )
+    )
+    rel_rows = sl.select("query_id", "neighbor_id", "cos_sim").collect()
+    sim_rows = sims.collect()
+    rel: dict = {}
+    for r in rel_rows:
+        rel.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
+    sim: dict = {}
+    for r in sim_rows:
+        sim[(r["query_id"], r["aid"], r["bid"])] = r["s"]
+
+    def pair(qid, x, y):
+        return sim[(qid, x, y) if x < y else (qid, y, x)]
+
+    out = []
+    for qid in sorted(rel):
+        cands = rel[qid]
+        # rank 1: pure relevance, id-ascending tie-break
+        first = max(cands, key=lambda n: (cands[n], -n))
+        sel = [first]
+        out.append((qid, 1, first, cands[first]))
+        for rank in range(2, k + 1):
+            remaining = [n for n in cands if n not in sel]
+            if not remaining:
+                break
+
+            def mmr(n):
+                maxsim = max(pair(qid, n, s) for s in sel)
+                return lam * cands[n] - mu * maxsim
+
+            best = max(remaining, key=lambda n: (mmr(n), -n))
+            out.append((qid, rank, best, mmr(best)))
+            sel.append(best)
+    return corpus.sparkSession.createDataFrame(
+        out, "query_id bigint, rank int, vec_id bigint, mmr_score double"
+    )

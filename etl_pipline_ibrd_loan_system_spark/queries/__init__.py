@@ -64,7 +64,11 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # flatten, rp1/rp2 JL projection + shrink-then-verify ANN, tx17 C4
 # line filter, g7 snapshot-table merge, fv1 hashing TF, dq6/dq7
 # anonymity screens) are
-# first in line for the round-7 rotation; st2 (transformWithState) took
+# first in line for the round-7 rotation, together with the seventh-wave
+# set (e18 interval compaction, e19 linear interpolation, fv2 target
+# encode, fv3 vector scale, tx18 NFC normalize, tx19 Gopher rules,
+# iv3 phrase search, dd15 containment pairs, dq8 CUSUM drift, u2
+# content-defined chunks); st2 (transformWithState) took
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; later additions selfchecked

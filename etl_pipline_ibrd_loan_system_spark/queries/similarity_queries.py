@@ -245,3 +245,79 @@ def rp2_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
         "vec_id", "embedding", k=5, d_out=32, shortlist=100,
     )
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 20) -> str:
+    """Unrolled greedy MMR as k CTE stages (the g5 unrolled-frontier
+    recipe): stage i picks argmax of 0.7*rel - 0.3*max(sim to the i-1
+    already-selected) among the not-yet-selected shortlist, ties on
+    ascending id. Literal weights 0.7/0.3 match the operator's explicit
+    lam/mu (1-0.7 would round differently)."""
+    parts = [f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS nid, embedding AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (SELECT query_id, nid, {_cos('qv', 'cv')} AS rel FROM q, c),
+    sl AS (SELECT query_id, nid, rel FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rn
+             FROM scored) WHERE rn <= {shortlist}),
+    sim AS (SELECT s1.query_id, s1.nid AS aid, s2.nid AS bid,
+                   {_cos('ca.cv', 'cb.cv')} AS s
+            FROM sl s1
+            JOIN sl s2 ON s1.query_id = s2.query_id AND s1.nid < s2.nid
+            JOIN c ca ON ca.nid = s1.nid
+            JOIN c cb ON cb.nid = s2.nid),
+    sel1 AS (SELECT query_id, nid, 1 AS rank, rel AS mmr_score FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rn
+               FROM sl) WHERE rn = 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    mmr{i} AS (
+      SELECT sl.query_id, sl.nid, sl.rel, MAX(sim.s) AS maxsim
+      FROM sl
+      JOIN sel{i - 1} sp ON sp.query_id = sl.query_id
+      JOIN sim ON sim.query_id = sl.query_id
+        AND ((sim.aid = sl.nid AND sim.bid = sp.nid)
+          OR (sim.aid = sp.nid AND sim.bid = sl.nid))
+      WHERE sl.nid NOT IN (SELECT nid FROM sel{i - 1} x
+                           WHERE x.query_id = sl.query_id)
+      GROUP BY sl.query_id, sl.nid, sl.rel
+    ),
+    pick{i} AS (
+      SELECT query_id, nid, {i} AS rank,
+             0.7 * rel - 0.3 * maxsim AS mmr_score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY 0.7 * rel - 0.3 * maxsim DESC, nid ASC) AS rn
+            FROM mmr{i}) WHERE rn = 1
+    ),
+    sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+    SELECT query_id, rank::INTEGER AS rank, nid AS vec_id, mmr_score
+    FROM sel{k}"""
+    )
+
+
+@query("sm4_mmr_diversified_topk", sql=_mmr_oracle(k=5, shortlist=20))
+def sm4_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (similarity.mmr_topk): exact cosine
+    shortlist per query, then the greedy redundancy-penalized selection
+    over ≤ q·s² Spark-computed doubles (bounded driver state; corpus
+    never collected). The oracle unrolls all five greedy stages in SQL
+    and must agree on every selected id AND score bit-for-bit — any
+    divergence in fold order, tie-breaking, or weight literals fails
+    the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_topk(
+        emb.where(F.col("vec_id") >= 10),
+        emb.where(F.col("vec_id") < 3),
+        "vec_id",
+        "embedding",
+        k=5,
+        shortlist=20,
+    )
