@@ -734,3 +734,41 @@ def e19_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("known_cents").isNotNull().alias("is_anchor"),
         interp.alias("interp_cents"),
     )
+
+
+@query(
+    "e20_running_distinct",
+    sql="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS n_types_seen
+    FROM events
+    """,
+)
+def e20_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count per user (how many distinct event types
+    seen so far). Spark has no DISTINCT aggregate over windows, and the
+    naive size(collect_set) frame carries O(frame) state per row; the
+    scalable decomposition is FLAG + CUMSUM: row_number over
+    (user, type) marks each type's first occurrence, a running sum of
+    the flag counts them — two windows that share the user_id exchange
+    (the second sorts within the same partitioning), state O(1) per
+    row. The oracle runs DuckDB's native windowed COUNT(DISTINCT) over
+    the same frame, proving the decomposition exact including ties
+    (both windows order by (ts, event_id))."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn(
+            "__is_first",
+            (F.row_number().over(w_first) == 1).cast("bigint"),
+        )
+        .withColumn("n_types_seen", F.sum("__is_first").over(w_run))
+        .select("event_id", "user_id", "n_types_seen")
+    )
