@@ -868,3 +868,85 @@ def u2_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textprep.content_defined_chunks(
         docs, "text", "doc_id", w=8, mask=32
     )
+
+
+from ..operators.graph import pagerank_oracle_ctes as _pr_ctes
+
+_PR_CTES = _pr_ctes(iters=3)
+
+
+@query(
+    "tx20_textrank_keywords",
+    sql=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    ), adjpairs AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(p.a), 1, 15) AS BIGINT) AS src,
+        CAST('0x' || substr(md5(p.b), 1, 15) AS BIGINT) AS dst
+      FROM toks,
+        UNNEST(list_filter(list_transform(range(1, len(t)),
+          i -> struct_pack(a := t[i], b := t[i + 1])),
+          p -> p.a != p.b)) AS u(p)
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM adjpairs
+        UNION ALL SELECT dst AS src, src AS dst FROM adjpairs)
+    ),
+    {_PR_CTES},
+    words AS (
+      SELECT DISTINCT
+        CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS node, w AS word
+      FROM (SELECT unnest(t) AS w FROM toks)
+    )
+    SELECT word, rank_units FROM prfinal JOIN words USING (node)
+    """,
+)
+def tx20_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    the word-adjacency co-occurrence graph — a pure COMPOSITION of the
+    text tokenizer and graph.pagerank_fixed_point, which is the point:
+    the integer fixed-point rank arithmetic is partition-invariant, so
+    the same operator serves trade graphs (g3) and keyword graphs
+    unchanged, and the oracle replays the iterations verbatim from the
+    same constants. Edge build: per-doc adjacent token pairs,
+    self-loops dropped, symmetric, distinct — fan-out bounded by doc
+    length; the graph's node set is the vocabulary (grows
+    sub-linearly in corpus size, the Heaps'-law argument for why
+    word-graph PageRank scales where document-graph PageRank needs
+    partitioned ranks)."""
+    from ..operators import graph as _graph
+    from ..operators.dedup import shared_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    base = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+                lambda p: p["a"] != p["b"],
+            )
+        ).alias("p")
+    )
+    e0 = pairs.select(
+        shared_hash60(F.col("p.a")).alias("src"),
+        shared_hash60(F.col("p.b")).alias("dst"),
+    ).distinct()
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = _graph.pagerank_fixed_point(edges, iters=3)
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .distinct()
+        .select(shared_hash60(F.col("word")).alias("node"), "word")
+    )
+    return ranks.join(words, "node").select("word", "rank_units")
