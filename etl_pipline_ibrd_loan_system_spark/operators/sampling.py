@@ -424,3 +424,67 @@ def weighted_sample(
         F.col(weight_col).cast("bigint").alias("weight"),
         F.round(inv_p, 6).alias("inv_p"),
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: "Column | int",
+    m: int = 4,
+    salt: str = "negs",
+) -> DataFrame:
+    """Deterministic filtered negative sampling (the recommender /
+    contrastive-training prep op): for every positive (user, item) pair
+    emit up to `m` negatives drawn uniformly from the 1..n_items
+    catalog by HASH arithmetic — no RNG state, so any engine (and any
+    retry of any partition) regenerates the identical sample — then
+    anti-join the positive set so no sampled "negative" is secretly a
+    positive (filtered sampling; the in-batch-negatives false-negative
+    caveat removed exactly).
+
+    Plan shape at 100 TB: candidate generation is a zero-shuffle
+    explode+projection (m rows per positive); the only shuffle is the
+    anti-join on (user, item) — and THAT is the documented cost knob:
+    at extreme scale pre-filter with the sk4 Bloom side (false-positive
+    rate trades a tiny negative-loss rate for never shuffling the
+    candidate stream). Collisions (same candidate drawn twice for one
+    user) collapse via distinct; candidates equal to their own positive
+    are removed by the anti-join like any other."""
+    pos = positives.select(
+        F.col(user_col).alias("user_id"), F.col(item_col).alias("item_id")
+    ).distinct()
+    cand = pos.select(
+        "user_id",
+        "item_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+    ).select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.lit(salt),
+                            F.col("user_id"),
+                            F.col("item_id"),
+                            F.col("j"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % n_items
+            + 1
+        ).alias("item_id"),
+    )
+    negs = (
+        cand.join(pos, ["user_id", "item_id"], "left_anti")
+        .distinct()
+        .withColumn("label", F.lit(0))
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(negs)

@@ -940,3 +940,48 @@ def tx17_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_blocklist=("lorem ipsum", "{"),
         min_kept_lines=3,
     )
+
+
+@query(
+    "sp7_negative_sampling",
+    sql="""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), np AS (
+      SELECT MAX(p_partkey)::BIGINT AS n_items FROM part
+    ), cand AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5('negs_' || user_id || '_' || item_id
+                                     || '_' || j), 1, 15) AS BIGINT)
+               % n_items + 1 AS item_id
+      FROM pos, np, (SELECT unnest(range(0, 4)) AS j) jj
+    ), negs AS (
+      SELECT DISTINCT user_id, item_id FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.user_id = c.user_id
+                          AND p.item_id = c.item_id)
+    )
+    SELECT user_id, item_id, 1 AS label FROM pos
+    UNION ALL
+    SELECT user_id, item_id, 0 AS label FROM negs
+    """,
+)
+def sp7_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling over the customer-part interaction
+    set (4 hash-drawn negatives per positive, anti-joined against the
+    positive set — sampling.negative_sample). The md5 draw replays in
+    the oracle verbatim; determinism means partition retries and both
+    engines regenerate the identical labeled dataset."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    )
+    n_items = part.agg(F.max("p_partkey").cast("bigint")).collect()[0][0]
+    return sampling.negative_sample(
+        pos, "user", "item", n_items=F.lit(n_items), m=4
+    )
