@@ -482,3 +482,91 @@ def dq8_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("row.c") * 2 > F.col("t")).alias("alarm"),
         )
     )
+
+
+@query(
+    "dq9_fd_discovery",
+    sql="""
+    SELECT * FROM (
+      SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+             COUNT(DISTINCT o_orderkey)::BIGINT AS n_lhs,
+             COUNT(DISTINCT (o_orderkey, o_custkey))::BIGINT AS n_pairs,
+             COUNT(DISTINCT o_orderkey)
+               = COUNT(DISTINCT (o_orderkey, o_custkey)) AS holds
+      FROM orders
+      UNION ALL
+      SELECT 'customer: c_nationkey -> c_mktsegment',
+             COUNT(DISTINCT c_nationkey)::BIGINT,
+             COUNT(DISTINCT (c_nationkey, c_mktsegment))::BIGINT,
+             COUNT(DISTINCT c_nationkey)
+               = COUNT(DISTINCT (c_nationkey, c_mktsegment))
+      FROM customer
+      UNION ALL
+      SELECT 'nation: n_nationkey -> n_regionkey',
+             COUNT(DISTINCT n_nationkey)::BIGINT,
+             COUNT(DISTINCT (n_nationkey, n_regionkey))::BIGINT,
+             COUNT(DISTINCT n_nationkey)
+               = COUNT(DISTINCT (n_nationkey, n_regionkey))
+      FROM nation
+      UNION ALL
+      SELECT 'lineitem: l_partkey -> l_suppkey',
+             COUNT(DISTINCT l_partkey)::BIGINT,
+             COUNT(DISTINCT (l_partkey, l_suppkey))::BIGINT,
+             COUNT(DISTINCT l_partkey)
+               = COUNT(DISTINCT (l_partkey, l_suppkey))
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders: o_custkey -> o_orderpriority',
+             COUNT(DISTINCT o_custkey)::BIGINT,
+             COUNT(DISTINCT (o_custkey, o_orderpriority))::BIGINT,
+             COUNT(DISTINCT o_custkey)
+               = COUNT(DISTINCT (o_custkey, o_orderpriority))
+      FROM orders
+    )
+    """,
+)
+def dq9_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency screen (the profiling pass behind schema
+    inference, key detection, and denormalization checks): A -> B holds
+    iff |distinct A| = |distinct (A, B)| — two distinct-counts per
+    candidate, evaluated in ONE aggregate per table (Catalyst plans
+    multi-distinct via Expand: each scan feeds both counts, nothing
+    row-level survives the partial aggregate). Candidates cover a true
+    key FD, a held composite FD, and deliberately-failing ones so both
+    verdicts are exercised. At 100 TB each check is a combinable
+    aggregate over its scan; candidate GENERATION (all column pairs) is
+    the quadratic to avoid — this operator takes the curated list a
+    profiler's type/cardinality prefilter produces."""
+
+    def fd(df, name, lhs, rhs):
+        return df.agg(
+            F.lit(name).alias("fd"),
+            F.countDistinct(lhs).alias("n_lhs"),
+            F.countDistinct(lhs, rhs).alias("n_pairs"),
+            (F.countDistinct(lhs) == F.countDistinct(lhs, rhs)).alias(
+                "holds"
+            ),
+        )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        fd(orders, "orders: o_orderkey -> o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(
+            fd(cust, "customer: c_nationkey -> c_mktsegment",
+               "c_nationkey", "c_mktsegment")
+        )
+        .unionAll(
+            fd(nation, "nation: n_nationkey -> n_regionkey",
+               "n_nationkey", "n_regionkey")
+        )
+        .unionAll(
+            fd(li, "lineitem: l_partkey -> l_suppkey",
+               "l_partkey", "l_suppkey")
+        )
+        .unionAll(
+            fd(orders, "orders: o_custkey -> o_orderpriority",
+               "o_custkey", "o_orderpriority")
+        )
+    )
