@@ -704,7 +704,12 @@ def content_defined_chunks(
     step: referencing the boundary transform from inside the chunk
     lambda would re-inline the O(len*w) hash scan at every one of the
     4 references (the word_shingles lesson, compounded — the inlined
-    tree hung codegen outright at 50 rows before this split)."""
+    tree hung codegen outright at 50 rows before this split).
+
+    Low-entropy PERIODIC text can miss every boundary residue and yield
+    one giant chunk (tests/test_wave7.py demonstrates it) — production
+    CDC caps chunk size (FastCDC min/max bounds); the cap is a second
+    filter pass left out here to keep the oracle replay exact."""
     from .textstats import FP_BASE, FP_MOD
 
     base = df.where(F.length(text_col) > 0).select(

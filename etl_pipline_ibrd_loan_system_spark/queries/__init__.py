@@ -68,7 +68,8 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # set (e18 interval compaction, e19 linear interpolation, fv2 target
 # encode, fv3 vector scale, tx18 NFC normalize, tx19 Gopher rules,
 # iv3 phrase search, dd15 containment pairs, dq8 CUSUM drift, u2
-# content-defined chunks); st2 (transformWithState) took
+# content-defined chunks, sm4 MMR, e20 running distinct, tx20 TextRank,
+# sp7 negative sampling, dq9 FD screen); st2 (transformWithState) took
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; later additions selfchecked
