@@ -950,3 +950,89 @@ def tx20_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(shared_hash60(F.col("word")).alias("node"), "word")
     )
     return ranks.join(words, "node").select("word", "rank_units")
+
+
+@query(
+    "tx21_symspell_candidates",
+    sql="""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(list_filter(
+        string_split_regex(lower(text), '\\s+'), t -> t != '')) AS w
+      FROM documents
+    ), typos AS (
+      SELECT substr(w, 1, 2) || substr(w, 4) AS typo
+      FROM (SELECT w FROM vocab WHERE len(w) >= 4 ORDER BY w LIMIT 5)
+    ), vvar AS (
+      SELECT w, unnest(list_concat([w], list_transform(range(0, len(w)),
+        i -> substr(w, 1, i::INTEGER) || substr(w, (i + 2)::INTEGER))))
+        AS var
+      FROM vocab
+    ), tvar AS (
+      SELECT typo, unnest(list_concat([typo],
+        list_transform(range(0, len(typo)),
+          i -> substr(typo, 1, i::INTEGER) || substr(typo, (i + 2)::INTEGER))))
+        AS var
+      FROM typos
+    )
+    SELECT * FROM (
+      SELECT DISTINCT t.typo, v.w AS candidate,
+             levenshtein(t.typo, v.w)::BIGINT AS dist
+      FROM tvar t JOIN vvar v ON t.var = v.var
+    ) WHERE dist <= 1
+    """,
+)
+def tx21_symspell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell spell-correction candidates: dictionary words within
+    edit distance 1 of each typo, found by DELETION-VARIANT blocking
+    (Garbe's symmetric delete): every word and every typo explodes into
+    its |w|+1 one-deletion variants; any ed<=1 pair MUST share a
+    variant (delete-the-difference pigeonhole), so candidates come from
+    one variant-keyed equi-join instead of vocab x typos Levenshtein —
+    tx14's all-pairs non-starter solved the same way dedup banding
+    solves Jaccard. The exact Levenshtein verifies candidates only.
+    Typos are synthesized deterministically (3rd char dropped from the
+    5 alphabetically-first length>=4 vocab words) so both engines
+    derive the identical query set. Scale: variant stream is
+    O(vocab * avg_len) — vocabulary-bounded (Heaps), not corpus-bounded;
+    the typo side is query-sized and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    vocab = docs.select(F.explode(toks).alias("w")).distinct()
+    typos = (
+        vocab.where(F.length("w") >= 4)
+        .orderBy("w")
+        .limit(5)
+        .select(
+            F.concat(
+                F.substring("w", 1, 2), F.expr("substr(w, 4)")
+            ).alias("typo")
+        )
+    )
+
+    def variants(col: str):
+        c = F.col(col)
+        return F.concat(
+            F.array(c),
+            F.transform(
+                F.sequence(F.lit(0), F.length(c) - 1),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i),
+                    c.substr(i + 2, F.length(c)),
+                ),
+            ),
+        )
+
+    vvar = vocab.select("w", F.explode(variants("w")).alias("var"))
+    tvar = typos.select("typo", F.explode(variants("typo")).alias("var"))
+    cands = (
+        F.broadcast(tvar)
+        .join(vvar, "var")
+        .select("typo", F.col("w").alias("candidate"))
+        .distinct()
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("typo"), F.col("candidate")).cast("bigint"),
+        )
+        .where(F.col("dist") <= 1)
+    )
+    return cands
