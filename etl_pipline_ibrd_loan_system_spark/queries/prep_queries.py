@@ -985,3 +985,49 @@ def sp7_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.negative_sample(
         pos, "user", "item", n_items=F.lit(n_items), m=4
     )
+
+
+@query(
+    "sp8_kfold_splits",
+    sql="""
+    WITH folds AS (
+      SELECT o_orderkey,
+             CAST('0x' || substr(md5('kfold_' || o_orderkey), 1, 15)
+                  AS BIGINT) % 5 AS fold
+      FROM orders
+    )
+    SELECT fold, COUNT(*)::BIGINT AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM folds GROUP BY fold
+    """,
+)
+def sp8_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (k=5) by salted-hash
+    arithmetic — the hash_split family generalized to k partitions:
+    every row's fold is a pure function of its key, so folds are
+    disjoint, exhaustive, retry-stable, and reproducible on any engine
+    with NO shuffle at assignment time (the verification aggregate here
+    shuffles 5 keys). Train/test for fold i = (fold != i, fold == i) as
+    plain pushdown-able predicates — k models share one materialized
+    assignment instead of k resamples."""
+    orders = load_table(spark, sf_dir, "orders")
+    folds = orders.select(
+        "o_orderkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("kfold_"), F.col("o_orderkey"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+        ).alias("fold"),
+    )
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
