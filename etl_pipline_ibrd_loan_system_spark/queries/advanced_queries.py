@@ -772,3 +772,114 @@ def e20_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_types_seen", F.sum("__is_first").over(w_run))
         .select("event_id", "user_id", "n_types_seen")
     )
+
+
+_KMV_K = 64
+_KMV_SCALE = 1 << 40  # 40-bit domain: (k-1)*SCALE stays in int64
+
+
+@query(
+    "sk8_kmv_intersection",
+    sql=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5('kmv_' || user_id), 1, 10) AS BIGINT)
+               AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type,
+             list_sort(list(h))[1:{_KMV_K}] AS sketch,
+             COUNT(*)::BIGINT AS nd
+      FROM du GROUP BY event_type
+    ), est AS (
+      SELECT event_type, sketch, nd,
+             CASE WHEN nd < {_KMV_K} THEN nd
+                  ELSE ({_KMV_K} - 1) * {_KMV_SCALE}
+                       // sketch[{_KMV_K}] END AS est_distinct
+      FROM sk
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.est_distinct AS est_a, b.est_distinct AS est_b,
+             list_sort(list_distinct(list_concat(a.sketch, b.sketch)))
+               AS merged
+      FROM est a JOIN est b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, est_a, est_b,
+           CASE WHEN len(merged) < {_KMV_K} THEN len(merged)::BIGINT
+                ELSE ({_KMV_K} - 1) * {_KMV_SCALE}
+                     // merged[{_KMV_K}] END AS est_union,
+           est_a + est_b
+             - CASE WHEN len(merged) < {_KMV_K} THEN len(merged)::BIGINT
+                    ELSE ({_KMV_K} - 1) * {_KMV_SCALE}
+                         // merged[{_KMV_K}] END AS est_intersection
+    FROM pairs
+    """,
+)
+def sk8_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with
+    inclusion-exclusion set intersection — the sketch family whose
+    UNION is exact sketch algebra (bottom-k of merged bottom-k's),
+    complementing sk1/sk6's HLL registers: KMV supports unbiased
+    intersection estimates where HLL needs inclusion-exclusion on
+    biased maxima. Estimator is the textbook (k-1)/u_k in pure integer
+    arithmetic (hash scale 2^60, floor division), exact-count branch
+    below k — sf0.001's 15 users exercise the exact branch, sf0.01+'s
+    150+ the estimator branch, so the gate proves both. Shuffle: one
+    distinct on (type, user), then sketches are <=k-element arrays —
+    mergeable bounded state, the 100 TB contract for every sketch in
+    sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv_"), F.col("user_id"))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+    du = ev.select("event_type", h.alias("h")).distinct()
+    sk = du.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("sketch"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    est = sk.select(
+        "event_type",
+        "sketch",
+        F.when(F.col("nd") < _KMV_K, F.col("nd"))
+        .otherwise(
+            F.expr(
+                f"({_KMV_K} - 1) * CAST({_KMV_SCALE} AS BIGINT)"
+                f" DIV element_at(sketch, {_KMV_K})"
+            )
+        )
+        .alias("est_distinct"),
+    )
+    a = est.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    b = est.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
+        "merged",
+        F.array_sort(F.array_distinct(F.concat("sk_a", "sk_b"))),
+    )
+    est_union = F.when(
+        F.size("merged") < _KMV_K, F.size("merged").cast("bigint")
+    ).otherwise(
+        F.expr(
+            f"({_KMV_K} - 1) * CAST({_KMV_SCALE} AS BIGINT)"
+            f" DIV element_at(merged, {_KMV_K})"
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        (F.col("est_a") + F.col("est_b") - est_union).alias(
+            "est_intersection"
+        ),
+    )
