@@ -824,7 +824,10 @@ def sk8_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     biased maxima. Estimator is the textbook (k-1)/u_k in pure integer
     arithmetic (hash scale 2^60, floor division), exact-count branch
     below k — sf0.001's 15 users exercise the exact branch, sf0.01+'s
-    150+ the estimator branch, so the gate proves both. Shuffle: one
+    150+ the estimator branch, so the gate proves both. The hash domain
+    is 40-bit (first 10 md5 hex chars), not 60: (k-1)*scale must fit
+    in int64 under ANSI overflow checking — 63*2^60 throws on both
+    engines. Shuffle: one
     distinct on (type, user), then sketches are <=k-element arrays —
     mergeable bounded state, the 100 TB contract for every sketch in
     sketches.py."""
