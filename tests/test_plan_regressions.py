@@ -545,3 +545,84 @@ def test_c10_delta_terms_broadcast(spark, sf_dir, registry):
         "fewer than 3 broadcast delta joins:\n" + plan
     )
     assert "CartesianProduct" not in plan
+
+
+# --- round-6 seventh-wave plan gates -----------------------------------
+
+
+def test_e18_islands_share_one_exchange(spark, sf_dir, registry):
+    """e18: lag flag, running island sum, and the run aggregate must all
+    execute on ONE user_id exchange — a second Exchange means a window
+    stopped reusing the partitioning."""
+    import re
+
+    plan = _plan(registry["e18_interval_compaction"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_e19_fills_share_one_exchange(spark, sf_dir, registry):
+    """e19: forward and backward anchor fills run as windows over the
+    same user_id partitioning — one Exchange, no join."""
+    import re
+
+    plan = _plan(registry["e19_linear_interpolate"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_fv2_broadcast_and_category_grain(spark, sf_dir, registry):
+    """fv2: the customer key projection broadcasts onto the orders scan;
+    no SortMergeJoin (a fact-side shuffle per lookup is the anti-shape),
+    and the cross join of the 1-row global stats is a broadcast NL."""
+    plan = _plan(registry["fv2_target_encode"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fv3_stats_broadcast_back(spark, sf_dir, registry):
+    """fv3: the 64-row per-dimension stats join back by broadcast; the
+    exploded corpus must never sort-merge."""
+    plan = _plan(registry["fv3_vector_scale"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_iv3_term_filter_reaches_posting_build(spark, sf_dir, registry):
+    """iv3: the two query terms are filtered BEFORE the adjacency join —
+    the plan must show the IN-filter below the join, and the join keys
+    are (doc, pos) integers (hash join, no cartesian)."""
+    plan = _plan(registry["iv3_phrase_search"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    lower = plan.lower()
+    assert "fast" in lower and "table" in lower, "term filter vanished"
+
+
+def test_e20_two_windows_reuse_user_exchange(spark, sf_dir, registry):
+    """e20: the first-occurrence window partitions by (user, type), the
+    running sum by user — Catalyst needs one exchange per distinct
+    partitioning, but NOTHING else: more than two means a regression,
+    and no join/cartesian belongs in a pure window decomposition."""
+    import re
+
+    plan = _plan(registry["e20_running_distinct"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Join" not in plan
+
+
+def test_sp7_candidates_never_sort_merge(spark, sf_dir, registry):
+    """sp7: candidate generation is explode+projection; the positive
+    anti-join may hash-shuffle but a CartesianProduct or a window means
+    the sampler lost its pure-hash shape."""
+    plan = _plan(registry["sp7_negative_sampling"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_sk8_sketch_pair_join_is_tiny_side(spark, sf_dir, registry):
+    """sk8: after the (type, user) distinct, everything is <=k-element
+    sketch arrays per type — the pair join over 5 types must be a
+    broadcast NL/hash join, never a SortMergeJoin over raw events."""
+    plan = _plan(registry["sk8_kmv_intersection"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
