@@ -782,3 +782,49 @@ def content_defined_chunks(
         F.col("__c.chunk_len").alias("chunk_len"),
         F.col("__c.chunk_md5").alias("chunk_md5"),
     )
+
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021 §A1.1) — see
+    tx19's docstring for the rule set and the integer-space threshold
+    discipline. Emits (id, n_words, wordcount_ok, meanlen_ok, alpha_ok,
+    stopword_ok, symbol_ok, keep); pure single-pass projection."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    feats = df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
+        .cast("bigint")
+        .alias("n_sym"),
+    )
+    wordcount_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    meanlen_ok = (3 * F.col("n_words") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("n_words")
+    )
+    alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
+    stopword_ok = F.col("n_stop") >= 2
+    symbol_ok = 10 * F.col("n_sym") <= F.col("n_words")
+    return feats.select(
+        id_col,
+        "n_words",
+        wordcount_ok.alias("wordcount_ok"),
+        meanlen_ok.alias("meanlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (
+            wordcount_ok & meanlen_ok & alpha_ok & stopword_ok & symbol_ok
+        ).alias("keep"),
+    )

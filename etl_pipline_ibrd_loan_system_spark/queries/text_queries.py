@@ -729,51 +729,19 @@ def tx19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count bounds [50, 1e5], mean word length in [3, 10],
     >=80% of words contain an alphabetic character, >=2 stop words,
     symbol-to-word ratio ('#'/'...') <= 0.1. Complements tx2 (ratio
-    scores) and tx17 (C4 line rules) — this is the rule family used to
-    gate LLM pretraining corpora. All thresholds compare in INTEGER
-    space (3n <= Σlen, 5·alpha >= 4n, 10·sym <= n) so no division ever
-    happens — bit-exact across engines by construction. Line-level
-    Gopher rules (bullet/ellipsis fractions) need newline-preserving
-    text; the fixture corpus is single-line, so they live with tx17's
-    line machinery. Scale: one projection pass over the scan, zero
-    shuffle, whole-stage codegen HOFs."""
+    scores) and tx17 (C4 line rules) — the rule family used to gate
+    LLM pretraining corpora, shared with the corpus pipeline plan
+    (operators/textprep.py::gopher_rules). All thresholds compare in
+    INTEGER space (3n <= Σlen, 5·alpha >= 4n, 10·sym <= n) so no
+    division ever happens — bit-exact across engines by construction.
+    Line-level Gopher rules (bullet/ellipsis fractions) need
+    newline-preserving text; the fixture corpus is single-line, so they
+    live with tx17's line machinery. Scale: one projection pass over
+    the scan, zero shuffle, whole-stage codegen HOFs."""
+    from ..operators import textprep
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
-    feats = docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_words"),
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-        ).alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-        .cast("bigint")
-        .alias("n_alpha"),
-        F.size(F.filter(toks, lambda t: t.isin(*_GOPHER_STOPS)))
-        .cast("bigint")
-        .alias("n_stop"),
-        F.size(F.filter(toks, lambda t: (t == "#") | (t == "...")))
-        .cast("bigint")
-        .alias("n_sym"),
-    )
-    wordcount_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
-    meanlen_ok = (3 * F.col("n_words") <= F.col("sum_len")) & (
-        F.col("sum_len") <= 10 * F.col("n_words")
-    )
-    alpha_ok = 5 * F.col("n_alpha") >= 4 * F.col("n_words")
-    stopword_ok = F.col("n_stop") >= 2
-    symbol_ok = 10 * F.col("n_sym") <= F.col("n_words")
-    return feats.select(
-        "doc_id",
-        "n_words",
-        wordcount_ok.alias("wordcount_ok"),
-        meanlen_ok.alias("meanlen_ok"),
-        alpha_ok.alias("alpha_ok"),
-        stopword_ok.alias("stopword_ok"),
-        symbol_ok.alias("symbol_ok"),
-        (
-            wordcount_ok & meanlen_ok & alpha_ok & stopword_ok & symbol_ok
-        ).alias("keep"),
-    )
+    return textprep.gopher_rules(docs, "text", "doc_id")
 
 
 @query(
