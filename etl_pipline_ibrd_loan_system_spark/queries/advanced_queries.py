@@ -886,3 +886,78 @@ def sk8_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_intersection"
         ),
     )
+
+
+@query(
+    "e21_theil_sen_trend",
+    sql="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE))::BIGINT AS d,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.event_type,
+             (b.n - a.n)::DOUBLE / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), arr AS (
+      SELECT event_type, list_sort(list(slope)) AS s, COUNT(*)::BIGINT AS m
+      FROM slopes GROUP BY event_type
+    )
+    SELECT event_type, m AS n_pairs,
+           s[CAST(ceil(m / 2.0) AS INTEGER)] AS theil_sen_slope
+    FROM arr
+    """,
+)
+def e21_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event type: the median of
+    all pairwise slopes of the daily-count series — the
+    breakdown-point-29% alternative to e13's least squares (one wild
+    day moves OLS, not the pairwise-slope median). Scale argument: the
+    pair space is quadratic in the NUMBER OF DAYS, not the number of
+    events — the fact aggregates to (type, day) grain first (map-side
+    combine), so 30 observed days make ≤435 slope pairs per type no
+    matter how many billions of events feed them; time-bounded, like
+    dq8. Exactness: slopes are one IEEE division on exact integers;
+    the median is the LOWER median (element ceil(m/2) of the sorted
+    list, e15's convention) so no averaging of middle elements — both
+    engines pick the identical stored double."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("n").alias("nb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        ((F.col("nb") - F.col("na")).cast("double") / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        ),
+    )
+    arr = slopes.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("slope")).alias("s"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    return arr.select(
+        "event_type",
+        F.col("m").alias("n_pairs"),
+        F.element_at(
+            "s", F.ceil(F.col("m") / F.lit(2.0)).cast("int")
+        ).alias("theil_sen_slope"),
+    )
