@@ -961,3 +961,50 @@ def e21_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s", F.ceil(F.col("m") / F.lit(2.0)).cast("int")
         ).alias("theil_sen_slope"),
     )
+
+
+@query(
+    "e22_ohlc_resample",
+    sql="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           (MIN(struct_pack(t := epoch_us(ts), e := event_id,
+                            v := value))).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           (MAX(struct_pack(t := epoch_us(ts), e := event_id,
+                            v := value))).v AS close,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS volume
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def e22_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (the timeseries downsampling staple): per
+    (series, day) the first/last/extreme values, in ONE combinable
+    aggregate — open/close are MIN/MAX over struct(ts, event_id, value)
+    (lexicographic struct comparison, the c8 golden-record idiom: the
+    unique event_id decides ties before value can), so no window, no
+    per-group sort, and partial aggregates merge on any partitioning.
+    Volume folds in decimal. Map-side combine does the heavy lifting:
+    shuffle carries one row per (series, day, partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("value").alias("v"),
+    )
+    return ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(
+        F.min(key)["v"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(key)["v"].alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("volume"),
+    )
