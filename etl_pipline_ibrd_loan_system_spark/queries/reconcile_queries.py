@@ -276,3 +276,82 @@ def c10_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "o_totalprice",
     )
+
+
+@query(
+    "c11_deletion_cascade",
+    sql="""
+    WITH forget AS (
+      SELECT c_custkey FROM customer
+      WHERE CAST('0x' || substr(md5('forget_' || c_custkey), 1, 15)
+                 AS BIGINT) % 100 < 3
+    ), ord_del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT * FROM (
+      SELECT 'customer' AS "table",
+             (SELECT COUNT(*) FROM forget)::BIGINT AS n_deleted,
+             ((SELECT COUNT(*) FROM customer)
+              - (SELECT COUNT(*) FROM forget))::BIGINT AS n_surviving
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM ord_del)::BIGINT,
+             ((SELECT COUNT(*) FROM orders)
+              - (SELECT COUNT(*) FROM ord_del))::BIGINT
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM ord_del))::BIGINT,
+             ((SELECT COUNT(*) FROM lineitem)
+              - (SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM ord_del)))::BIGINT
+    )
+    """,
+)
+def c11_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure deletion cascade: a forget-set of customers
+    (~3%, hash-chosen so both engines agree) propagates through the FK
+    graph customer -> orders -> lineitem; the report counts deleted and
+    surviving rows per table — the audit artifact a compliance delete
+    job must produce BEFORE rewriting files. Plan shape: the forget set
+    and the cascaded order-key set are key projections that BROADCAST
+    into semi-joins on each fact scan (forget sets are small by nature);
+    nothing fact-sized shuffles. The actual rewrite is the snapshot
+    table's copy-on-write merge (sources/snaptable.py) — bucket pruning
+    means only files containing affected keys are rewritten."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    forget = cust.where(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("forget_"), F.col("c_custkey"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 3
+    ).select("c_custkey")
+    ord_del = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_del = li.join(
+        F.broadcast(ord_del), li.l_orderkey == ord_del.o_orderkey, "left_semi"
+    )
+
+    def row(name, deleted, total):
+        return deleted.agg(F.count(F.lit(1)).alias("n_deleted")).crossJoin(
+            total.agg(F.count(F.lit(1)).alias("__tot"))
+        ).select(
+            F.lit(name).alias("table"),
+            F.col("n_deleted"),
+            (F.col("__tot") - F.col("n_deleted")).alias("n_surviving"),
+        )
+
+    return (
+        row("customer", forget, cust)
+        .unionAll(row("orders", ord_del, orders))
+        .unionAll(row("lineitem", li_del, li))
+    )
