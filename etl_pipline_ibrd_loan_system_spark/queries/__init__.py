@@ -69,7 +69,9 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # encode, fv3 vector scale, tx18 NFC normalize, tx19 Gopher rules,
 # iv3 phrase search, dd15 containment pairs, dq8 CUSUM drift, u2
 # content-defined chunks, sm4 MMR, e20 running distinct, tx20 TextRank,
-# sp7 negative sampling, dq9 FD screen); st2 (transformWithState) took
+# sp7 negative sampling, dq9 FD screen, tx21 SymSpell, sp8 k-fold,
+# sk8 KMV, e21 Theil-Sen, e22 OHLC, c11 deletion cascade); st2
+# (transformWithState) took
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; later additions selfchecked
