@@ -1008,3 +1008,105 @@ def e22_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("volume"),
     )
+
+
+_GEO_SPAN = 1000      # synthetic coordinate space [0, 1000)^2
+_GEO_R = 50           # neighbor radius; grid cell size = radius
+
+
+@query(
+    "j4_grid_neighbor_join",
+    sql=f"""
+    WITH ca AS (
+      SELECT c_custkey AS id_a,
+             CAST('0x' || substr(md5('gx_' || c_custkey), 1, 15) AS BIGINT)
+               % {_GEO_SPAN} AS xa,
+             CAST('0x' || substr(md5('gy_' || c_custkey), 1, 15) AS BIGINT)
+               % {_GEO_SPAN} AS ya
+      FROM customer
+    ), sb AS (
+      SELECT s_suppkey AS id_b,
+             CAST('0x' || substr(md5('gx_s' || s_suppkey), 1, 15) AS BIGINT)
+               % {_GEO_SPAN} AS xb,
+             CAST('0x' || substr(md5('gy_s' || s_suppkey), 1, 15) AS BIGINT)
+               % {_GEO_SPAN} AS yb
+      FROM supplier
+    )
+    SELECT id_a, id_b,
+           (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist2
+    FROM ca, sb
+    WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+          <= {_GEO_R} * {_GEO_R}
+    """,
+)
+def j4_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join (all customer/supplier point pairs within
+    radius r) via GRID-CELL BLOCKING — the 2D generalization of j2's
+    binned range join: cell size = r, so any within-r pair lands in the
+    same or an adjacent cell (|Δx| <= r ⇒ adjacent columns); one side
+    explodes its 3x3 cell neighborhood and candidates come from a
+    cell-keyed equi-join — shuffle carries the point streams keyed by
+    cell, NEVER the quadratic pair space the oracle's cross join scans.
+    Distance test is integer squared-Euclidean (no sqrt, no trig — libm
+    differs across engines; squares don't). Synthetic integer coords
+    derive from the shared md5 hash so both engines place every point
+    identically. Recall is exact by the cell-size argument — the same
+    theorem as j2, one dimension up. At 100 TB: densify-or-die applies
+    (g4's lesson) — cell occupancy is the knob, and r-sized cells keep
+    candidate fan-out proportional to true neighbor density."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    def hcoord(prefix: str, col: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col(col))), 1, 15),
+            16,
+            10,
+        ).cast("bigint") % _GEO_SPAN
+
+    ca = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        hcoord("gx_", "c_custkey").alias("xa"),
+        hcoord("gy_", "c_custkey").alias("ya"),
+    )
+    sb = supp.select(
+        F.col("s_suppkey").alias("id_b"),
+        hcoord("gx_s", "s_suppkey").alias("xb"),
+        hcoord("gy_s", "s_suppkey").alias("yb"),
+    )
+    # a-side explodes its 3x3 neighborhood; b-side registers its own cell
+    # (so each within-r pair meets in EXACTLY one cell — no dedup needed)
+    a_cells = ca.select(
+        "id_a",
+        "xa",
+        "ya",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("xa") / _GEO_R) + dx).alias("cx"),
+                        (F.floor(F.col("ya") / _GEO_R) + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    b_cells = sb.select(
+        "id_b",
+        "xb",
+        "yb",
+        F.struct(
+            F.floor(F.col("xb") / _GEO_R).alias("cx"),
+            F.floor(F.col("yb") / _GEO_R).alias("cy"),
+        ).alias("cell"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a_cells.join(b_cells, "cell")
+        .where(d2 <= _GEO_R * _GEO_R)
+        .select("id_a", "id_b", d2.alias("dist2"))
+    )
