@@ -626,3 +626,12 @@ def test_sk8_sketch_pair_join_is_tiny_side(spark, sf_dir, registry):
     broadcast NL/hash join, never a SortMergeJoin over raw events."""
     plan = _plan(registry["sk8_kmv_intersection"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_j4_grid_join_never_cartesian(spark, sf_dir, registry):
+    """j4: the spatial join must be a cell-keyed hash join (the oracle's
+    cross join is exactly what the operator must NOT plan); the 3x3
+    explode bounds candidate fan-out."""
+    plan = _plan(registry["j4_grid_neighbor_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
