@@ -933,7 +933,8 @@ def e3_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
              AS trailing_sum
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -941,7 +942,15 @@ def e16_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-1-hour per-user activity (count + decimal-exact sum)
     with a time-RANGE frame — frame width follows event density, which
     a ROWS frame (e3) cannot express. Same-second rows are RANGE peers
-    on both engines, so no id tie-break is needed for determinism."""
+    on both engines, so no id tie-break is needed for determinism.
+
+    The frame key is FLOORED whole seconds on BOTH engines: Spark's
+    timestamp->long cast truncates sub-second precision while DuckDB's
+    epoch() returns fractional DOUBLE seconds, so an unfloored oracle
+    disagrees on any pair of events 3600-3601s apart — a boundary case
+    absent at sf0.01 and caught by the round-6 full-registry sf0.1
+    sweep (one row in 100k). Whole-second bucketing is the documented
+    semantic: the frame is [t-3600s, t] in second resolution."""
     from ..operators.window_ops import time_range_rolling
 
     ev = load_table(spark, sf_dir, "events")
