@@ -398,3 +398,113 @@ def scd2_snapshot(
         (F.col(start_col) <= d)
         & (F.col(end_col).isNull() | (F.col(end_col) > d))
     )
+
+
+def scd2_pointintime_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_date_col: str,
+    *,
+    start_col: str = "start_date",
+    end_col: str = "end_date",
+    how: str = "inner",
+    dim_broadcastable: bool = True,
+) -> DataFrame:
+    """Per-row point-in-time join: each fact row joins the dimension
+    version that was in effect on ITS OWN date (half-open validity
+    [start, end), the scd2_snapshot convention) — the query pattern the
+    reference's SCD2 column roles exist to serve (project
+    SSIS::bor_dim.dtsx start_date/end_date/is_current; scd2_snapshot is
+    the single-date special case, this is the per-row general case).
+
+    Two physical shapes, chosen by `dim_broadcastable`:
+
+    * True (the warehouse default — dimensions are small by definition):
+      ONE broadcast hash join on the business key with the validity
+      range as a residual condition. The fact side never shuffles and
+      never sorts — at 100 TB this is a map-only pass over the fact,
+      identical in cost to the C2 surrogate-key cascade. Each fact row
+      meets only its key's version chain (a handful of rows), and
+      exactly one version satisfies the residual because well-formed
+      SCD2 intervals tile without overlap (property-tested in
+      tests/test_scd.py).
+
+    * False (dimension history too large to broadcast): the as-of
+      union+window shape — tag fact probes and dim versions, union,
+      one hash exchange on the key, per-key sort by (date, tag),
+      forward-fill the version struct, keep probe rows whose filled
+      version still satisfies the end-bound. One shuffle of the fact,
+      no all-pairs anywhere (operators/asof.py is the same shape).
+
+    `how` is 'inner' (probes before the key's first version drop out)
+    or 'left' (they survive with NULL version columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    d = F.col(fact_date_col).cast("date")
+    dim_cols = [c for c in dim.columns if c != key]
+    if dim_broadcastable:
+        dimr = dim.withColumnRenamed(key, f"__dim_{key}")
+        cond = (
+            (fact[fact_date_col].cast("date") >= dimr[start_col])
+            & (F.col(key) == F.col(f"__dim_{key}"))
+            & (
+                dimr[end_col].isNull()
+                | (fact[fact_date_col].cast("date") < dimr[end_col])
+            )
+        )
+        return fact.join(F.broadcast(dimr), cond, how).drop(f"__dim_{key}")
+
+    # Union+window as-of shape: version rows carry their payload as one
+    # struct (the ADVICE r5 asof lesson — the validity end travels WITH
+    # the payload, so the end-bound check and the attributes always come
+    # from the same filled version).
+    ver_struct = F.struct(
+        F.col(start_col), F.col(end_col),
+        *[F.col(c) for c in dim_cols if c not in (start_col, end_col)],
+    )
+    tagged_dim = dim.select(
+        F.col(key),
+        F.col(start_col).cast("date").alias("__pit_ts"),
+        F.lit(0).alias("__pit_tag"),
+        ver_struct.alias("__pit_ver"),
+    )
+    probe_cols = fact.columns
+    tagged_fact = fact.select(
+        F.col(key),
+        d.alias("__pit_ts"),
+        F.lit(1).alias("__pit_tag"),
+        F.lit(None).cast(tagged_dim.schema["__pit_ver"].dataType).alias("__pit_ver"),
+        *[F.col(c) for c in probe_cols if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__pit_ts", "__pit_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        tagged_dim.select(
+            key, "__pit_ts", "__pit_tag", "__pit_ver",
+            *[F.lit(None).cast(fact.schema[c].dataType).alias(c)
+              for c in probe_cols if c != key],
+        )
+        .unionByName(tagged_fact)
+        .withColumn("__pit_fill", F.last("__pit_ver", ignorenulls=True).over(w))
+        .where(F.col("__pit_tag") == 1)
+    )
+    valid = F.col("__pit_fill").isNotNull() & (
+        F.col(f"__pit_fill.{end_col}").isNull()
+        | (F.col("__pit_ts") < F.col(f"__pit_fill.{end_col}"))
+    )
+    keep = F.when(valid, F.col("__pit_fill"))
+    out = filled.select(
+        key,
+        *[F.col(c) for c in probe_cols if c != key],
+        *[keep[c].alias(c) for c in (start_col, end_col)],
+        *[keep[c].alias(c) for c in dim_cols if c not in (start_col, end_col)],
+        valid.alias("__pit_valid"),
+    )
+    if how == "inner":
+        out = out.where("__pit_valid")
+    return out.drop("__pit_valid")

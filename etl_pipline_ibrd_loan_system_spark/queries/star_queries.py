@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import sql_dsum
 from ..operators.scd import scd2_apply, scd2_init, scd_classify
 from ..operators.star import build_dimension
 from . import query
@@ -252,3 +253,80 @@ def g7_snapshot_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- G8: per-row point-in-time fact->SCD2 join ---------------------------
+
+_G8_SQL = f"""
+    {_DIM1_SQL}
+    SELECT d.sk, d.s_suppkey, d.s_name, d.is_current,
+           COUNT(*) AS n_lines, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM (SELECT l_suppkey,
+                 DATE '2024-01-01'
+                   + CAST((l_orderkey * 7 + l_linenumber) % 400 AS INTEGER)
+                   AS probe_date,
+                 l_quantity
+          FROM lineitem) l
+    JOIN dim1 d
+      ON d.s_suppkey = l.l_suppkey
+     AND d.start_date <= l.probe_date
+     AND (d.end_date IS NULL OR d.end_date > l.probe_date)
+    GROUP BY d.sk, d.s_suppkey, d.s_name, d.is_current
+"""
+
+
+def _g8_probe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem as a point-in-time probe stream: a deterministic probe
+    date spanning 2024-01-01..2025-02-03 — straddling the second load's
+    2024-06-01 version boundary, so closed T2 versions, their fresh
+    successors, and T1-rewritten current rows all receive probes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 400).cast("int"),
+        ).alias("probe_date"),
+        "l_quantity",
+    )
+
+
+def _g8_plan(spark: SparkSession, sf_dir: str, broadcastable: bool) -> DataFrame:
+    from ..functions.exact import dsum
+    from ..operators.scd import scd2_pointintime_join
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    joined = scd2_pointintime_join(
+        _g8_probe_lineitem(spark, sf_dir), dim1,
+        key="s_suppkey", fact_date_col="probe_date",
+        dim_broadcastable=broadcastable,
+    )
+    return joined.groupBy("sk", "s_suppkey", "s_name", "is_current").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@query("g8_pointintime_fact_join", sql=_G8_SQL)
+def g8_pointintime_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each lineitem probe joins the SCD2 supplier version in effect on
+    its own probe date (scd2_pointintime_join, broadcast shape: the fact
+    never shuffles before the validity-resolved join — a map-only pass
+    like the C2 cascade). The reference's SCD2 validity columns (project
+    SSIS::bor_dim.dtsx start_date/end_date roles) exist exactly so this
+    query can be asked; g2 is its single-date special case."""
+    return _g8_plan(spark, sf_dir, broadcastable=True)
+
+
+@query("g8b_pointintime_unbroadcast", sql=_G8_SQL)
+def g8b_pointintime_unbroadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same point-in-time join through the union+window as-of shape —
+    the path for dimension histories too large to broadcast (one hash
+    exchange of the fact on the key, no all-pairs). Oracle-identical to
+    g8 by construction; registering both keeps the scale path honest."""
+    return _g8_plan(spark, sf_dir, broadcastable=False)

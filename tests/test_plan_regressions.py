@@ -635,3 +635,29 @@ def test_j4_grid_join_never_cartesian(spark, sf_dir, registry):
     plan = _plan(registry["j4_grid_neighbor_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_g8_pointintime_fact_never_shuffles(spark, sf_dir, registry):
+    """g8: the broadcast point-in-time join must be a BroadcastHashJoin
+    with the validity range as residual — the lineitem probe side must
+    not sort-merge (one Exchange for the final aggregate is legal; a
+    fact-side join shuffle is the regression this guards against)."""
+    plan = _plan(registry["g8_pointintime_fact_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "g8 fact side regressed to SMJ"
+    assert "CartesianProduct" not in plan
+    # scd2_apply's 1-row max-sk scalar broadcast is a legal Cross BNLJ;
+    # the regression this guards is the FACT join losing its equi key
+    # (range residual alone -> an Inner BNLJ over the whole lineitem).
+    assert "BroadcastNestedLoopJoin Inner" not in plan, (
+        "g8 lost its equi key — the range residual alone means BNLJ"
+    )
+
+
+def test_g8b_fallback_single_key_exchange(spark, sf_dir, registry):
+    """g8b: the unbroadcastable-dim path is the union+window as-of shape
+    — per-key windows, no join of any kind before the aggregate."""
+    plan = _plan(registry["g8b_pointintime_unbroadcast"](spark, sf_dir))
+    assert "windowspecdefinition(s_suppkey" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

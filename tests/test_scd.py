@@ -293,3 +293,82 @@ def test_merge_execution_blocker_r6():
         f"DuckDB {duckdb.__version__} supports MERGE INTO — execute the "
         "generated MERGE there against the g1 oracle and retire this tripwire"
     )
+
+
+# --- point-in-time join (scd2_pointintime_join) --------------------------
+
+
+@pytest.fixture(scope="module")
+def pit(spark, dims):
+    """Probes straddling every boundary of the two-load dimension:
+    before the first version, on both load dates, between them, and on
+    a key that never existed."""
+    _, _, _, dim1 = dims
+    probes = spark.createDataFrame(
+        [
+            (1, "b3", "2023-12-31"),  # before first version -> no match
+            (2, "b3", "2024-01-01"),  # first day of the closed version
+            (3, "b3", "2024-01-31"),  # inside the closed version
+            (4, "b3", "2024-02-01"),  # boundary day -> NEW version (half-open)
+            (5, "b3", "2024-12-01"),  # open current version
+            (6, "b2", "2024-01-15"),  # T1 key: rewritten balance even pre-load
+            (7, "b5", "2024-01-15"),  # new key, probe before its birth
+            (8, "b5", "2024-02-01"),  # new key, birth day
+            (9, "zz", "2024-06-01"),  # key never in the dimension
+        ],
+        ["probe_id", "bk", "d"],
+    ).select("probe_id", "bk", F.col("d").cast("date").alias("d"))
+    return dim1, probes
+
+
+def _pit_rows(dim1, probes, **kw):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+        scd2_pointintime_join,
+    )
+
+    out = scd2_pointintime_join(probes, dim1, key="bk", fact_date_col="d", **kw)
+    return {
+        r["probe_id"]: (r["name"], r["balance"], r["is_current"])
+        for r in out.collect()
+    }
+
+
+@pytest.mark.parametrize("broadcastable", [True, False])
+def test_pointintime_boundary_semantics(pit, broadcastable):
+    dim1, probes = pit
+    got = _pit_rows(dim1, probes, dim_broadcastable=broadcastable)
+    assert set(got) == {2, 3, 4, 5, 6, 8}  # 1, 7, 9 drop out (inner)
+    assert got[2] == ("gamma", 30.0, False)          # closed version, day 1
+    assert got[3] == ("gamma", 30.0, False)
+    assert got[4] == ("gamma_renamed", 30.0, True)   # half-open boundary
+    assert got[5] == ("gamma_renamed", 30.0, True)
+    assert got[6] == ("beta", 25.0, True)            # T1 rewrote history
+    assert got[8] == ("epsilon", 50.0, True)
+
+
+@pytest.mark.parametrize("broadcastable", [True, False])
+def test_pointintime_left_keeps_unmatched(pit, broadcastable):
+    dim1, probes = pit
+    got = _pit_rows(dim1, probes, how="left", dim_broadcastable=broadcastable)
+    assert set(got) == set(range(1, 10))
+    for pid in (1, 7, 9):
+        assert got[pid] == (None, None, None)
+
+
+def test_pointintime_paths_agree(pit):
+    """Broadcast and union+window shapes are the same operator: their
+    full outputs must match row-for-row on every column both emit."""
+    dim1, probes = pit
+    a = _pit_rows(dim1, probes, dim_broadcastable=True)
+    b = _pit_rows(dim1, probes, dim_broadcastable=False)
+    assert a == b
+
+
+def test_pointintime_rejects_bad_how(pit):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+        scd2_pointintime_join,
+    )
+
+    dim1, probes = pit
+    with pytest.raises(ValueError, match="inner/left"):
+        scd2_pointintime_join(probes, dim1, key="bk", fact_date_col="d", how="anti")
