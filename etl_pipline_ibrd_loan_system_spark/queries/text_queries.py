@@ -1004,3 +1004,51 @@ def tx21_symspell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 1)
     )
     return cands
+
+
+@query(
+    "tx22_kneser_ney_counts",
+    sql=f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS w FROM documents
+    ),
+    pairs AS (
+      SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+    ),
+    big AS (SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2),
+    uni AS (
+      SELECT t AS word, COUNT(*) AS unigram_ct
+      FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+    ),
+    right_s AS (SELECT w2 AS word, COUNT(*) AS continuation_types FROM big GROUP BY w2),
+    left_s AS (SELECT w1 AS word, COUNT(*) AS context_types FROM big GROUP BY w1),
+    gstats AS (
+      SELECT COUNT(*) AS n_types,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+      FROM big
+    )
+    SELECT u.word, u.unigram_ct,
+           CAST(COALESCE(r.continuation_types, 0) AS BIGINT) AS continuation_types,
+           CAST(COALESCE(l.context_types, 0) AS BIGINT) AS context_types,
+           ROUND(CAST(COALESCE(r.continuation_types, 0) AS DOUBLE)
+                 / (SELECT n_types FROM gstats), 6) AS pcont,
+           CASE WHEN (SELECT n1 + 2 * n2 FROM gstats) = 0 THEN 0.0
+                ELSE ROUND(CAST((SELECT n1 FROM gstats) AS DOUBLE)
+                           / ((SELECT n1 FROM gstats)
+                              + 2 * (SELECT n2 FROM gstats)), 6)
+           END AS discount
+    FROM uni u
+    LEFT JOIN right_s r USING (word)
+    LEFT JOIN left_s l USING (word)
+    """,
+)
+def tx22_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram count tables over the corpus — the exact
+    aggregate surface an n-gram LM training run needs (continuation
+    counts, context counts, count-of-counts discount). Pure counting:
+    every derived probability is integer/integer in double space, so
+    both engines agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.kneser_ney_counts(docs, "text")

@@ -661,3 +661,13 @@ def test_g8b_fallback_single_key_exchange(spark, sf_dir, registry):
     assert "windowspecdefinition(s_suppkey" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tx22_pairs_are_array_zip_not_join(spark, sf_dir, registry):
+    """tx22: adjacent bigrams must come from the per-row array zip —
+    never a positional self-join of the exploded token stream (iv3's
+    join is for positions already in separate rows). The only legal
+    non-equi join is the 1-row count-of-counts broadcast."""
+    plan = _plan(registry["tx22_kneser_ney_counts"](spark, sf_dir))
+    assert "zip_with" in plan
+    assert "CartesianProduct" not in plan

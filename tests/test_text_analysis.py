@@ -59,3 +59,37 @@ def test_hashing_tf_counts_and_determinism(spark):
     again = {r.doc_id: r.tf_vec for r in
              textstats.hashing_tf(docs, "text", "doc_id", dim=8).collect()}
     assert out == again
+
+
+def test_kneser_ney_counts_hand_example(spark):
+    """'san francisco' example: 'francisco' is frequent as a unigram but
+    only ever follows 'san' — its continuation count (1) must be tiny
+    relative to its unigram count, which is the whole point of KN."""
+    from etl_pipline_ibrd_loan_system_spark.operators.textstats import (
+        kneser_ney_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("san francisco",),
+            ("san francisco",),
+            ("san francisco",),
+            ("new york",),
+            ("york hotel",),
+            ("new hotel",),
+        ],
+        ["text"],
+    )
+    rows = {r["word"]: r for r in kneser_ney_counts(docs, "text").collect()}
+    # bigram types: (san,francisco) c=3, (new,york) c=1, (york,hotel) c=1,
+    # (new,hotel) c=1  -> n_types=4, n1=3, n2=0 -> D = 3/3 = 1.0
+    assert rows["francisco"]["unigram_ct"] == 3
+    assert rows["francisco"]["continuation_types"] == 1   # only after 'san'
+    assert rows["francisco"]["context_types"] == 0        # never a context
+    assert rows["francisco"]["pcont"] == 0.25             # 1/4 types
+    assert rows["york"]["continuation_types"] == 1
+    assert rows["york"]["context_types"] == 1
+    assert rows["hotel"]["continuation_types"] == 2       # after york AND new
+    assert rows["hotel"]["pcont"] == 0.5
+    assert rows["san"]["continuation_types"] == 0
+    assert all(r["discount"] == 1.0 for r in rows.values())
