@@ -18,6 +18,7 @@ from pyspark.sql import types as T
 from ..catalog import load_table
 from ..functions.exact import dsum, sql_dsum
 from ..streaming.microbatch import run_stream_to_memory, tumbling_window_agg
+from .star_queries import _DIM1_SQL
 from . import query
 
 _WINDOW_SQL = f"""
@@ -609,3 +610,70 @@ def ss2_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return emitted.where(F.col("click_id") < 999_999_990)
+
+
+# --- s5: streaming point-in-time SCD2 enrichment --------------------------
+
+
+_S5_SQL = f"""
+    {_DIM1_SQL}
+    SELECT d.sk, d.s_suppkey, d.s_name, d.is_current,
+           COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM (SELECT user_id % 100 + 1 AS k,
+                 DATE '2024-01-01' + CAST(event_id % 400 AS INTEGER)
+                   AS probe_date,
+                 value
+          FROM events) e
+    JOIN dim1 d
+      ON d.s_suppkey = e.k
+     AND d.start_date <= e.probe_date
+     AND (d.end_date IS NULL OR d.end_date > e.probe_date)
+    GROUP BY d.sk, d.s_suppkey, d.s_name, d.is_current
+    """
+
+
+@query("s5_stream_scd2_enrich", sql=_S5_SQL)
+def s5_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g8's point-in-time SCD2 join running INSIDE Structured Streaming:
+    each streamed event is enriched with the supplier version in effect
+    on its own (derived) probe date, then aggregated statefully. The
+    broadcast PIT shape is stateless per micro-batch — the dimension is
+    planned once and broadcast into every batch, the stream side never
+    shuffles for the join (only the aggregate keys a shuffle) — so the
+    operator composes with streaming for free, which is the point of
+    expressing it as one join rather than procedural lookups. The
+    oracle replays the identical join+aggregate as batch SQL: stream /
+    batch parity, the s1/h1 discipline."""
+    from ..operators.scd import scd2_pointintime_join
+    from .star_queries import ASOF1, scd_fixture
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    from ..operators.scd import scd2_apply
+
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    stream = _events_stream_factory(spark, sf_dir, "s5_events_")()
+    probes = stream.select(
+        (F.col("user_id") % 100 + 1).alias("s_suppkey"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            (F.col("event_id") % 400).cast("int"),
+        ).alias("probe_date"),
+        "value",
+    )
+    enriched = scd2_pointintime_join(
+        probes, dim1, key="s_suppkey", fact_date_col="probe_date",
+    )
+    agg = enriched.groupBy("sk", "s_suppkey", "s_name", "is_current").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(agg, "s5_enriched", output_mode="complete")
+        try:
+            return spark.table("s5_enriched").localCheckpoint(eager=True)
+        finally:
+            q.stop()
