@@ -75,7 +75,11 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; later additions selfchecked
-# individually at sf0.001/0.01/0.1 on registration day).
+# individually at sf0.001/0.01/0.1 on registration day). The ninth-wave
+# set registered after the round-6 sf0.1 sweep snapshot (g8/g8b
+# point-in-time SCD2 join, tx22 Kneser-Ney counts, s5 streaming PIT
+# enrichment — each selfchecked green at sf0.001/0.01/0.1 on
+# 2026-08-15) joins that round-7 first-in-line list.
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside
