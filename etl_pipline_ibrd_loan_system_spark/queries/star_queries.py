@@ -330,3 +330,59 @@ def g8b_pointintime_unbroadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange of the fact on the key, no all-pairs). Oracle-identical to
     g8 by construction; registering both keeps the scale path honest."""
     return _g8_plan(spark, sf_dir, broadcastable=False)
+
+
+# --- G9: SCD Type 3 (previous-value columns) ------------------------------
+
+
+@query(
+    "g9_scd3_apply",
+    sql="""
+    WITH staging AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 1 THEN s_name || '_v2'
+                  ELSE s_name END AS s_name,
+             CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 1000000, 'NEW_' || s_name, s_acctbal
+      FROM supplier WHERE s_suppkey % 10 = 2
+    ),
+    st AS (SELECT * FROM staging WHERE s_suppkey % 10 <> 5)
+    SELECT st.s_suppkey, st.s_name,
+           CASE WHEN d.s_suppkey IS NOT NULL
+                     AND st.s_name IS DISTINCT FROM d.s_name
+                THEN d.s_name END AS prev_s_name,
+           st.s_acctbal,
+           CASE WHEN d.s_suppkey IS NOT NULL
+                     AND st.s_acctbal IS DISTINCT FROM d.s_acctbal
+                THEN d.s_acctbal END AS prev_s_acctbal
+    FROM st LEFT JOIN supplier d ON st.s_suppkey = d.s_suppkey
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS VARCHAR), s_acctbal,
+           CAST(NULL AS DOUBLE)
+    FROM supplier WHERE s_suppkey % 10 = 5
+    """,
+)
+def g9_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 load: the two-load fixture with %10==5 keys withheld
+    from staging, so all four routes fire — changed (old value moves to
+    the prev_ column), unchanged (prev stays NULL), brand-new (NULL
+    prev), and absent-from-staging (row survives untouched)."""
+    from ..operators.scd import scd3_apply
+
+    sup = load_table(spark, sf_dir, "supplier")
+    acct_t = sup.schema["s_acctbal"].dataType
+    dim0 = sup.select(
+        "s_suppkey",
+        "s_name",
+        F.lit(None).cast("string").alias("prev_s_name"),
+        "s_acctbal",
+        F.lit(None).cast(acct_t).alias("prev_s_acctbal"),
+    )
+    _, staging = scd_fixture(spark, sf_dir)
+    staging = staging.where(F.col("s_suppkey") % 10 != 5).drop("s_nationkey")
+    return scd3_apply(
+        dim0, staging, key="s_suppkey", tracked_cols=["s_name", "s_acctbal"]
+    )

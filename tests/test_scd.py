@@ -372,3 +372,37 @@ def test_pointintime_rejects_bad_how(pit):
     dim1, probes = pit
     with pytest.raises(ValueError, match="inner/left"):
         scd2_pointintime_join(probes, dim1, key="bk", fact_date_col="d", how="anti")
+
+
+# --- SCD Type 3 (scd3_apply) ---------------------------------------------
+
+
+def test_scd3_two_applies(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd3_apply
+
+    dim0 = spark.createDataFrame(
+        [("b1", "alpha", None), ("b2", "beta", None), ("b3", "gamma", None)],
+        "bk string, name string, prev_name string",
+    )
+    s1 = spark.createDataFrame(
+        [("b1", "alpha2"), ("b2", "beta")], ["bk", "name"]
+    )
+    dim1 = scd3_apply(dim0, s1, key="bk", tracked_cols=["name"])
+    got1 = {r["bk"]: (r["name"], r["prev_name"]) for r in dim1.collect()}
+    assert got1 == {
+        "b1": ("alpha2", "alpha"),   # changed: old value -> prev
+        "b2": ("beta", None),        # unchanged: prev stays NULL
+        "b3": ("gamma", None),       # absent from staging: untouched
+    }
+
+    s2 = spark.createDataFrame(
+        [("b1", "alpha2"), ("b2", "beta9"), ("b4", "delta")], ["bk", "name"]
+    )
+    dim2 = scd3_apply(dim1, s2, key="bk", tracked_cols=["name"])
+    got2 = {r["bk"]: (r["name"], r["prev_name"]) for r in dim2.collect()}
+    assert got2 == {
+        "b1": ("alpha2", "alpha"),   # unchanged: EXISTING prev survives
+        "b2": ("beta9", "beta"),     # changed on 2nd load
+        "b3": ("gamma", None),       # still untouched
+        "b4": ("delta", None),       # brand-new key: NULL prev
+    }
