@@ -1075,3 +1075,61 @@ def fv3_vector_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         scaled.alias("scaled_ppm"),
     )
+
+
+@query(
+    "m15_market_concentration",
+    sql="""
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - l_discount AS DECIMAL(8,4)))
+                  AS DECIMAL(15,4)) AS r
+      FROM lineitem GROUP BY year(l_shipdate), l_suppkey
+    )
+    SELECT yr, COUNT(*) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(19,4)) * r) AS DOUBLE)
+                 / (CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)), 9)
+             AS hhi,
+           ROUND(CAST(MAX(r) AS DOUBLE) / CAST(SUM(r) AS DOUBLE), 9)
+             AS top_share
+    FROM rev GROUP BY yr
+    """,
+)
+def m15_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per shipment
+    year. The textbook formula squares per-supplier SHARES — a division
+    before a float sum, which is cross-engine-inexact. The identity
+    HHI = sum(r^2) / (sum r)^2 moves every reduction into exact decimal
+    space (revenue and squared-revenue sums are associative decimals)
+    and leaves ONE correctly-rounded double division per group, so both
+    engines agree bit-for-bit. Two map-side-combinable aggregates —
+    (year, supplier) grain then year grain — no window, no join; at
+    100 TB the shuffle carries one decimal triple per supplier-year.
+    r is bounded to DECIMAL(15,4) (1e11 per supplier-year) so r*r stays
+    inside DECIMAL(38,*) on both engines; the oracle additionally casts
+    one operand to DECIMAL(19,4) because DuckDB keeps width<=18
+    multiplies in int64 and overflows before consulting the result
+    type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(
+            F.year("l_shipdate").cast("bigint").alias("yr"), "l_suppkey"
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+            )
+            .cast("decimal(15,4)")
+            .alias("r")
+        )
+    )
+    sum_r = F.sum("r").cast("double")
+    return rev.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.sum(F.col("r") * F.col("r")).cast("double") / (sum_r * sum_r), 9
+        ).alias("hhi"),
+        F.round(F.max("r").cast("double") / sum_r, 9).alias("top_share"),
+    )
