@@ -426,6 +426,68 @@ def weighted_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "prio:",
+) -> DataFrame:
+    """Duffield–Lund–Thorup priority sampling: a FIXED-SIZE-k weighted
+    sample with unbiased subset-sum estimates (the fixed-size complement
+    of weighted_sample's Bernoulli design).
+
+    Each row gets priority q = w / u with u uniform in (0, 1]; the k
+    highest-priority rows are the sample, tau is the (k+1)-th priority,
+    and every sampled row's weight estimate is max(w, tau) — unbiased
+    for any subset-sum over the original weights (Duffield, Lund,
+    Thorup, JACM 2007; near-optimal variance among all k-size schemes).
+
+    Cross-engine exactness: u = ((hash60 % 2^53) + 1) / 2^53 — the
+    numerator is exactly representable in a double and the divisor is a
+    power of two, so u is an exact dyadic rational on both engines; q is
+    then ONE correctly-rounded IEEE division. Ties (impossible short of
+    a hash collision) break on id.
+
+    Scale: the global top-(k+1) compiles to TakeOrderedAndProject — a
+    per-partition bounded heap plus a driver-side merge of P*(k+1)
+    rows, no global sort and no shuffle of the data; the scan streams.
+    tau rides a 1-row broadcast onto the k sampled rows.
+    """
+    two53 = 1 << 53
+    u = (
+        (
+            shared_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+            % F.lit(two53)
+            + F.lit(1)
+        ).cast("double")
+        / F.lit(float(two53))
+    )
+    base = df.where(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        (F.col(weight_col).cast("double") / u).alias("priority"),
+    )
+    top_k1 = base.orderBy(F.desc("priority"), F.col(id_col)).limit(k + 1)
+    # tau = the (k+1)-th priority when one exists; 0 when the population
+    # fits inside k (then every row is sampled and est_weight = weight).
+    tau = top_k1.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    sampled = top_k1.orderBy(F.desc("priority"), F.col(id_col)).limit(k)
+    return sampled.crossJoin(F.broadcast(tau)).select(
+        id_col,
+        "weight",
+        "priority",
+        "tau",
+        F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+            "est_weight"
+        ),
+    )
+
+
 def negative_sample(
     positives: DataFrame,
     user_col: str,

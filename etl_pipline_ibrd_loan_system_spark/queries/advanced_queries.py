@@ -1110,3 +1110,116 @@ def j4_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= _GEO_R * _GEO_R)
         .select("id_a", "id_b", d2.alias("dist2"))
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "e23_autocorrelation",
+    sql=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       CAST(date_trunc('day', ts) AS DATE))::BIGINT AS d,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT x.event_type, l.lag, x.n AS xv, y.n AS yv
+      FROM daily x
+      CROSS JOIN (SELECT CAST(unnest(range(1, {_ACF_MAX_LAG + 1})) AS BIGINT)
+                    AS lag) l
+      JOIN daily y ON y.event_type = x.event_type AND y.d = x.d + l.lag
+    ), mom AS (
+      SELECT event_type, lag,
+             COUNT(*)::BIGINT AS n_pairs,
+             SUM(CAST(xv AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(yv AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(xv AS DECIMAL(18,0)) * CAST(xv AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(yv AS DECIMAL(18,0)) * CAST(yv AS DECIMAL(18,0))) AS syy,
+             SUM(CAST(xv AS DECIMAL(18,0)) * CAST(yv AS DECIMAL(18,0))) AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS acf
+    FROM mom
+    """,
+)
+def e23_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (Pearson, lags 1..7) of each event type's
+    daily-count series — the periodicity screen that pairs with e21's
+    trend and dq8's level-shift detector.
+
+    Exactness: the lag pairing is an equi-join on (type, d + lag); all
+    five moment sums accumulate in DECIMAL space (order-free,
+    overflow-safe to ~1e9-events/day in the 18,0 per-row factor caps);
+    the Pearson assembly then runs in a FIXED double expression tree —
+    products, subtractions, two correctly-rounded sqrts, one division —
+    identical on both engines. Zero-variance series return NULL through
+    the identical CASE guard (Spark's non-ANSI x/0.0 -> NULL vs DuckDB
+    inf would otherwise diverge).
+
+    Scale: like e21/dq8, everything after the first map-side-combined
+    groupBy is time-bounded — (type, day) grain, so the lag join and
+    moment aggregation touch #days*7 rows per type no matter how many
+    billions of raw events feed the dailies."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = F.array(
+        *[F.lit(i).cast("bigint") for i in range(1, _ACF_MAX_LAG + 1)]
+    )
+    x = daily.select(
+        "event_type",
+        "d",
+        F.col("n").alias("xv"),
+        F.explode(lags).alias("lag"),
+    )
+    y = daily.select(
+        F.col("event_type").alias("et_y"),
+        F.col("d").alias("dy"),
+        F.col("n").alias("yv"),
+    )
+    pairs = x.join(
+        y,
+        (F.col("event_type") == F.col("et_y"))
+        & (F.col("dy") == F.col("d") + F.col("lag")),
+    )
+    dec = "decimal(18,0)"
+    xv, yv = F.col("xv").cast(dec), F.col("yv").cast(dec)
+    mom = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xv).alias("sx"),
+        F.sum(yv).alias("sy"),
+        F.sum(xv * xv).alias("sxx"),
+        F.sum(yv * yv).alias("syy"),
+        F.sum(xv * yv).alias("sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    acf = F.when(
+        (var_x > 0) & (var_y > 0),
+        (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return mom.select("event_type", "lag", "n_pairs", acf.alias("acf"))

@@ -1031,3 +1031,39 @@ def sp8_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+_PRIO_HASH = _HASH60.format(x="'prio:' || CAST(doc_id AS VARCHAR)")
+_TWO53 = 1 << 53
+
+
+@query(
+    "sp9_priority_sample",
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS weight,
+             CAST(n_chars AS DOUBLE)
+               / (CAST({_PRIO_HASH} % {_TWO53} + 1 AS DOUBLE)
+                  / {float(_TWO53)}) AS priority
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM p
+    ), t AS (
+      SELECT coalesce((SELECT priority FROM r WHERE rn = 21), 0.0) AS tau
+    )
+    SELECT doc_id, weight, priority, tau,
+           greatest(CAST(weight AS DOUBLE), tau) AS est_weight
+    FROM r, t WHERE rn <= 20
+    """,
+)
+def sp9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-20 weighted sample of the corpus by document length
+    with Duffield–Lund–Thorup unbiased weight estimates
+    (operators.sampling.priority_sample) — the fixed-budget counterpart
+    of sp3's Bernoulli importance resample: pick EXACTLY k documents,
+    longest-favored, and keep subset-sum estimation exact via
+    est_weight = max(w, tau)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.priority_sample(docs, "doc_id", "n_chars", k=20)
