@@ -488,6 +488,63 @@ def priority_sample(
     )
 
 
+def apportion_budget(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of an integer budget
+    across groups in proportion to their total weight: each group gets
+    floor(budget * w_g / W) units, and the budget - sum(floors) leftover
+    units go one each to the largest remainders (ties broken by group
+    name). The result sums to EXACTLY `budget` — the property a
+    token-budget allocator needs before mx2-style per-source selection
+    can cut each source at its quota (a float-share rounding pass can
+    land over or under by #groups units).
+
+    Exactness: everything is int64 — floor = (budget*w) div W, remainder
+    = (budget*w) mod W — so the oracle agrees bit-for-bit with no float
+    shares anywhere. budget * max-group-weight must fit int64 (plenty
+    for char/token weights at trillions; beyond that, widen the two
+    products to decimal(38,0) — the div/mod identities carry over).
+
+    Scale: the only per-row work is the map-side-combined weight sum;
+    everything after runs at GROUP grain (sources/domains — tens, not
+    billions), so the unpartitioned rank window is a deliberately
+    driver-scale step, same argument as dq8's per-type fold.
+    """
+    per = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("weight")
+    )
+    tot = per.agg(F.sum("weight").alias("tot"))
+    b = int(budget)
+    q = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "weight",
+        F.expr(f"(CAST({b} AS BIGINT) * weight) div tot").alias(
+            "floor_alloc"
+        ),
+        F.expr(f"(CAST({b} AS BIGINT) * weight) % tot").alias("remainder"),
+    )
+    leftover = q.agg(
+        (F.lit(b).cast("bigint") - F.sum("floor_alloc")).alias("leftover")
+    )
+    rank_w = Window.orderBy(F.desc("remainder"), F.col(group_col))
+    ranked = q.withColumn("rn", F.row_number().over(rank_w)).crossJoin(
+        F.broadcast(leftover)
+    )
+    extra = (F.col("rn") <= F.col("leftover")).cast("bigint")
+    return ranked.select(
+        group_col,
+        "weight",
+        "floor_alloc",
+        "remainder",
+        extra.alias("extra"),
+        (F.col("floor_alloc") + extra).alias("alloc"),
+    )
+
+
 def negative_sample(
     positives: DataFrame,
     user_col: str,

@@ -1223,3 +1223,109 @@ def e23_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
     )
     return mom.select("event_type", "lag", "n_pairs", acf.alias("acf"))
+
+
+@query(
+    "e24_holt_smoothing",
+    sql="""
+    WITH RECURSIVE counts AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, n_events,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM counts
+    ), rec AS (
+      SELECT event_type, day, n_events, i,
+             CAST(n_events AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.day, s.n_events, s.i,
+             0.5 * CAST(s.n_events AS DOUBLE) + 0.5 * (r.level + r.trend),
+             0.25 * ((0.5 * CAST(s.n_events AS DOUBLE)
+                      + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.75 * r.trend
+      FROM seq s
+      JOIN rec r ON s.event_type = r.event_type AND s.i = r.i + 1
+    )
+    SELECT event_type, day, n_events, level, trend,
+           level + trend AS forecast_next
+    FROM rec
+    """,
+)
+def e24_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha = 1/2,
+    beta = 1/4) over each event type's daily-count series, with the
+    one-step-ahead forecast — completes the local-level family next to
+    e11's EWMA (level only) and e21's global Theil–Sen slope.
+
+    Exactness: a 2-state sequential recurrence, so the dq8 discipline —
+    Spark folds the sorted (day, count) array per type with an
+    `aggregate` whose step is a FIXED double expression tree (multiplies
+    by the dyadic 1/2, 1/4, 3/4 are exact or correctly rounded; each
+    add/subtract one rounding), and the oracle replays the identical
+    tree in a recursive CTE, duplicating the level expression textually
+    where b_t needs l_t — bit-identical on both engines. Init l_1 = x_1,
+    b_1 = 0 on both sides.
+
+    Scale: the heavy reduction is the map-side-combined daily count;
+    the fold sees one array per type, bounded by observed days
+    (time-bounded state, the dq8/e21/e23 argument). Missing days are
+    skipped identically by both engines; e5's spine join fills them in
+    a production pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = counts.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n_events"))
+        ).alias("series")
+    )
+
+    def step(acc, x):
+        xn = x["n_events"].cast("double")
+        is_first = F.size(acc["out"]) == 0
+        l_new = F.when(is_first, xn).otherwise(
+            F.lit(0.5) * xn + F.lit(0.5) * (acc["l"] + acc["b"])
+        )
+        b_new = F.when(is_first, F.lit(0.0)).otherwise(
+            F.lit(0.25) * (l_new - acc["l"]) + F.lit(0.75) * acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["day"].alias("day"),
+                        x["n_events"].alias("n"),
+                        l_new.alias("lv"),
+                        b_new.alias("tr"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    fold = F.aggregate(
+        "series",
+        F.expr(
+            "struct(CAST(0.0 AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b, "
+            "CAST(array() AS "
+            "array<struct<day:date,n:bigint,lv:double,tr:double>>) AS out)"
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+    return per_type.select("event_type", F.explode(fold).alias("r")).select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n").alias("n_events"),
+        F.col("r.lv").alias("level"),
+        F.col("r.tr").alias("trend"),
+        (F.col("r.lv") + F.col("r.tr")).alias("forecast_next"),
+    )

@@ -1038,6 +1038,44 @@ _TWO53 = 1 << 53
 
 
 @query(
+    "mx4_budget_apportionment",
+    sql="""
+    WITH per AS (
+      SELECT source, SUM(n_chars)::BIGINT AS weight
+      FROM documents GROUP BY 1
+    ), t AS (
+      SELECT SUM(weight)::BIGINT AS tot FROM per
+    ), q AS (
+      SELECT source, weight,
+             (CAST(100000 AS BIGINT) * weight) // tot AS floor_alloc,
+             (CAST(100000 AS BIGINT) * weight) % tot AS remainder
+      FROM per, t
+    ), l AS (
+      SELECT CAST(100000 - SUM(floor_alloc) AS BIGINT) AS leftover FROM q
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rn
+      FROM q
+    )
+    SELECT source, weight, floor_alloc, remainder,
+           CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           floor_alloc
+             + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM r, l
+    """,
+)
+def mx4_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 100k-unit corpus
+    budget across sources by total character weight
+    (operators.sampling.apportion_budget): the integer-exact allocator
+    that feeds mx2's per-source token-budget cut — allocations sum to
+    exactly the budget, with no float-share rounding drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.apportion_budget(docs, "source", "n_chars", budget=100000)
+
+
+@query(
     "sp9_priority_sample",
     sql=f"""
     WITH p AS (

@@ -560,3 +560,68 @@ def test_c4_line_filter_is_pure_projection(spark):
     plan = _plan(textprep.c4_line_filter(docs, "text", "doc_id"))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ----------------------------------------------------------- apportionment
+
+
+def test_apportion_budget_sums_exactly_and_favors_weight(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 23), ("b", 7), ("c", 1), ("d", 59)],
+        "source string, w long",
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.apportion_budget(df, "source", "w", budget=17).collect()
+    }
+    # exact-sum invariant: Hamilton never over- or under-allocates
+    assert sum(r["alloc"] for r in out.values()) == 17
+    # every group: floor <= alloc <= floor + 1
+    for r in out.values():
+        assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)
+    # weights: a=33, b=7, c=1, d=59 (W=100); quotas 5.61, 1.19, 0.17, 10.03
+    assert out["a"]["floor_alloc"] == 5
+    assert out["d"]["floor_alloc"] == 10
+    # leftover = 17 - 16 = 1 unit -> largest remainder (a, 0.61)
+    assert out["a"]["alloc"] == 6
+    assert out["b"]["alloc"] == 1
+    assert out["c"]["alloc"] == 0
+    assert out["d"]["alloc"] == 10
+
+
+def test_apportion_budget_zero_leftover(spark):
+    # weights divide the budget exactly: no extras anywhere
+    df = spark.createDataFrame(
+        [("x", 1), ("y", 3)], "source string, w long"
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.apportion_budget(df, "source", "w", budget=8).collect()
+    }
+    assert out["x"]["alloc"] == 2 and out["x"]["extra"] == 0
+    assert out["y"]["alloc"] == 6 and out["y"]["extra"] == 0
+
+
+def test_priority_sample_fixed_size_and_estimates(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(100)], "id long, w long"
+    )
+    rows = sampling.priority_sample(df, "id", "w", k=10).collect()
+    assert len(rows) == 10
+    tau = rows[0]["tau"]
+    assert all(r["tau"] == tau for r in rows)  # one global threshold
+    for r in rows:
+        # every sampled priority clears tau; estimate = max(w, tau)
+        assert r["priority"] >= tau
+        assert r["est_weight"] == max(float(r["weight"]), tau)
+
+
+def test_priority_sample_population_within_k(spark):
+    # n <= k: everything sampled, tau = 0, estimates = true weights
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9)], "id long, w long"
+    )
+    rows = sampling.priority_sample(df, "id", "w", k=10).collect()
+    assert len(rows) == 2
+    assert all(r["tau"] == 0.0 for r in rows)
+    assert all(r["est_weight"] == float(r["weight"]) for r in rows)
