@@ -1329,3 +1329,76 @@ def e24_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.tr").alias("trend"),
         (F.col("r.lv") + F.col("r.tr")).alias("forecast_next"),
     )
+
+
+@query(
+    "e25_skyline",
+    sql="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM part
+    )
+    SELECT p.p_partkey, p.size, p.price_cents
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        AND (q.price_cents < p.price_cents OR q.size > p.size)
+    )
+    """,
+)
+def e25_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts — minimize retail price,
+    maximize size: every part no other part dominates (<= price AND
+    >= size, strict in one). The multi-objective shortlist operator
+    (cheapest-per-capability curves, best-quality-per-token corpora)
+    that a naive engine writes as the oracle's quadratic NOT EXISTS.
+
+    Shape: two phases, both shuffle-light. (1) Coarse prune: bucket
+    price_cents into $100 bands, take each band's max size (one
+    map-side-combined aggregate on a TINY table), prefix-max it over
+    bands (window over #bands rows), broadcast back — a point below its
+    strictly-cheaper bands' running max is dominated (transitively by a
+    skyline point, which the prune provably never drops). (2) Exact pass
+    on the survivors — by construction a staircase-sized set — with two
+    windows: strictly-cheaper running max (RANGE .. 1 PRECEDING, so
+    equal prices never dominate through it) and the same-price max for
+    the within-tie strict check. Duplicate (price, size) points all
+    survive, matching NOT EXISTS semantics. All comparisons in int64
+    cents — no float dominance ties."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("size"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    b = pts.withColumn("bucket", F.expr("price_cents div 10000"))
+    bmax = b.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    w_pre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = bmax.select(
+        "bucket", F.max("bmax").over(w_pre).alias("pre_max")
+    )
+    surv = b.join(F.broadcast(pre), "bucket").where(
+        F.col("pre_max").isNull() | (F.col("size") > F.col("pre_max"))
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tie = Window.partitionBy("price_cents")
+    ex = surv.select(
+        "p_partkey",
+        "size",
+        "price_cents",
+        F.max("size").over(w_cheaper).alias("m_cheaper"),
+        F.max("size").over(w_tie).alias("m_tie"),
+    )
+    return ex.where(
+        (F.col("m_cheaper").isNull() | (F.col("size") > F.col("m_cheaper")))
+        & (F.col("size") == F.col("m_tie"))
+    ).select("p_partkey", "size", "price_cents")

@@ -1133,3 +1133,104 @@ def m15_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.max("r").cast("double") / sum_r, 9).alias("top_share"),
     )
+
+
+@query(
+    "g10_degree_assortativity",
+    sql="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, COUNT(*)::BIGINT AS d FROM edges GROUP BY 1
+    ), pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM edges e
+      JOIN deg du ON du.node = e.src
+      JOIN deg dv ON dv.node = e.dst
+    ), mom AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CAST(dx AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(dy AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dx AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(dy AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS syy,
+             SUM(CAST(dx AS DECIMAL(18,0)) * CAST(dy AS DECIMAL(18,0))) AS sxy
+      FROM pairs
+    )
+    SELECT n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS assortativity
+    FROM mom
+    """,
+)
+def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the symmetric customer<->supplier trade
+    graph (Newman 2002): the Pearson correlation of endpoint degrees
+    over the directed edge list — positive means hubs trade with hubs.
+    Completes the graph-stats family next to g3 (PageRank), g4
+    (triangles) and dd8's components.
+
+    Exactness: degrees are exact bigint counts; the five moment sums
+    accumulate in decimal space (order-free); the Pearson assembles in
+    the same fixed double tree as e23, with the identical zero-variance
+    CASE guard. Scale: two equi-joins of the edge list against the
+    node-sized degree table (key-partitioned, no fan-out — deg is one
+    row per node), then ONE map-side-combined global moment aggregate;
+    nothing is ever quadratic in nodes or edges."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("d").alias("dy"))
+    pairs = edges.join(du, "src").join(dv, "dst")
+    dec = "decimal(18,0)"
+    dx, dy = F.col("dx").cast(dec), F.col("dy").cast(dec)
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0),
+        (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
+    )
+    return mom.select("n", r.alias("assortativity"))

@@ -570,3 +570,107 @@ def dq9_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                "o_custkey", "o_orderpriority")
         )
     )
+
+
+def _dq10_sql() -> str:
+    from ..functions.exact import sql_dsum
+    from .star_queries import _DIM1_SQL
+
+    return f"""
+    {_DIM1_SQL}
+    , probes AS (
+      SELECT l_suppkey
+               + CASE WHEN l_orderkey % 37 = 0 THEN 2000000 ELSE 0 END
+               AS probe_key,
+             DATE '2023-07-01'
+               + CAST((l_orderkey * 7 + l_linenumber) % 400 AS INTEGER)
+               AS probe_date,
+             l_quantity
+      FROM lineitem
+    ), m AS (
+      SELECT p.probe_key, p.probe_date, p.l_quantity, d.sk
+      FROM probes p
+      LEFT JOIN dim1 d
+        ON d.s_suppkey = p.probe_key
+       AND d.start_date <= p.probe_date
+       AND (d.end_date IS NULL OR d.end_date > p.probe_date)
+    ), f AS (
+      SELECT m.*, k.s_suppkey AS k_key
+      FROM m LEFT JOIN (SELECT DISTINCT s_suppkey FROM dim1) k
+        ON m.probe_key = k.s_suppkey
+    )
+    SELECT CASE WHEN sk IS NOT NULL THEN 'matched'
+                WHEN k_key IS NOT NULL THEN 'no_version'
+                ELSE 'no_key' END AS status,
+           COUNT(*)::BIGINT AS n_probes,
+           COUNT(DISTINCT probe_key)::BIGINT AS n_keys,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM f GROUP BY 1
+    """
+
+
+@query("dq10_temporal_orphans", sql=_dq10_sql())
+def dq10_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal referential-integrity audit: every fact probe is routed
+    to exactly one of 'matched' (an SCD2 supplier version covers its
+    date), 'no_version' (the key exists but the probe predates its
+    first validity window — late-arriving facts older than the initial
+    load), or 'no_key' (FK orphan — the key was never loaded). The
+    time-aware companion to dq1's static orphan count: a plain FK check
+    passes a fact whose dimension version didn't exist yet, this one
+    doesn't. Probe dates span 2023-07-01..2024-08-03 (straddling the
+    2024-01-01 initial load), and 1/37 of probes get a synthetic
+    never-loaded key.
+
+    Scale: both joins broadcast the dimension (history and distinct-key
+    list — dimension-sized, the g8 argument), so the fact stream never
+    shuffles before the final 3-group aggregate; disjoint SCD2 validity
+    windows guarantee the left join is fan-out-free."""
+    from ..functions.exact import dsum
+    from ..operators.scd import scd2_apply
+    from .star_queries import ASOF1, scd_fixture
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"],
+        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    probes = li.select(
+        (
+            F.col("l_suppkey")
+            + F.when(F.col("l_orderkey") % 37 == 0, 2000000).otherwise(0)
+        ).alias("probe_key"),
+        F.date_add(
+            F.to_date(F.lit("2023-07-01")),
+            ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 400).cast(
+                "int"
+            ),
+        ).alias("probe_date"),
+        "l_quantity",
+    )
+    dimv = dim1.select(
+        F.col("s_suppkey").alias("d_key"), "sk", "start_date", "end_date"
+    )
+    matched = probes.join(
+        F.broadcast(dimv),
+        (F.col("probe_key") == F.col("d_key"))
+        & (F.col("start_date") <= F.col("probe_date"))
+        & (F.col("end_date").isNull() | (F.col("end_date") > F.col("probe_date"))),
+        "left",
+    )
+    keys = dim1.select(F.col("s_suppkey").alias("k_key")).distinct()
+    flagged = matched.join(
+        F.broadcast(keys), F.col("probe_key") == F.col("k_key"), "left"
+    )
+    status = (
+        F.when(F.col("sk").isNotNull(), "matched")
+        .when(F.col("k_key").isNotNull(), "no_version")
+        .otherwise("no_key")
+    )
+    return flagged.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.countDistinct("probe_key").alias("n_keys"),
+        dsum("l_quantity", "sum_qty"),
+    )

@@ -355,3 +355,141 @@ def c11_deletion_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("orders", ord_del, orders))
         .unionAll(row("lineitem", li_del, li))
     )
+
+
+# --- er1: blocked + scored record linkage ---------------------------------
+# Dirty re-extract of 20% of customers (custkey % 10 in (3, 7)), each
+# with exactly one deterministic defect class:
+#   %20 == 3  -> name typo ('_x' suffix)
+#   %20 == 13 -> segment lost ('UNKNOWN')
+#   %10 == 7  -> balance drifted +7.31
+# Pass A blocks on (nation, segment) and catches the balance/name
+# defects; pass B blocks on (nation, $1000 balance band) and catches
+# the segment defect (disjoint from the balance defect by construction)
+# -> every true pair is blocked by at least one pass.
+_ER1_DIRTY_SQL = """
+      SELECT c_custkey AS d_custkey,
+             CASE WHEN c_custkey % 20 = 3 THEN c_name || '_x'
+                  ELSE c_name END AS d_name,
+             c_nationkey AS d_nationkey,
+             CASE WHEN c_custkey % 10 = 7 THEN c_acctbal + 7.31
+                  ELSE c_acctbal END AS d_acctbal,
+             CASE WHEN c_custkey % 20 = 13 THEN 'UNKNOWN'
+                  ELSE c_mktsegment END AS d_mktsegment
+      FROM customer WHERE c_custkey % 10 IN (3, 7)
+"""
+
+
+@query(
+    "er1_linkage_confusion",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS (
+      SELECT DISTINCT d_custkey, c_custkey FROM (
+        SELECT d.d_custkey, c.c_custkey
+        FROM dirty d JOIN customer c
+          ON d.d_nationkey = c.c_nationkey
+         AND d.d_mktsegment = c.c_mktsegment
+        UNION ALL
+        SELECT d.d_custkey, c.c_custkey
+        FROM dirty d JOIN customer c
+          ON d.d_nationkey = c.c_nationkey
+         AND CAST(CAST(d.d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               // 100000
+             = CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               // 100000
+      )
+    ), scored AS (
+      SELECT cand.d_custkey, cand.c_custkey,
+             CAST(CASE WHEN d.d_name = c.c_name THEN 35 ELSE -10 END
+                + CASE WHEN d.d_mktsegment = c.c_mktsegment
+                       THEN 15 ELSE -10 END
+                + CASE WHEN abs(
+                         CAST(CAST(d.d_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT)
+                         - CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                                AS BIGINT)) <= 1000
+                       THEN 20 ELSE -25 END AS BIGINT) AS score
+      FROM cand
+      JOIN dirty d ON d.d_custkey = cand.d_custkey
+      JOIN customer c ON c.c_custkey = cand.c_custkey
+    )
+    SELECT CASE WHEN score >= 60 THEN 'match'
+                WHEN score >= 20 THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           (d_custkey = c_custkey) AS is_true_pair,
+           COUNT(*)::BIGINT AS n_pairs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def er1_linkage_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage between a dirty 20% re-extract of customers and
+    the clean table (operators/linkage.py): two blocking passes —
+    (nation, segment) and (nation, $1000 balance band), together
+    recall-complete for the three planted defect classes — then
+    Fellegi–Sunter-shaped integer evidence weights (name +35/-10,
+    segment +15/-10, balance-within-$10 +20/-25) and a three-way
+    decision at thresholds 60/20. Output is the confusion matrix of
+    decision x ground truth (the dirty extract keeps its source key, so
+    truth is known), the evaluation artifact an ER deployment tunes
+    its weights against."""
+    from ..operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
+    dirty = cust.where(mod10.isin(3, 7)).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.when(mod20 == 13, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mktsegment"),
+    )
+
+    def cents(c: F.Column) -> F.Column:
+        return (c.cast("decimal(12,2)") * 100).cast("bigint")
+
+    dirty_b = dirty.withColumn("d_band", F.expr(
+        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    clean_b = cust.withColumn("c_band", F.expr(
+        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    cand = linkage.multi_pass_candidates(
+        dirty_b, clean_b, "d_custkey", "c_custkey",
+        passes=[
+            [("d_nationkey", "c_nationkey"), ("d_mktsegment", "c_mktsegment")],
+            [("d_nationkey", "c_nationkey"), ("d_band", "c_band")],
+        ],
+    )
+    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    scored = linkage.score_pairs(
+        pairs,
+        comparisons=[
+            (F.col("d_name") == F.col("c_name"), 35, -10),
+            (F.col("d_mktsegment") == F.col("c_mktsegment"), 15, -10),
+            (
+                F.abs(cents(F.col("d_acctbal")) - cents(F.col("c_acctbal")))
+                <= 1000,
+                20,
+                -25,
+            ),
+        ],
+        match_threshold=60,
+        possible_threshold=20,
+    )
+    return scored.groupBy(
+        "classification",
+        (F.col("d_custkey") == F.col("c_custkey")).alias("is_true_pair"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

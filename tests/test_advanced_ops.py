@@ -201,3 +201,52 @@ def test_sliding_hll_equals_union_sketch(spark, sf_dir):
         window.withColumn("g", F.lit(1)), "user_id", ["g"]
     ).collect()[0]["est_distinct"]
     assert sliding[anchor] == direct
+
+
+def test_skyline_matches_bruteforce(spark):
+    # pull the registered query's operator shape onto a hand fixture by
+    # replaying its two-phase plan against the quadratic definition
+    from pyspark.sql import functions as F
+
+    pts = [
+        (1, 5, 100), (2, 5, 90),   # 2 dominates 1 (same size, cheaper)
+        (3, 9, 90),                # dominates 2 (same price, bigger)
+        (4, 9, 90),                # duplicate of 3: both must survive
+        (5, 2, 10), (6, 12, 300), (7, 11, 250), (8, 1, 10),
+    ]
+    def dominated(p, q):
+        return (
+            q[2] <= p[2] and q[1] >= p[1]
+            and (q[2] < p[2] or q[1] > p[1])
+        )
+    expect = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q != p)
+    }
+    df = spark.createDataFrame(pts, "p_partkey long, size long, price_cents long")
+    from pyspark.sql import Window
+
+    b = df.withColumn("bucket", F.expr("price_cents div 50"))
+    bmax = b.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    w_pre = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.select("bucket", F.max("bmax").over(w_pre).alias("pre_max"))
+    surv = b.join(F.broadcast(pre), "bucket").where(
+        F.col("pre_max").isNull() | (F.col("size") > F.col("pre_max"))
+    )
+    w_cheaper = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tie = Window.partitionBy("price_cents")
+    got = {
+        r["p_partkey"]
+        for r in surv.select(
+            "p_partkey", "size", "price_cents",
+            F.max("size").over(w_cheaper).alias("m1"),
+            F.max("size").over(w_tie).alias("m2"),
+        )
+        .where(
+            (F.col("m1").isNull() | (F.col("size") > F.col("m1")))
+            & (F.col("size") == F.col("m2"))
+        )
+        .collect()
+    }
+    assert got == expect

@@ -111,3 +111,66 @@ def test_diff_null_key_rows_classified_by_presence_marker(spark):
     assert len(rows) == 1
     assert rows[0].change_kind == "changed"
     assert rows[0].changed_cols == "v"
+
+
+# ------------------------------------------------------------- linkage
+
+
+def test_multi_pass_candidates_union_and_dedup(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators import linkage
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "lid long, k1 string, k2 long"
+    )
+    right = spark.createDataFrame(
+        [(7, "a", 99), (8, "z", 20), (9, "a", 20)],
+        "rid long, k1 string, k2 long",
+    )
+    pairs = {
+        (r["lid"], r["rid"])
+        for r in linkage.multi_pass_candidates(
+            left, right, "lid", "rid",
+            passes=[[("k1", "k1")], [("k2", "k2")]],
+        ).collect()
+    }
+    # pass A (k1): (1,7), (1,9); pass B (k2): (2,8), (2,9); no dupes
+    assert pairs == {(1, 7), (1, 9), (2, 8), (2, 9)}
+
+
+def test_multi_pass_candidates_self_lineage(spark):
+    # dirty extract derived FROM the clean frame (shared lineage) must
+    # not trip Spark's ambiguous-self-join analyzer
+    from etl_pipline_ibrd_loan_system_spark.operators import linkage
+
+    clean = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "cid long, k string"
+    )
+    dirty = clean.select(F.col("cid").alias("did"), "k")
+    pairs = {
+        (r["did"], r["cid"])
+        for r in linkage.multi_pass_candidates(
+            dirty, clean, "did", "cid", passes=[[("k", "k")]]
+        ).collect()
+    }
+    assert pairs == {(1, 1), (2, 2)}
+
+
+def test_score_pairs_thresholds(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators import linkage
+
+    pairs = spark.createDataFrame(
+        [(1, True, True), (2, True, False), (3, False, False)],
+        "pid long, a boolean, b boolean",
+    )
+    out = {
+        r["pid"]: r
+        for r in linkage.score_pairs(
+            pairs,
+            comparisons=[(F.col("a"), 30, -10), (F.col("b"), 20, -20)],
+            match_threshold=50,
+            possible_threshold=0,
+        ).collect()
+    }
+    assert out[1]["score"] == 50 and out[1]["classification"] == "match"
+    assert out[2]["score"] == 10 and out[2]["classification"] == "possible"
+    assert out[3]["score"] == -30 and out[3]["classification"] == "non_match"
