@@ -671,3 +671,41 @@ def test_tx22_pairs_are_array_zip_not_join(spark, sf_dir, registry):
     plan = _plan(registry["tx22_kneser_ney_counts"](spark, sf_dir))
     assert "zip_with" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dq10_both_dim_joins_broadcast(spark, sf_dir, registry):
+    """dq10: the validity join and the key-existence join must BOTH
+    broadcast the dimension side — the fact probe stream shuffles only
+    for the final 3-group aggregate, never for a join."""
+    plan = _plan(registry["dq10_temporal_orphans"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan, "dq10 fact side regressed to SMJ"
+    assert "CartesianProduct" not in plan
+
+
+def test_e25_skyline_prune_broadcasts_and_no_quadratic(spark, sf_dir, registry):
+    """e25: the bucket prefix-max prune must come back as a broadcast
+    join (the band table is bucket-sized), and nothing may plan as the
+    oracle's quadratic NOT EXISTS (cartesian / nested-loop)."""
+    plan = _plan(registry["e25_skyline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_g10_degree_joins_are_equi(spark, sf_dir, registry):
+    """g10: both degree attachments are key equi-joins and the moments
+    reduce in one aggregate — no cartesian, no window."""
+    plan = _plan(registry["g10_degree_assortativity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_er1_blocking_passes_are_hash_joins(spark, sf_dir, registry):
+    """er1: every blocking pass and the payload re-attachments must be
+    hash equi-joins — an all-pairs compare (cartesian / BNLJ) is exactly
+    what blocking exists to avoid."""
+    plan = _plan(registry["er1_linkage_confusion"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
