@@ -1105,3 +1105,63 @@ def sp9_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_weight = max(w, tau)."""
     docs = load_table(spark, sf_dir, "documents")
     return sampling.priority_sample(docs, "doc_id", "n_chars", k=20)
+
+
+_FFD_HASH = _HASH60.format(x="'ffd:' || CAST(doc_id AS VARCHAR)")
+_FFD_FITS = (
+    "list_filter(list_transform(r.bins, (x, k) -> {{'bb': x, 'kk': k}}),"
+    " t -> t.bb + s.n <= 256)"
+).format()
+
+
+@query(
+    "pk2_ffd_packing",
+    sql=f"""
+    WITH RECURSIVE b AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n,
+             {_FFD_HASH} % 8 AS pack_bucket
+      FROM documents
+    ), seq AS (
+      SELECT doc_id, n, pack_bucket,
+             ROW_NUMBER() OVER (PARTITION BY pack_bucket
+                                ORDER BY n DESC, doc_id) AS i
+      FROM b
+    ), rec AS (
+      SELECT pack_bucket, i, doc_id, n,
+             [n]::BIGINT[] AS bins, CAST(0 AS BIGINT) AS bin_id
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.pack_bucket, s.i, s.doc_id, s.n,
+             CASE WHEN len({_FFD_FITS}) > 0
+                  THEN list_transform(r.bins, (x, k) ->
+                         CASE WHEN k = {_FFD_FITS}[1].kk
+                              THEN x + s.n ELSE x END)
+                  ELSE list_append(r.bins, s.n) END,
+             CAST(CASE WHEN len({_FFD_FITS}) > 0
+                       THEN {_FFD_FITS}[1].kk - 1
+                       ELSE len(r.bins) END AS BIGINT)
+      FROM seq s
+      JOIN rec r ON s.pack_bucket = r.pack_bucket AND s.i = r.i + 1
+    )
+    SELECT doc_id, pack_bucket, n AS n_tokens, bin_id FROM rec
+    """,
+)
+def pk2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing 256-token packing across 8 parallel hash
+    buckets (operators.sampling.ffd_pack) — the padding-waste upgrade
+    over pk1's next-fit-in-id-order: largest doc first, each into the
+    first bin with room. The oracle replays the identical integer fold
+    as a per-bucket recursive CTE carrying the bin-load list (DuckDB's
+    1-based lambda index normalized to the 0-based bin_id; struct field
+    names chosen to dodge DuckDB's lambda-variable shadowing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), "\\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return sampling.ffd_pack(
+        base, "doc_id", "n_tokens", budget=256, n_buckets=8
+    )

@@ -625,3 +625,54 @@ def test_priority_sample_population_within_k(spark):
     assert len(rows) == 2
     assert all(r["tau"] == 0.0 for r in rows)
     assert all(r["est_weight"] == float(r["weight"]) for r in rows)
+
+
+def test_ffd_pack_matches_reference_and_respects_budget(spark):
+    rows = [(i, (i * 37) % 300 + 1) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sampling.ffd_pack(df, "doc_id", "n", budget=256, n_buckets=4)
+    got = {(r["doc_id"]): (r["pack_bucket"], r["bin_id"]) for r in out.collect()}
+    assert len(got) == len(rows)
+
+    # replay FFD in pure Python per bucket using the SAME hash buckets
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, _ in rows:
+        bkt = got[doc_id][0]
+        by_bucket.setdefault(bkt, []).append(
+            (doc_id, dict(rows)[doc_id])
+        )
+    for bkt, docs in by_bucket.items():
+        bins: list[int] = []
+        expect: dict[int, int] = {}
+        for doc_id, n in sorted(docs, key=lambda t: (-t[1], t[0])):
+            for j, load in enumerate(bins):
+                if load + n <= 256:
+                    bins[j] += n
+                    expect[doc_id] = j
+                    break
+            else:
+                bins.append(n)
+                expect[doc_id] = len(bins) - 1
+        for doc_id, bin_id in expect.items():
+            assert got[doc_id] == (bkt, bin_id), f"doc {doc_id}"
+        # a bin only exceeds the budget when a single oversized doc
+        # (n > 256 exists in this fixture: sizes reach 300) opened it
+        loads: dict[int, list[int]] = {}
+        for doc_id, n in docs:
+            loads.setdefault(expect[doc_id], []).append(n)
+        for j, members in loads.items():
+            assert sum(members) <= 256 or (
+                len(members) == 1 and members[0] > 256
+            )
+
+
+def test_ffd_never_worse_than_next_fit(spark):
+    # FFD bin count <= pack_sequences' next-fit bin count per bucket
+    rows = [(i, 200 if i % 2 else 56) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    ffd = sampling.ffd_pack(df, "doc_id", "n", budget=256, n_buckets=1)
+    n_ffd = ffd.agg(F.countDistinct("bin_id")).collect()[0][0]
+    total = sum(n for _, n in rows)
+    assert n_ffd >= -(-total // 256)  # >= lower bound
+    # alternating 200/56 packs perfectly under FFD (200+56=256)
+    assert n_ffd == -(-total // 256)
