@@ -1402,3 +1402,157 @@ def e25_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m_cheaper").isNull() | (F.col("size") > F.col("m_cheaper")))
         & (F.col("size") == F.col("m_tie"))
     ).select("p_partkey", "size", "price_cents")
+
+
+@query(
+    "e26_seasonal_index",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             isodow(ts) - 1 AS dow,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ), per_dow AS (
+      SELECT event_type, dow,
+             SUM(n)::BIGINT AS dow_events,
+             COUNT(*)::BIGINT AS dow_days
+      FROM daily GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type,
+             SUM(n)::BIGINT AS tot_events,
+             COUNT(*)::BIGINT AS tot_days
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.dow, d.dow_events, d.dow_days,
+           CAST(d.dow_events * t.tot_days AS DOUBLE)
+             / CAST(d.dow_days * t.tot_events AS DOUBLE) AS seasonal_index
+    FROM per_dow d JOIN per_type t USING (event_type)
+    """,
+)
+def e26_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean daily count on
+    that weekday divided by the overall mean daily count — the
+    multiplicative seasonality screen that pairs with e23's lag-7
+    autocorrelation. Index 1.0 = no weekday effect.
+
+    Exactness: the ratio of two means collapses algebraically to
+    (dow_events * tot_days) / (dow_days * tot_events) — both products
+    exact int64 — so the index is ONE correctly-rounded double
+    division, no intermediate float means. Weekday numbering pinned to
+    Monday=0 on both engines (Spark `weekday`, DuckDB `isodow - 1`).
+
+    Scale: everything past the map-side-combined daily aggregate is
+    (type, day)-grain; the totals join is type-cardinality (broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.weekday("ts").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("dow_events"),
+        F.count(F.lit(1)).alias("dow_days"),
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sum("n").alias("tot_events"),
+        F.count(F.lit(1)).alias("tot_days"),
+    )
+    j = per_dow.join(F.broadcast(per_type), "event_type")
+    idx = (F.col("dow_events") * F.col("tot_days")).cast("double") / (
+        F.col("dow_days") * F.col("tot_events")
+    ).cast("double")
+    return j.select(
+        "event_type", "dow", "dow_events", "dow_days",
+        idx.alias("seasonal_index"),
+    )
+
+
+@query(
+    "dq11_changepoint",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS s,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS nd,
+             SUM(n) OVER (PARTITION BY event_type)::BIGINT AS tot
+      FROM daily
+    ), dev AS (
+      SELECT event_type, day, t, nd, tot,
+             abs(s * nd - t * tot)::BIGINT AS deviation
+      FROM seq WHERE t < nd
+    )
+    , best AS (
+      SELECT event_type,
+             MAX({'deviation': deviation, 'negt': -t, 'day': day}) AS b,
+             arbitrary(nd) AS n_days,
+             arbitrary(tot) AS total_events
+      FROM dev GROUP BY event_type
+    )
+    SELECT event_type, b.day AS change_day, b.deviation AS deviation,
+           n_days, total_events
+    FROM best
+    """,
+)
+def dq11_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point locator per event type (CUSUM / binary
+    segmentation first split): the day t maximizing |S_t*N - t*T| —
+    the integer-scaled deviation of the prefix sum from the no-change
+    diagonal. dq8 raises the ALARM that drift exists; this names WHEN
+    the level shifted (ties broken earliest).
+
+    Exactness: S_t, N, T are exact bigints, the deviation is one int64
+    product difference, and the argmax is a lexicographic max over
+    (deviation, -t) structs — bit-identical both engines. The last day
+    (t = N) is excluded: a split there is no split.
+
+    Scale: one key-partitioned window over the (type, day) grain series
+    — day-bounded state, the dq8 argument — then a type-grain argmax."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("n")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("nd"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    dev = seq.where(F.col("t") < F.col("nd")).select(
+        "event_type",
+        "day",
+        "t",
+        "nd",
+        "tot",
+        F.abs(F.col("s") * F.col("nd") - F.col("t") * F.col("tot")).alias(
+            "deviation"
+        ),
+    )
+    best = dev.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("deviation"), (-F.col("t")).alias("negt"), F.col("day")
+            )
+        ).alias("b"),
+        F.first("nd").alias("n_days"),
+        F.first("tot").alias("total_events"),
+    )
+    return best.select(
+        "event_type",
+        F.col("b.day").alias("change_day"),
+        F.col("b.deviation").alias("deviation"),
+        "n_days",
+        "total_events",
+    )
