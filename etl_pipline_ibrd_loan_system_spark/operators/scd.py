@@ -560,3 +560,136 @@ def scd3_apply(
         staging.select(key).distinct(), key, "left_anti"
     ).select(*dim_cols)
     return updated.select(*dim_cols).unionByName(untouched)
+
+
+def bitemporal_init(
+    staging: DataFrame,
+    key: str,
+    attr_cols: Sequence[str],
+    asof: str,
+    date_type: str = "date",
+) -> DataFrame:
+    """Initial bitemporal load: every row becomes effective at `asof`
+    (valid time) and known since `asof` (transaction time), both
+    open-ended. Schema: key, attrs, valid_from, valid_to, tx_from,
+    tx_to — the SCD2 validity pair plus the as-KNOWN pair."""
+    d = F.lit(asof).cast(date_type)
+    n = F.lit(None).cast(date_type)
+    return staging.select(
+        F.col(key),
+        *[F.col(c) for c in attr_cols],
+        d.alias("valid_from"),
+        n.alias("valid_to"),
+        d.alias("tx_from"),
+        n.alias("tx_to"),
+    )
+
+
+def bitemporal_apply(
+    dim: DataFrame,
+    staging: DataFrame,
+    key: str,
+    t1_cols: Sequence[str] = (),
+    t2_cols: Sequence[str] = (),
+    fixed_cols: Sequence[str] = (),
+    asof: str = "1970-01-01",
+    date_type: str = "date",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Apply one staging snapshot to a BITEMPORAL dimension at
+    transaction time `asof` (Snodgrass/Jensen two-axis model): valid
+    time says when a fact was true in the world, transaction time says
+    when the warehouse believed it. SCD2 only keeps the valid axis, so
+    a T1 correction silently rewrites history — after it, yesterday's
+    report can no longer be reproduced. Bitemporal keeps both:
+
+    - T1 change = RETROACTIVE CORRECTION: the open row is tx-closed
+      (tx_to := asof) and re-inserted with the corrected T1 columns,
+      SAME valid interval, tx_from := asof. As-known-before-asof still
+      shows the wrong value (reproducibility); as-known-after shows the
+      correction applied to all of history.
+    - T2 change = REAL-WORLD CHANGE: the open row is tx-closed; the
+      now-known truth re-inserts as TWO rows at tx_from := asof — the
+      old attrs with valid_to := asof, and the staged attrs with
+      valid_from := asof, open-ended.
+    - New keys insert valid and known from asof; keys absent from
+      staging, rows already tx-closed, and tx-open historical versions
+      are untouched.
+
+    Point query: tx_from <= X < tx_to AND valid_from <= V < valid_to
+    gives "the state effective at V, as the warehouse knew it at X" —
+    exactly one row per key per (X, V) (invariant-tested).
+
+    Scale: identical physical shape to scd2_apply — ONE broadcast probe
+    join of staging against the open slice, then pure disjoint
+    projections and a union; never a window, never a row UPDATE.
+    Reference anchor: the per-row UPDATEs of `project
+    SSIS::bor_dim.dtsx:454,566` are the T1 path here, with the audit
+    trail those UPDATEs destroy."""
+    attrs = [*t1_cols, *t2_cols, *fixed_cols]
+    dim_cols = dim.columns
+    staging = dedupe_staging(staging, key, attrs)
+    is_open = F.col("tx_to").isNull() & F.col("valid_to").isNull()
+    dim2 = dim.withColumn("__open", is_open)
+    # valid_from doubles as the new-key detector (never NULL in a dim row)
+    from ..cache import pin
+
+    cls = pin(scd_classify(
+        dim2, staging, key, t1_cols, t2_cols, fixed_cols,
+        sk_col="valid_from", current_col="__open",
+        broadcast_dim=broadcast_dim,
+    ))
+
+    asof_d = F.lit(asof).cast(date_type)
+    null_d = F.lit(None).cast(date_type)
+
+    def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
+        return df.select(
+            *[overrides.get(c, F.col(c)).alias(c) for c in dim_cols]
+        )
+
+    untouched = dim.filter(~is_open).select(*dim_cols).unionByName(
+        dim.filter(is_open)
+        .join(staging.select(key).distinct(), key, "left_anti")
+        .select(*dim_cols)
+    )
+    unchanged = project(cls.filter(F.col("change_type") == CHANGE_NONE), {})
+    tx_closed = project(
+        cls.filter(F.col("change_type").isin(CHANGE_T1, CHANGE_T2)),
+        {"tx_to": asof_d},
+    )
+    t1_corrected = project(
+        cls.filter(F.col("change_type") == CHANGE_T1),
+        {**{c: F.col(f"s_{c}") for c in t1_cols}, "tx_from": asof_d},
+    )
+    t2_old_version = project(
+        cls.filter(F.col("change_type") == CHANGE_T2),
+        {"valid_to": asof_d, "tx_from": asof_d},
+    )
+    fresh = cls.filter(
+        F.col("change_type").isin(CHANGE_NEW, CHANGE_T2)
+    ).select(
+        F.col(key),
+        *[F.col(f"s_{c}").alias(c) for c in attrs],
+        asof_d.alias("valid_from"),
+        null_d.alias("valid_to"),
+        asof_d.alias("tx_from"),
+        null_d.alias("tx_to"),
+    ).select(*dim_cols)
+
+    parts = [untouched, unchanged, tx_closed, t1_corrected,
+             t2_old_version, fresh]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def bitemporal_at(
+    dim: DataFrame, tx_at: Column, valid_at: Column
+) -> DataFrame:
+    """The bitemporal point filter: rows the warehouse believed at
+    tx_at that were effective at valid_at (both half-open)."""
+    return dim.filter(
+        (F.col("tx_from") <= tx_at)
+        & (F.col("tx_to").isNull() | (F.col("tx_to") > tx_at))
+        & (F.col("valid_from") <= valid_at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > valid_at))
+    )

@@ -386,3 +386,121 @@ def g9_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd3_apply(
         dim0, staging, key="s_suppkey", tracked_cols=["s_name", "s_acctbal"]
     )
+
+
+# --- C12: bitemporal dimension (valid time x transaction time) -----------
+
+_C12_SQL = f"""
+    WITH staging AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 10 = 1 THEN s_name || '_v2'
+                  ELSE s_name END AS s_name,
+             CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100
+                  ELSE s_acctbal END AS s_acctbal,
+             s_nationkey
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 1000000, 'NEW_' || s_name, s_acctbal, s_nationkey
+      FROM supplier WHERE s_suppkey % 10 = 2
+    ), cls AS (
+      SELECT st.s_suppkey, st.s_name, st.s_acctbal, st.s_nationkey,
+             d.s_name AS d_name, d.s_acctbal AS d_acctbal,
+             d.s_nationkey AS d_nationkey,
+             CASE WHEN d.s_suppkey IS NULL THEN 'new'
+                  WHEN st.s_name IS DISTINCT FROM d.s_name THEN 't2'
+                  WHEN st.s_acctbal IS DISTINCT FROM d.s_acctbal THEN 't1'
+                  ELSE 'unchanged' END AS change_type
+      FROM staging st LEFT JOIN supplier d USING (s_suppkey)
+    ), bt AS (
+      SELECT s_suppkey, d_name AS s_name, d_acctbal AS s_acctbal,
+             DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             DATE '2024-01-01' AS tx_from, CAST(NULL AS DATE) AS tx_to
+      FROM cls WHERE change_type = 'unchanged'
+      UNION ALL  -- t1/t2: the original open row, tx-closed at the load
+      SELECT s_suppkey, d_name, d_acctbal,
+             DATE '2024-01-01', NULL, DATE '2024-01-01', DATE '2024-06-01'
+      FROM cls WHERE change_type IN ('t1', 't2')
+      UNION ALL  -- t1: retroactive correction, same valid interval
+      SELECT s_suppkey, d_name, s_acctbal,
+             DATE '2024-01-01', NULL, DATE '2024-06-01', NULL
+      FROM cls WHERE change_type = 't1'
+      UNION ALL  -- t2: as-now-known closed old version
+      SELECT s_suppkey, d_name, d_acctbal,
+             DATE '2024-01-01', DATE '2024-06-01', DATE '2024-06-01', NULL
+      FROM cls WHERE change_type = 't2'
+      UNION ALL  -- t2 new version + brand-new keys
+      SELECT s_suppkey, s_name, s_acctbal,
+             DATE '2024-06-01', NULL, DATE '2024-06-01', NULL
+      FROM cls WHERE change_type IN ('t2', 'new')
+    ), probes AS (
+      SELECT * FROM (VALUES
+        ('march_known_march', DATE '2024-03-01', DATE '2024-03-01'),
+        ('march_known_july',  DATE '2024-07-01', DATE '2024-03-01'),
+        ('july_known_july',   DATE '2024-07-01', DATE '2024-07-01'),
+        ('july_known_march',  DATE '2024-03-01', DATE '2024-07-01')
+      ) v(label, tx_at, valid_at)
+    )
+    SELECT label, COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT s_name)::BIGINT AS n_names,
+           {sql_dsum('s_acctbal', 'sum_bal')}
+    FROM probes p JOIN bt
+      ON bt.tx_from <= p.tx_at AND (bt.tx_to IS NULL OR bt.tx_to > p.tx_at)
+     AND bt.valid_from <= p.valid_at
+     AND (bt.valid_to IS NULL OR bt.valid_to > p.valid_at)
+    GROUP BY label
+"""
+
+
+@query("c12_bitemporal_probe", sql=_C12_SQL)
+def c12_bitemporal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal supplier dimension: the g1 fixture's load applied as
+    a TWO-AXIS update (operators/scd.bitemporal_apply) — valid time
+    (when true in the world) x transaction time (when the warehouse
+    knew it) — then four point probes proving the axes are independent:
+    'march_known_march' reproduces the original report; 'march_known_july'
+    shows the T1 balance correction applied RETROACTIVELY to March while
+    T2 name changes correctly do NOT reach back; 'july_known_july' is
+    the current state; 'july_known_march' shows March's knowledge
+    projected forward (no corrections, no new keys). SCD2 alone cannot
+    answer three of the four. Reference anchor: the per-row UPDATEs of
+    `project SSIS::bor_dim.dtsx:454,566` are the T1 path, minus the
+    reproducibility this keeps."""
+    from ..cache import pin
+    from ..functions.exact import dsum
+    from ..operators.scd import bitemporal_apply, bitemporal_at, bitemporal_init
+
+    sup = load_table(spark, sf_dir, "supplier")
+    _, staging = scd_fixture(spark, sf_dir)
+    bt0 = bitemporal_init(
+        sup.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey"),
+        "s_suppkey", ["s_name", "s_acctbal", "s_nationkey"], asof=ASOF0,
+    )
+    bt1 = pin(bitemporal_apply(
+        bt0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"],
+        fixed_cols=["s_nationkey"], asof=ASOF1,
+    ))
+    probes = [
+        ("march_known_march", "2024-03-01", "2024-03-01"),
+        ("march_known_july", "2024-07-01", "2024-03-01"),
+        ("july_known_july", "2024-07-01", "2024-07-01"),
+        ("july_known_march", "2024-03-01", "2024-07-01"),
+    ]
+    parts = []
+    for label, tx_at, valid_at in probes:
+        snap = bitemporal_at(
+            bt1,
+            F.lit(tx_at).cast("date"),
+            F.lit(valid_at).cast("date"),
+        )
+        parts.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("s_name").alias("n_names"),
+                dsum("s_acctbal", "sum_bal"),
+            ).select(F.lit(label).alias("label"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

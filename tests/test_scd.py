@@ -406,3 +406,96 @@ def test_scd3_two_applies(spark):
         "b3": ("gamma", None),       # still untouched
         "b4": ("delta", None),       # brand-new key: NULL prev
     }
+
+
+# ------------------------------------------------------------- bitemporal
+
+
+_BT_KW = dict(
+    key="bk", t1_cols=["balance"], t2_cols=["name"], fixed_cols=["country"]
+)
+
+
+@pytest.fixture(scope="module")
+def bitemporal(spark):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+        bitemporal_apply,
+        bitemporal_init,
+    )
+
+    s0 = spark.createDataFrame(ROWS0, COLS)
+    s1 = spark.createDataFrame(ROWS1, COLS)
+    bt0 = bitemporal_init(s0, "bk", COLS[1:], asof="2024-01-01")
+    bt1 = bitemporal_apply(bt0, s1, asof="2024-02-01", **_BT_KW)
+    return bt0, bt1
+
+
+def _at(dim, tx, valid):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import bitemporal_at
+
+    return bitemporal_at(
+        dim, F.lit(tx).cast("date"), F.lit(valid).cast("date")
+    )
+
+
+def test_bitemporal_point_unique_per_key(spark, bitemporal):
+    _, bt1 = bitemporal
+    for tx in ("2024-01-15", "2024-02-15"):
+        for valid in ("2024-01-15", "2024-02-15"):
+            per_key = (
+                _at(bt1, tx, valid).groupBy("bk").count().collect()
+            )
+            assert all(r["count"] == 1 for r in per_key), (tx, valid)
+
+
+def test_bitemporal_reproduces_pre_load_report(spark, bitemporal):
+    bt0, bt1 = bitemporal
+    # as KNOWN in January, the world (any valid date) is exactly bt0
+    before = {
+        (r["bk"], r["name"], r["balance"])
+        for r in _at(bt0, "2024-01-15", "2024-01-15").collect()
+    }
+    after = {
+        (r["bk"], r["name"], r["balance"])
+        for r in _at(bt1, "2024-01-15", "2024-01-15").collect()
+    }
+    assert after == before  # the Feb load did not rewrite Jan knowledge
+
+
+def test_bitemporal_t1_is_retroactive_t2_is_not(spark, bitemporal):
+    _, bt1 = bitemporal
+    # known in Feb, effective in Jan: T1 balance corrected BACK in time,
+    # T2 name shows the OLD version (the rename only holds from Feb)
+    jan_as_known_feb = {
+        r["bk"]: r for r in _at(bt1, "2024-02-15", "2024-01-15").collect()
+    }
+    assert jan_as_known_feb["b2"]["balance"] == 25.0  # retroactive T1
+    assert jan_as_known_feb["b3"]["name"] == "gamma"  # T2 not retroactive
+    assert "b5" not in jan_as_known_feb  # new key not valid in Jan
+    # known in Feb, effective in Feb: current state
+    feb = {r["bk"]: r for r in _at(bt1, "2024-02-15", "2024-02-15").collect()}
+    assert feb["b3"]["name"] == "gamma_renamed"
+    assert feb["b5"]["balance"] == 50.0
+    assert feb["b4"]["name"] == "delta"  # absent from staging: untouched
+
+
+def test_bitemporal_reapply_is_noop_on_points(spark, bitemporal):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+        bitemporal_apply,
+    )
+
+    _, bt1 = bitemporal
+    s1 = spark.createDataFrame(ROWS1, COLS)
+    bt2 = bitemporal_apply(bt1, s1, asof="2024-03-01", **_BT_KW)
+    # every point query gives the same answer (row-identity is not
+    # required; point-semantics identity is the bitemporal contract)
+    for tx, valid in (("2024-02-15", "2024-02-15"), ("2024-03-15", "2024-03-15")):
+        a = {
+            (r["bk"], r["name"], r["balance"])
+            for r in _at(bt1, tx, valid).collect()
+        }
+        b = {
+            (r["bk"], r["name"], r["balance"])
+            for r in _at(bt2, tx, valid).collect()
+        }
+        assert a == b, (tx, valid)
