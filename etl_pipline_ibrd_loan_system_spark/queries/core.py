@@ -8,7 +8,7 @@ dimensions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1462,4 +1462,68 @@ def f8_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t0.intersect(t1).withColumn("op", F.lit("both"))
         .unionByName(t0.subtract(t1).withColumn("op", F.lit("only_src0")))
+    )
+
+
+@query(
+    "d16_weighted_median",
+    sql="""
+    WITH vals AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS price_cents,
+             SUM(CAST(l_quantity AS BIGINT))::BIGINT AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, price_cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag)::BIGINT AS tw
+      FROM vals
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS median_cents,
+           arbitrary(tw) AS total_weight
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def d16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median extended price per return flag —
+    the quantile where half the shipped units (not half the rows) lie
+    below. d9's unweighted percentile can't express it and Spark has no
+    weighted-percentile builtin; the decomposition is: combine equal
+    values first (one map-side-combinable aggregate — the window then
+    runs on DISTINCT-value grain, not row grain), cumulative weight per
+    group, lower weighted median = smallest value with 2*cum >= total.
+    All comparisons in int64 (prices in cents, weights exact), so the
+    crossing row is unambiguous on both engines.
+
+    Scale: the row-grain work is one hash aggregate; the per-group
+    window sees only distinct prices of that group (value-bounded
+    state). percentile_approx-style sketches cannot produce weighted
+    medians exactly; this is the exact path with bounded windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = vals.select(
+        "l_returnflag",
+        "price_cents",
+        F.sum("w").over(w_ord).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+        ).alias("median_cents"),
+        F.first("tw").alias("total_weight"),
     )

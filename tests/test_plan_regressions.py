@@ -709,3 +709,43 @@ def test_er1_blocking_passes_are_hash_joins(spark, sf_dir, registry):
     plan = _plan(registry["er1_linkage_confusion"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c12_bitemporal_probe_joins_broadcast(spark, sf_dir, registry):
+    """c12: the bitemporal apply keeps scd2_apply's physical shape —
+    a broadcast probe join and disjoint projections; nothing cartesian,
+    nothing sort-merged."""
+    plan = _plan(registry["c12_bitemporal_probe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pk2_ffd_is_single_bucket_shuffle_kernel(spark, sf_dir, registry):
+    """pk2: the FFD packer is ONE exchange on the bucket key into an
+    Arrow grouped-map kernel — no window, no join, and never the fold
+    path's quadratic accumulator (which plans as a plain Aggregate)."""
+    import re
+
+    plan = _plan(registry["pk2_ffd_packing"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    # one Exchange NODE (each node appears twice in formatted output:
+    # tree line + detail header)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "WindowExec" not in plan and "Join" not in plan
+
+
+def test_d16_weighted_median_windows_are_partitioned(spark, sf_dir, registry):
+    """d16: both windows partition by the group key (value-grain state,
+    never a global single-task window) and run on the pre-combined
+    distinct-value aggregate."""
+    plan = _plan(registry["d16_weighted_median"](spark, sf_dir))
+    assert "windowspecdefinition(l_returnflag" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_g11_clustering_no_cartesian(spark, sf_dir, registry):
+    """g11: triangle counting and the degree attach stay equi-joins."""
+    plan = _plan(registry["g11_clustering_coefficient"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -676,3 +676,21 @@ def test_ffd_never_worse_than_next_fit(spark):
     assert n_ffd >= -(-total // 256)  # >= lower bound
     # alternating 200/56 packs perfectly under FFD (200+56=256)
     assert n_ffd == -(-total // 256)
+
+
+def test_ffd_engines_agree(spark):
+    rows = [(i, (i * 91) % 310 + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    a = {
+        (r["doc_id"], r["pack_bucket"], r["bin_id"])
+        for r in sampling.ffd_pack(
+            df, "doc_id", "n", budget=256, n_buckets=4, engine="arrow"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["pack_bucket"], r["bin_id"])
+        for r in sampling.ffd_pack(
+            df, "doc_id", "n", budget=256, n_buckets=4, engine="fold"
+        ).collect()
+    }
+    assert a == b
