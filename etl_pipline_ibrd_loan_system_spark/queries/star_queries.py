@@ -504,3 +504,58 @@ def c12_bitemporal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "c13_scd2_compaction",
+    sql=f"""
+    {_DIM1_SQL}
+    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM dim1
+    """,
+)
+def c13_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version-chain compaction (operators/scd.scd2_compact): the
+    g1 dimension is put through a 'paranoid full refresh' — every
+    current row closed at 2024-09-01 and re-inserted verbatim with a
+    fresh surrogate key (the version-on-every-load anti-pattern) — and
+    compaction must merge the churn back out. The oracle is _DIM1_SQL
+    ITSELF: churn-then-compact is provably the identity on this
+    fixture, down to the original surrogate keys (the merged run keeps
+    its first version's sk), which also hash-checks that real version
+    boundaries (the T2 closes) are never merged across."""
+    from ..operators.scd import scd2_compact
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    churn_date = F.lit("2024-09-01").cast("date")
+    cur = dim1.filter(F.col("is_current"))
+    refresh = (
+        dim1.filter(~F.col("is_current"))
+        .unionByName(
+            cur.withColumn("end_date", churn_date).withColumn(
+                "is_current", F.lit(False)
+            )
+        )
+        .unionByName(
+            cur.withColumn("sk", F.col("sk") + 100000)
+            .withColumn("start_date", churn_date)
+            .withColumn("end_date", F.lit(None).cast("date"))
+        )
+    )
+    compacted = scd2_compact(
+        refresh, key="s_suppkey",
+        attr_cols=["s_name", "s_acctbal", "s_nationkey"], sk_col="sk",
+    )
+    return compacted.select(
+        "sk", "s_suppkey", "s_name", "s_acctbal", "s_nationkey",
+        F.col("start_date").cast("string").alias("start_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "is_current",
+    )

@@ -499,3 +499,66 @@ def test_bitemporal_reapply_is_noop_on_points(spark, bitemporal):
             for r in _at(bt2, tx, valid).collect()
         }
         assert a == b, (tx, valid)
+
+
+# ------------------------------------------------------------- compaction
+
+
+def test_compaction_preserves_point_in_time(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import (
+        scd2_compact,
+        scd2_snapshot,
+    )
+
+    _, _, _, dim1 = dims
+    # churn: close every current row on 03-01 and re-insert verbatim
+    churn = F.lit("2024-03-01").cast("date")
+    cur = dim1.filter(F.col("is_current"))
+    refresh = (
+        dim1.filter(~F.col("is_current"))
+        .unionByName(
+            cur.withColumn("end_date", churn).withColumn(
+                "is_current", F.lit(False)
+            )
+        )
+        .unionByName(
+            cur.withColumn("sk", F.col("sk") + 1000)
+            .withColumn("start_date", churn)
+            .withColumn("end_date", F.lit(None).cast("date"))
+        )
+    )
+    compacted = scd2_compact(
+        refresh, key="bk", attr_cols=["name", "balance", "country"]
+    )
+    # snapshots agree with the PRE-churn dim on every probe date,
+    # including one inside the churned interval
+    for d in ("2024-01-15", "2024-02-15", "2024-03-15"):
+        a = {
+            tuple(r)
+            for r in scd2_snapshot(dim1, d)
+            .select("bk", "name", "balance", "country")
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in scd2_snapshot(compacted, d)
+            .select("bk", "name", "balance", "country")
+            .collect()
+        }
+        assert a == b, d
+    # and the churn is fully merged out: same row count as dim1
+    assert compacted.count() == dim1.count()
+
+
+def test_compaction_is_idempotent_and_keeps_true_boundaries(spark, dims):
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd2_compact
+
+    _, _, _, dim1 = dims
+    once = scd2_compact(dim1, key="bk", attr_cols=["name", "balance", "country"])
+    twice = scd2_compact(once, key="bk", attr_cols=["name", "balance", "country"])
+    rows1 = {tuple(r) for r in once.collect()}
+    rows2 = {tuple(r) for r in twice.collect()}
+    assert rows1 == rows2
+    # b3's T2 boundary (gamma -> gamma_renamed) must survive: 2 versions
+    b3 = [r for r in rows1 if r[1] == "b3"]
+    assert len(b3) == 2
