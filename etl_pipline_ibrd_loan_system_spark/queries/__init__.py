@@ -81,7 +81,14 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # set registered after the round-6 sf0.1 sweep snapshot (g8/g8b
 # point-in-time SCD2 join, tx22 Kneser-Ney counts, s5 streaming PIT
 # enrichment — each selfchecked green at sf0.001/0.01/0.1 on
-# 2026-08-15) joins that round-7 first-in-line list.
+# 2026-08-15) joins that round-7 first-in-line list, as do the
+# eleventh/twelfth-wave additions registered after it (g9 scd3, m15
+# HHI, sp9 priority sample, e23 autocorrelation, e24 Holt, e25
+# skyline, e26 seasonal index, mx4 apportionment, dq10 temporal
+# orphans, dq11 change-point, g10 assortativity, g11 clustering
+# coefficient, er1 linkage, pk2 FFD packing, c12 bitemporal, c13
+# compaction, d16 weighted median, sm6 kNN classify — each selfchecked
+# green at sf0.001 AND sf0.01 on registration day, 2026-08-15).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside

@@ -321,3 +321,75 @@ def sm4_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         shortlist=20,
     )
+
+
+@query(
+    "sm6_knn_classify",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos('qv', 'cv')} DESC, neighbor_id ASC
+             ) AS rank
+      FROM q CROSS JOIN c
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*)::BIGINT AS votes
+      FROM scored WHERE rank <= 5
+      GROUP BY query_id, label
+    ),
+    best AS (
+      SELECT query_id,
+             MAX({{'votes': votes, 'neglabel': -label}}) AS b
+      FROM votes GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(-b.neglabel AS INT) AS predicted_label,
+           b.votes AS votes
+    FROM best
+    """,
+)
+def sm6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, cosine, majority vote) of the query
+    vectors against the labeled corpus — the inference layer on top of
+    sm1's exact retrieval: neighbors vote with their `label`, ties
+    break to the smallest label. The standard quality-of-embedding
+    probe (and the label-propagation primitive) a training pipeline
+    runs after every embedding refresh.
+
+    Exactness: membership of the top-5 comes from the same
+    deterministically-ranked cosine as sm1 (fixed fold order, id
+    tie-break); votes are integers and the winner is a lexicographic
+    struct max. Scale: retrieval inherits sm1's brute-force
+    score-partitioned shape (sm2's IVF is the drop-in at corpus scale);
+    the vote is a k-row-per-query aggregate, and labels ride the
+    corpus rows — no extra join against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    topk = similarity.cosine_topk(
+        corpus, queries, "vec_id", "embedding", k=5
+    )
+    labels = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("votes"), (-F.col("label")).alias("neglabel"))
+        ).alias("b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("b.neglabel")).cast("int").alias("predicted_label"),
+        F.col("b.votes").alias("votes"),
+    )
