@@ -11,7 +11,7 @@ BIGINT)` == Spark `conv(substring(md5(x),1,15),16,10)`); DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -1164,4 +1164,74 @@ def pk2_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampling.ffd_pack(
         base, "doc_id", "n_tokens", budget=256, n_buckets=8
+    )
+
+
+_SEL_HASH = _HASH60.format(x="'sel:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "mx5_apportioned_selection",
+    sql=f"""
+    WITH per AS (
+      SELECT source, SUM(n_chars)::BIGINT AS weight
+      FROM documents GROUP BY 1
+    ), t AS (
+      SELECT SUM(weight)::BIGINT AS tot FROM per
+    ), q AS (
+      SELECT source, weight,
+             (CAST(100 AS BIGINT) * weight) // tot AS floor_alloc,
+             (CAST(100 AS BIGINT) * weight) % tot AS remainder
+      FROM per, t
+    ), l AS (
+      SELECT CAST(100 - SUM(floor_alloc) AS BIGINT) AS leftover FROM q
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY remainder DESC, source) AS rn
+      FROM q
+    ), alloc AS (
+      SELECT source,
+             floor_alloc
+               + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+      FROM r, l
+    ), ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY {_SEL_HASH}, doc_id
+             ) AS pick_rank
+      FROM documents
+    )
+    SELECT ranked.source, doc_id, pick_rank
+    FROM ranked JOIN alloc USING (source)
+    WHERE pick_rank <= alloc
+    """,
+)
+def mx5_apportioned_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-assembly loop closed: Hamilton-apportion a 100-doc
+    global budget across sources by character weight (mx4's
+    apportion_budget — allocations sum to EXACTLY the budget), then
+    each source contributes exactly its allocation, picked by
+    deterministic hash rank (rerun- and backfill-stable, the mx1
+    interleave-key discipline). Output size == budget, by construction
+    and cross-engine bit-exactly.
+
+    Scale: the apportionment runs at source grain; the per-source rank
+    window is mx2's shape — sources skewed enough to serialize take the
+    documented sub-bucketed variant (mx2b), unchanged here because the
+    CUT depends only on rank within source."""
+    docs = load_table(spark, sf_dir, "documents")
+    alloc = sampling.apportion_budget(
+        docs, "source", "n_chars", budget=100
+    ).select("source", "alloc")
+    h = sampling.shared_hash60(
+        F.concat(F.lit("sel:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "source").withColumn(
+        "pick_rank", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .where(F.col("pick_rank") <= F.col("alloc"))
+        .select("source", "doc_id", "pick_rank")
     )
