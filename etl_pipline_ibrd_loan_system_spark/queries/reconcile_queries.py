@@ -493,3 +493,101 @@ def er1_linkage_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+# --- dq12: column-profile drift between snapshots --------------------------
+
+_DQ12_COLS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@query(
+    "dq12_profile_drift",
+    sql=f"""
+    WITH newsnap AS ({_C7_NEW_SQL}),
+    old_p AS (
+      SELECT 'c_name' AS col, COUNT(*)::BIGINT AS n_rows,
+             SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             COUNT(DISTINCT c_name)::BIGINT AS n_distinct FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', COUNT(*), SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_nationkey) FROM customer
+      UNION ALL
+      SELECT 'c_acctbal', COUNT(*), SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_acctbal) FROM customer
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_mktsegment) FROM customer
+    ),
+    new_p AS (
+      SELECT 'c_name' AS col, COUNT(*)::BIGINT AS n_rows,
+             SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             COUNT(DISTINCT c_name)::BIGINT AS n_distinct FROM newsnap
+      UNION ALL
+      SELECT 'c_nationkey', COUNT(*), SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_nationkey) FROM newsnap
+      UNION ALL
+      SELECT 'c_acctbal', COUNT(*), SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_acctbal) FROM newsnap
+      UNION ALL
+      SELECT 'c_mktsegment', COUNT(*), SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_mktsegment) FROM newsnap
+    )
+    SELECT o.col AS column_name,
+           o.n_rows AS rows_old, n.n_rows AS rows_new,
+           o.n_nulls AS nulls_old, n.n_nulls AS nulls_new,
+           o.n_distinct AS distinct_old, n.n_distinct AS distinct_new,
+           (n.n_nulls <> o.n_nulls
+            OR 10 * abs(n.n_distinct - o.n_distinct) > o.n_distinct)
+             AS drifted
+    FROM old_p o JOIN new_p n ON n.col = o.col
+    """,
+)
+def dq12_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile drift report between the customer table and the
+    c7 mutated snapshot: per column, row/null/distinct counts side by
+    side with a drift verdict (any null-count change, or >10% relative
+    distinct-cardinality change — in integer cross-multiplied form, no
+    float ratio). The publish gate that catches a broken upstream feed
+    (segment vocabulary collapse, null storm) BEFORE c7's row-level
+    diff is even computed — profile first, diff only if profiles move.
+
+    Scale: each profile is ONE aggregate pass per table (count +
+    conditional sum + distinct per column — Catalyst plans the
+    multi-distinct via Expand, the dq2 shape); the drift join is
+    column-cardinality. No row-level shuffle at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    newsnap = _c7_new_snapshot(cust)
+
+    def profile(df: DataFrame, cols: list[str]) -> DataFrame:
+        parts = []
+        for c in cols:
+            parts.append(
+                df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(
+                        F.when(F.col(c).isNull(), 1).otherwise(0)
+                    ).cast("bigint").alias("n_nulls"),
+                    F.countDistinct(F.col(c)).alias("n_distinct"),
+                ).select(F.lit(c).alias("col"), "*")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    old_p = profile(cust, _DQ12_COLS)
+    new_p = profile(newsnap, _DQ12_COLS).select(
+        F.col("col").alias("n_col"),
+        F.col("n_rows").alias("rows_new"),
+        F.col("n_nulls").alias("nulls_new"),
+        F.col("n_distinct").alias("distinct_new"),
+    )
+    j = old_p.join(new_p, old_p.col == new_p.n_col)
+    drift = (F.col("nulls_new") != F.col("n_nulls")) | (
+        10 * F.abs(F.col("distinct_new") - F.col("n_distinct"))
+        > F.col("n_distinct")
+    )
+    return j.select(
+        F.col("col").alias("column_name"),
+        F.col("n_rows").alias("rows_old"),
+        "rows_new",
+        F.col("n_nulls").alias("nulls_old"),
+        "nulls_new",
+        F.col("n_distinct").alias("distinct_old"),
+        "distinct_new",
+        drift.alias("drifted"),
+    )
