@@ -1052,3 +1052,68 @@ def tx22_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.kneser_ney_counts(docs, "text")
+
+
+@query(
+    "iv4_proximity_search",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id,
+             list_filter(range(1, len(t) + 1), i -> t[i] = 'fast') AS pa,
+             list_filter(range(1, len(t) + 1), i -> t[i] = 'table') AS pb
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(pa,
+                  i -> len(list_filter(pb, j -> abs(i - j) <= 4))))
+                AS BIGINT) AS n_pairs,
+           CAST(list_min(flatten(list_transform(pa,
+                  i -> list_transform(
+                         list_filter(pb, j -> abs(i - j) <= 4),
+                         j -> abs(i - j)))))
+                AS BIGINT) AS min_dist
+    FROM pos
+    WHERE len(pa) > 0 AND len(pb) > 0
+      AND list_sum(list_transform(pa,
+            i -> len(list_filter(pb, j -> abs(i - j) <= 4)))) > 0
+    """,
+)
+def iv4_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: 'fast' NEAR/4 'table' in either order — the
+    slop generalization of iv3's exact-adjacency phrase query (Lucene's
+    sloppy PhraseQuery semantics, unordered). Per matching doc: the
+    qualifying position-pair count and the closest distance.
+
+    Shape: iv3's discipline — the term filter pushes into the posting
+    build so only the two query terms' postings exist, then one doc
+    equi-join whose fan-out is term-frequency-bounded and a per-doc
+    aggregate; the position-window test is a residual on the doc join,
+    never a standalone range join. The oracle replays per-row with
+    nested list lambdas (only position DIFFERENCES compare, so Spark's
+    0-based and DuckDB's 1-based positions agree)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    postings = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).where(F.col("term").isin("fast", "table"))
+    a = postings.where(F.col("term") == "fast").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = postings.where(F.col("term") == "table").select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    dist = F.abs(F.col("pos_a") - F.col("pos_b"))
+    pairs = a.join(
+        b, (a.doc_id == F.col("doc_b")) & (dist <= 4)
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+        .cast("bigint")
+        .alias("min_dist"),
+    )
