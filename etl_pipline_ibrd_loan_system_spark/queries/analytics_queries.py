@@ -1234,3 +1234,98 @@ def g10_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * sxy - sx * sy) / (F.sqrt(var_x) * F.sqrt(var_y)),
     )
     return mom.select("n", r.alias("assortativity"))
+
+
+@query(
+    "cf1_cosupplier_similarity",
+    sql="""
+    WITH links AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), deg AS (
+      SELECT supp, COUNT(*)::BIGINT AS n_cust FROM links GROUP BY supp
+    ), pairs AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b,
+             COUNT(*)::BIGINT AS n_shared
+      FROM links a JOIN links b
+        ON a.cust = b.cust AND a.supp < b.supp
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT supp_a, supp_b, n_shared, da.n_cust AS cust_a,
+             db.n_cust AS cust_b,
+             CAST(n_shared AS DOUBLE)
+               / sqrt(CAST(da.n_cust * db.n_cust AS DOUBLE)) AS cosine
+      FROM pairs
+      JOIN deg da ON da.supp = pairs.supp_a
+      JOIN deg db ON db.supp = pairs.supp_b
+      WHERE n_shared >= 3
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY cosine DESC, supp_a, supp_b) AS rank
+      FROM scored
+    )
+    SELECT supp_a, supp_b, n_shared, cust_a, cust_b, cosine,
+           rank::INT AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def cf1_cosupplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: suppliers as
+    items, customers as baskets, cosine over shared-customer counts —
+    the 'suppliers like this one' primitive (Sarwar et al. 2001's
+    item-item CF on implicit feedback), distinct from m12's association
+    rules (which rank directional confidence) and dd6's embedding
+    cosine (which needs vectors to exist). Top-20 pairs with min
+    support 3.
+
+    Exactness: co-occurrence and degrees are exact bigints; the cosine
+    is one double division by one sqrt of an int64 product — fixed
+    tree; rank ties break on the id pair. Scale: the pair self-join
+    fans out per CUSTOMER (degree-bounded baskets, the g4 lines-
+    per-order argument — never per supplier), the support filter cuts
+    the long tail before the degree joins, and the global top-20
+    compiles to TakeOrderedAndProject."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    links = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    deg = links.groupBy("supp").agg(F.count(F.lit(1)).alias("n_cust"))
+    a = links.select("cust", F.col("supp").alias("supp_a"))
+    b = links.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
+    pairs = (
+        a.join(b, (a.cust == b.cust_b) & (F.col("supp_a") < F.col("supp_b")))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    da = deg.select(F.col("supp").alias("supp_a"), F.col("n_cust").alias("cust_a"))
+    db = deg.select(F.col("supp").alias("supp_b"), F.col("n_cust").alias("cust_b"))
+    scored = pairs.join(da, "supp_a").join(db, "supp_b").select(
+        "supp_a", "supp_b", "n_shared", "cust_a", "cust_b",
+        (
+            F.col("n_shared").cast("double")
+            / F.sqrt((F.col("cust_a") * F.col("cust_b")).cast("double"))
+        ).alias("cosine"),
+    )
+    # TakeOrderedAndProject for the cut (bounded per-partition heaps);
+    # the rank window then runs on 20 rows only — the sp9 pattern
+    top = scored.orderBy(F.desc("cosine"), "supp_a", "supp_b").limit(20)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), "supp_a", "supp_b")
+        ).cast("int"),
+    )
+    return ranked.select(
+        "supp_a", "supp_b", "n_shared", "cust_a", "cust_b", "cosine", "rank"
+    )

@@ -1117,3 +1117,68 @@ def iv4_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("min_dist"),
     )
+
+
+@query(
+    "tx23_ngram_novelty",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i+1])) AS g
+        FROM toks WHERE len(t) >= 2
+      )
+    ), df AS (
+      SELECT g, COUNT(*)::BIGINT AS df FROM grams GROUP BY g
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+)
+def tx23_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the fraction of a doc's DISTINCT
+    bigrams that appear in no other document — the corpus-level
+    originality signal dedup pipelines threshold on (a doc of entirely
+    corpus-common n-grams is boilerplate even when no single pair-wise
+    near-dup fires; the single-document complement of dd12's
+    pair-finding). Exact integer document frequencies, one double
+    division per doc.
+
+    Scale: per-doc distinct bigrams (set semantics kill within-doc
+    repetition before anything shuffles), one map-side-combined DF
+    aggregate at gram grain (Heaps'-law sublinear, the tx20 argument),
+    one gram-keyed equi-join back. No pairs are ever formed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    grams_arr = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    )
+    grams = (
+        docs.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    )
+    df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    j = grams.join(df, "g")
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        uniq.alias("n_unique"),
+        (
+            uniq.cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("novelty"),
+    )
