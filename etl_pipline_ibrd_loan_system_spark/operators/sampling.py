@@ -696,6 +696,54 @@ def apportion_budget(
     )
 
 
+# Poisson(1) CDF, k = 0..5 (draws capped at 6 — P(X > 5) < 6e-4).
+# Embedded as repr'd literals so Spark and the SQL oracle compare the
+# exact same doubles; the uniform is the sp9 dyadic-rational hash.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def poisson_bootstrap_weights(
+    df: DataFrame,
+    id_col: str,
+    n_replicates: int,
+    salt: str = "boot",
+) -> DataFrame:
+    """Deterministic Poisson(1) bootstrap: each row gets an integer
+    resample WEIGHT per replicate (w_0..w_{n-1}) instead of being
+    physically resampled — the standard scale-out bootstrap (bagging,
+    CI estimation) because it needs no shuffle, no sampling pass, and
+    no 2x data copy per replicate: downstream aggregates just multiply
+    by the weight column.
+
+    Determinism: the uniform is the sp9 dyadic-rational hash (exact on
+    both engines), inverted through the fixed Poisson(1) CDF literals —
+    weight = #{k : u >= cdf(k)}, capped at 6 (P > 5 is 6e-4). Rerun-,
+    backfill-, and engine-stable; replicates decorrelate via the salt.
+
+    Scale: a pure per-row projection — zero shuffle, like hash_split."""
+    two53 = 1 << 53
+    cols = [F.col(c) for c in df.columns]
+    for r in range(n_replicates):
+        h = shared_hash60(
+            F.concat(F.lit(f"{salt}{r}:"), F.col(id_col).cast("string"))
+        )
+        u = ((h % F.lit(two53) + F.lit(1)).cast("double")) / F.lit(
+            float(two53)
+        )
+        w = sum(
+            (u >= F.lit(t)).cast("int") for t in POISSON1_CDF
+        )
+        cols.append(w.cast("bigint").alias(f"w{r}"))
+    return df.select(*cols)
+
+
 def negative_sample(
     positives: DataFrame,
     user_col: str,

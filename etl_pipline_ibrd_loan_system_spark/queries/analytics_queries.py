@@ -1329,3 +1329,97 @@ def cf1_cosupplier_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "supp_a", "supp_b", "n_shared", "cust_a", "cust_b", "cosine", "rank"
     )
+
+
+@query(
+    "g12_neighborhood_features",
+    sql="""
+    WITH hi AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 45
+    ), e0 AS (
+      SELECT DISTINCT CAST(a.l_suppkey AS BIGINT) AS u,
+                      CAST(b.l_suppkey AS BIGINT) AS v
+      FROM hi a JOIN hi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), edges AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION ALL SELECT v, u FROM e0
+    ), feat AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS node,
+             CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM supplier
+    ), hop1 AS (
+      SELECT e.src AS node, SUM(f.cents)::BIGINT AS s1,
+             COUNT(*)::BIGINT AS c1
+      FROM edges e JOIN feat f ON f.node = e.dst
+      GROUP BY e.src
+    ), hop2 AS (
+      SELECT e.src AS node, SUM(h.s1)::BIGINT AS s2,
+             SUM(h.c1)::BIGINT AS c2
+      FROM edges e JOIN hop1 h ON h.node = e.dst
+      GROUP BY e.src
+    )
+    SELECT node, c2 AS walk2_count,
+           CAST(s2 AS DOUBLE) / CAST(c2 * 100 AS DOUBLE)
+             AS mean_2hop_acctbal
+    FROM hop2
+    """,
+)
+def g12_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood feature aggregation over the co-supply graph
+    — GNN-style message passing as two rounds of join+aggregate: each
+    supplier's mean account balance over all 2-hop WALK endpoints
+    (multiset semantics, back-steps included — exactly the quantity a
+    mean-aggregator GCN layer stack computes). The graph-feature-
+    engineering primitive for tabular models and GNN data prep.
+
+    Exactness: a mean of hop-1 MEANS would sum doubles (order-
+    dependent); instead both hops carry exact int64 (cents_sum, count)
+    pairs and the single division happens once at the end — the m15
+    sum-of-squares lesson applied to message passing. Scale: each round
+    is one equi-join of the edge list against a node-sized table plus a
+    map-side-combinable aggregate — the Pregel superstep shape; K hops
+    = K such rounds, state never exceeds one row per node."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("sa"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("sb"))
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("sa") < F.col("sb"))
+        .select(
+            F.col("sa").cast("bigint").alias("src"),
+            F.col("sb").cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    feat = sup.select(
+        F.col("s_suppkey").cast("bigint").alias("node"),
+        (F.col("s_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hop1 = (
+        edges.join(feat, edges.dst == feat.node)
+        .groupBy("src")
+        .agg(F.sum("cents").alias("s1"), F.count(F.lit(1)).alias("c1"))
+        .select(F.col("src").alias("node"), "s1", "c1")
+    )
+    hop2 = (
+        edges.join(hop1, edges.dst == hop1.node)
+        .groupBy("src")
+        .agg(F.sum("s1").alias("s2"), F.sum("c1").alias("c2"))
+        .select(F.col("src").alias("node"), "s2", "c2")
+    )
+    return hop2.select(
+        "node",
+        F.col("c2").alias("walk2_count"),
+        (
+            F.col("s2").cast("double")
+            / (F.col("c2") * 100).cast("double")
+        ).alias("mean_2hop_acctbal"),
+    )

@@ -1235,3 +1235,36 @@ def mx5_apportioned_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick_rank") <= F.col("alloc"))
         .select("source", "doc_id", "pick_rank")
     )
+
+
+def _boot_u(r: int) -> str:
+    h = _HASH60.format(x=f"'boot{r}:' || CAST(doc_id AS VARCHAR)")
+    return f"(CAST({h} % {_TWO53} + 1 AS DOUBLE) / {float(_TWO53)})"
+
+
+def _boot_w(r: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {_boot_u(r)} >= {t!r} THEN 1 ELSE 0 END"
+        for t in sampling.POISSON1_CDF
+    )
+    return f"CAST({terms} AS BIGINT) AS w{r}"
+
+
+@query(
+    "sp10_poisson_bootstrap",
+    sql=f"""
+    SELECT doc_id, {_boot_w(0)}, {_boot_w(1)}, {_boot_w(2)}
+    FROM documents
+    """,
+)
+def sp10_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three deterministic Poisson(1) bootstrap replicates over the
+    corpus as integer WEIGHT columns
+    (operators.sampling.poisson_bootstrap_weights) — the shuffle-free
+    resampling that lets any downstream aggregate produce bootstrap
+    confidence intervals by multiplying through w0..w2 instead of
+    copying the data three times."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.poisson_bootstrap_weights(
+        docs.select("doc_id"), "doc_id", n_replicates=3
+    )
