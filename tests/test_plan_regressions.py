@@ -749,3 +749,20 @@ def test_g11_clustering_no_cartesian(spark, sf_dir, registry):
     plan = _plan(registry["g11_clustering_coefficient"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cf1_topk_is_take_ordered(spark, sf_dir, registry):
+    """cf1: the global top-20 cut must be TakeOrderedAndProject (bounded
+    per-partition heaps), never a full-sort or single-partition rank
+    window over all pairs; no cartesian anywhere."""
+    plan = _plan(registry["cf1_cosupplier_similarity"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_g12_message_passing_shape(spark, sf_dir, registry):
+    """g12: two join+aggregate supersteps, no window, no cartesian."""
+    plan = _plan(registry["g12_neighborhood_features"](spark, sf_dir))
+    assert "WindowExec" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

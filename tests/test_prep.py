@@ -694,3 +694,27 @@ def test_ffd_engines_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_poisson_bootstrap_weights_properties(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = sampling.poisson_bootstrap_weights(df, "doc_id", n_replicates=2)
+    rows = out.collect()
+    again = {
+        (r["doc_id"], r["w0"], r["w1"])
+        for r in sampling.poisson_bootstrap_weights(
+            df, "doc_id", n_replicates=2
+        ).collect()
+    }
+    assert {(r["doc_id"], r["w0"], r["w1"]) for r in rows} == again  # rerun-stable
+    n = len(rows)
+    for col in ("w0", "w1"):
+        ws = [r[col] for r in rows]
+        assert all(0 <= w <= 6 for w in ws)
+        assert abs(sum(ws) / n - 1.0) < 0.08  # E[w] = 1
+        assert sum(1 for w in ws if w == 0) / n == pytest.approx(
+            0.3679, abs=0.05
+        )  # P(0) = e^-1
+    # replicates decorrelated: joint (0,0) frequency near e^-2
+    both0 = sum(1 for r in rows if r["w0"] == 0 and r["w1"] == 0) / n
+    assert both0 == pytest.approx(0.1353, abs=0.04)
