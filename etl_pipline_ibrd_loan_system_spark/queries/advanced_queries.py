@@ -1638,3 +1638,63 @@ def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+@query(
+    "e27_rolling_wau",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), contrib AS (
+      SELECT user_id, day + CAST(o AS INTEGER) AS end_day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)
+    ), wau AS (
+      SELECT end_day AS day, COUNT(DISTINCT user_id)::BIGINT AS wau
+      FROM contrib GROUP BY 1
+    ), dau AS (
+      SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def e27_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling 7-day distinct users per observed day (DAU / WAU /
+    stickiness) — the product-analytics headline metric. Spark windows
+    cannot express a rolling COUNT DISTINCT (frames aggregate, they
+    don't dedup), so the decomposition: dedup to (user, day) grain
+    first, then each user-day CONTRIBUTES to the 7 window-end days it
+    falls in (a bounded 7x explode — the e5 date-spine trick inverted)
+    and one distinct-count per end day. sk7 is this metric's mergeable
+    HLL approximation; this is the exact twin, and stickiness is one
+    double division of two exact bigints.
+
+    Scale: the heavy dedup is one map-side-combinable distinct at
+    (user, day) grain; the 7x fan-out happens AFTER dedup (bounded by
+    7 x active-user-days, not raw events); the final distinct shuffles
+    on day — date-bounded key space. Days with no activity report no
+    row (e5's spine fills them)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    offsets = F.array(*[F.lit(i) for i in range(7)])
+    contrib = ud.select(
+        "user_id", "day", F.explode(offsets).alias("o")
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("o")).alias("end_day")
+    )
+    wau = contrib.groupBy(F.col("end_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
