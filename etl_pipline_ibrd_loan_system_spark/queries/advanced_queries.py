@@ -1698,3 +1698,132 @@ def e27_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@query(
+    "e28_survival_curve",
+    sql="""
+    WITH RECURSIVE spans AS (
+      SELECT user_id,
+             date_diff('day',
+                       MIN(CAST(date_trunc('day', ts) AS DATE)),
+                       MAX(CAST(date_trunc('day', ts) AS DATE)))::BIGINT
+               AS tenure,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ), cutoff AS (
+      SELECT MAX(last_day) AS maxday FROM spans
+    ), per_t AS (
+      SELECT tenure,
+             SUM(CASE WHEN last_day < maxday THEN 1 ELSE 0 END)::BIGINT
+               AS deaths,
+             SUM(CASE WHEN last_day = maxday THEN 1 ELSE 0 END)::BIGINT
+               AS censored
+      FROM spans, cutoff GROUP BY tenure
+    ), seq AS (
+      SELECT tenure, deaths, censored,
+             SUM(deaths + censored) OVER (
+               ORDER BY tenure DESC ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS n_risk,
+             ROW_NUMBER() OVER (ORDER BY tenure) AS i
+      FROM per_t
+    ), rec AS (
+      SELECT tenure, deaths, censored, n_risk, i,
+             1.0 * (1.0 - CAST(deaths AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               AS survival
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.tenure, s.deaths, s.censored, s.n_risk, s.i,
+             r.survival
+               * (1.0 - CAST(s.deaths AS DOUBLE) / CAST(s.n_risk AS DOUBLE))
+      FROM seq s JOIN rec r ON s.i = r.i + 1
+    )
+    SELECT tenure, n_risk, deaths, censored, survival FROM rec
+    """,
+)
+def e28_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user TENURE (days from first to
+    last event): users whose last activity predates the observation
+    cutoff are churn events at their tenure; users active on the cutoff
+    day are right-CENSORED — the estimator m10's cohort grid cannot
+    produce, because KM uses censored users' partial exposure instead
+    of dropping them. S(t) = prod_{i<=t} (1 - d_i/n_i).
+
+    Exactness: d_t and the at-risk suffix sums n_t are exact bigints;
+    the survival product is a SEQUENTIAL double fold over the sorted
+    tenure grain — one division, one subtraction, one multiply per
+    step, identical tree both engines (the e24/dq8 recurrence
+    discipline; the oracle replays it as a recursive CTE).
+
+    Scale: one (user) aggregate for spans, a 1-row cutoff broadcast,
+    then everything is TENURE-grain (day-bounded): the desc-cumsum
+    window and the fold see #distinct-tenure rows no matter how many
+    billions of events feed the spans."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(F.max(day), F.min(day)).cast("bigint").alias("tenure"),
+        F.max(day).alias("last_day"),
+    )
+    cutoff = spans.agg(F.max("last_day").alias("maxday"))
+    per_t = spans.crossJoin(F.broadcast(cutoff)).groupBy("tenure").agg(
+        F.sum(
+            F.when(F.col("last_day") < F.col("maxday"), 1).otherwise(0)
+        ).cast("bigint").alias("deaths"),
+        F.sum(
+            F.when(F.col("last_day") == F.col("maxday"), 1).otherwise(0)
+        ).cast("bigint").alias("censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("tenure"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = per_t.select(
+        "tenure",
+        "deaths",
+        "censored",
+        F.sum(F.col("deaths") + F.col("censored"))
+        .over(w_desc)
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    one_group = seq.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("tenure", "deaths", "censored", "n_risk"))
+        ).alias("series")
+    )
+
+    def step(acc, x):
+        s_new = acc["s"] * (
+            F.lit(1.0)
+            - x["deaths"].cast("double") / x["n_risk"].cast("double")
+        )
+        return F.struct(
+            s_new.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["tenure"].alias("tenure"),
+                        x["n_risk"].alias("n_risk"),
+                        x["deaths"].alias("deaths"),
+                        x["censored"].alias("censored"),
+                        s_new.alias("survival"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    fold = F.aggregate(
+        "series",
+        F.expr(
+            "struct(CAST(1.0 AS DOUBLE) AS s, CAST(array() AS "
+            "array<struct<tenure:bigint,n_risk:bigint,deaths:bigint,"
+            "censored:bigint,survival:double>>) AS out)"
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+    return one_group.select(F.explode(fold).alias("r")).select(
+        "r.tenure", "r.n_risk", "r.deaths", "r.censored", "r.survival"
+    )
