@@ -1423,3 +1423,81 @@ def g12_neighborhood_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("c2") * 100).cast("double")
         ).alias("mean_2hop_acctbal"),
     )
+
+
+@query(
+    "m16_gini_concentration",
+    sql="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT))::BIGINT AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY nation ORDER BY cents, o_custkey
+             )::BIGINT AS i
+      FROM rev
+    )
+    SELECT nation,
+           COUNT(*)::BIGINT AS n_customers,
+           SUM(cents)::BIGINT AS total_cents,
+           2.0 * CAST(SUM(i * cents) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE))
+             - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE)
+             AS gini
+    FROM ranked GROUP BY nation
+    """,
+)
+def m16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration per nation —
+    the Lorenz-curve inequality measure that complements m15's HHI
+    (HHI weighs the top; Gini describes the whole distribution) and
+    m13's Pareto share (a single point on the same curve). Computed
+    via the rank identity G = 2*Sum(i*x_i)/(n*Sum(x)) - (n+1)/n.
+
+    Exactness: revenue in int64 cents, rank x value products summed in
+    exact integer space (order under ties is irrelevant to the sum but
+    pinned by custkey anyway), then ONE fixed double expression — two
+    divisions and a subtraction — identical on both engines.
+
+    Scale: the per-customer rollup is map-side combinable; the rank
+    window partitions by nation (bounded by customers-per-nation, and a
+    skewed nation takes the mx2b sub-bucket + offset pattern); the
+    final reduction is one aggregate at nation grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), F.col("o_custkey")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "nation", "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("cents")
+    a = F.sum(F.col("i") * F.col("cents"))
+    gini = (
+        F.lit(2.0) * a.cast("double") / (n.cast("double") * s.cast("double"))
+        - (n.cast("double") + F.lit(1.0)) / n.cast("double")
+    )
+    return ranked.groupBy("nation").agg(
+        n.alias("n_customers"),
+        s.cast("bigint").alias("total_cents"),
+        gini.alias("gini"),
+    )
