@@ -1501,3 +1501,90 @@ def m16_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("bigint").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+@query(
+    "m17_ratio_to_parent",
+    sql="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT))::BIGINT AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), reg AS (
+      SELECT region, SUM(cents)::BIGINT AS cents FROM nat GROUP BY 1
+    ), tot AS (
+      SELECT SUM(cents)::BIGINT AS cents FROM reg
+    )
+    SELECT 'nation' AS level, region, nation, n.cents,
+           CAST(n.cents AS DOUBLE) / CAST(r.cents AS DOUBLE)
+             AS share_of_parent
+    FROM nat n JOIN reg r USING (region)
+    UNION ALL
+    SELECT 'region', region, NULL, r.cents,
+           CAST(r.cents AS DOUBLE) / CAST(t.cents AS DOUBLE)
+    FROM reg r, tot t
+    """,
+)
+def m17_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent down the geographic hierarchy: each nation's
+    revenue share OF ITS REGION and each region's share of the total —
+    the drill-down companion to m9's flat ratio-to-report (share of
+    grand total only). The hierarchical normalization every BI
+    drill-path needs, and the mixture-weight computation a corpus
+    curator runs over source -> domain hierarchies.
+
+    Exactness: one decimal-cents rollup at nation grain feeds
+    everything (parents are re-aggregations of the SAME int64 sums —
+    consistent by construction, no re-scan drift); each share is one
+    double division. Scale: the fact aggregates once at the finest
+    grain; parents aggregate the nation-grain table (25 rows); shares
+    attach via broadcast joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    nat = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    reg = nat.groupBy("region").agg(F.sum("cents").alias("r_cents"))
+    tot = reg.agg(F.sum("r_cents").alias("t_cents"))
+    nation_rows = nat.join(F.broadcast(reg), "region").select(
+        F.lit("nation").alias("level"),
+        "region",
+        "nation",
+        F.col("cents").cast("bigint").alias("cents"),
+        (F.col("cents").cast("double") / F.col("r_cents").cast("double"))
+        .alias("share_of_parent"),
+    )
+    region_rows = reg.crossJoin(F.broadcast(tot)).select(
+        F.lit("region").alias("level"),
+        "region",
+        F.lit(None).cast("string").alias("nation"),
+        F.col("r_cents").cast("bigint").alias("cents"),
+        (F.col("r_cents").cast("double") / F.col("t_cents").cast("double"))
+        .alias("share_of_parent"),
+    )
+    return nation_rows.unionByName(region_rows)
