@@ -1182,3 +1182,77 @@ def tx23_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             uniq.cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("novelty"),
     )
+
+
+@query(
+    "tx24_readability",
+    sql="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, n_sentences,
+             len(t)::BIGINT AS n_words,
+             CAST(list_sum(list_transform(t,
+                    w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))
+                  )) AS BIGINT) AS n_syllables
+      FROM base WHERE len(t) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)) AS flesch
+    FROM counted
+    """,
+)
+def tx24_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document with a mechanical
+    vowel-group syllable rule (maximal [aeiouy]+ runs, floor 1 per
+    word) — the classic readability gate next to tx19's Gopher rules
+    and tx2's quality ratios; corpus curricula bucket documents by
+    exactly this score.
+
+    Exactness: words / sentences / syllables are exact integer counts
+    from the shared regex dialect; the score is a FIXED double tree —
+    two correctly-rounded divisions, two literal multiplies, two
+    subtractions — identical both engines. Scale: pure per-row
+    projection, zero shuffle (the tx2 shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    n_sent = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("bigint")
+    syl = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1), F.regexp_count(w, F.lit("[aeiouy]+"))
+        ).cast("bigint"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return base.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch"),
+    )
