@@ -766,3 +766,22 @@ def test_g12_message_passing_shape(spark, sf_dir, registry):
     assert "WindowExec" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "sp9_priority_sample", "e23_autocorrelation", "e24_holt_smoothing",
+    "e26_seasonal_index", "e27_rolling_wau", "e28_survival_curve",
+    "mx4_budget_apportionment", "mx5_apportioned_selection",
+    "dq11_changepoint", "dq12_profile_drift", "iv4_proximity_search",
+    "tx23_ngram_novelty", "tx24_readability", "m16_gini_concentration",
+    "m17_ratio_to_parent", "sp10_poisson_bootstrap", "sm6_knn_classify",
+    "d16_weighted_median",
+])
+def test_late_wave_never_cartesian(spark, sf_dir, registry, name):
+    """Every late-round-6 query: no CartesianProduct ever (sm6's
+    retrieval and c12's scalar broadcasts are legal BNLJ crossJoins of
+    literal/1-row sides — the cartesian ban is the invariant here).
+    Deliberate driver-scale windows (sp9's top-k+1, mx4's group-grain
+    rank) are documented in their operators, not asserted against."""
+    plan = _plan(registry[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
