@@ -1827,3 +1827,68 @@ def e28_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one_group.select(F.explode(fold).alias("r")).select(
         "r.tenure", "r.n_risk", "r.deaths", "r.censored", "r.survival"
     )
+
+
+_SEQ_CHAR_SQL = """CASE event_type WHEN 'view' THEN 'v'
+                        WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p'
+                        WHEN 'error' THEN 'e'
+                        ELSE 'x' END"""
+_SEQ_PATTERN = "v[^e]*c[^e]*p"
+
+
+@query(
+    "e29_sequence_match",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, {_SEQ_CHAR_SQL} AS ch FROM events
+    ), seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           length(seq)::BIGINT AS n_events,
+           regexp_matches(seq, '{_SEQ_PATTERN}') AS matched
+    FROM seqs
+    """,
+)
+def e29_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE / Flink-CEP niche: does the user's time-ordered
+    event sequence contain view -> click -> purchase with NO error
+    between the steps? Expressed by encoding each event as one
+    character (order pinned by (ts, event_id)) and running ONE regex
+    per user over the collapsed sequence string — e10's first-timestamp
+    funnel cannot express the 'no intervening error' negation; a regex
+    over the ordered alphabet can express any such pattern.
+
+    Exactness: the sequence string is a deterministic ordered fold
+    (array_sort on (ts, event_id, char) -> concat), and the pattern
+    uses only portable regex (char classes, star) — identical on both
+    engines. Scale: one shuffle to user grain; per-user state is the
+    encoded sequence (one byte per event — a power user with 10^6
+    events is a 1 MB string, fine; beyond that, sessionize first with
+    e14 and match per session, which also bounds pattern latency)."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id").alias("k"),
+                  F.expr(_SEQ_CHAR_SQL).alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("k", "ch"))
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
+    )
