@@ -674,3 +674,75 @@ def dq10_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("probe_key").alias("n_keys"),
         dsum("l_quantity", "sum_qty"),
     )
+
+
+@query(
+    "dq13_duplicate_payments",
+    sql="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           abs(a.cents - b.cents) AS cents_diff,
+           date_diff('day', a.o_orderdate, b.o_orderdate)::BIGINT
+             AS days_apart
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.cents - b.cents) <= 100
+     AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 2
+    """,
+)
+def dq13_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: order pairs from the SAME customer
+    within $1 and 2 days of each other — the classic accounts-payable
+    double-booking screen, and the fact-table cousin of the dd family's
+    document near-dup (same blocking discipline, financial payload).
+
+    Shape: the join key is the CUSTOMER (hash equi-join); the amount
+    and date windows are residual predicates on that join, so fan-out
+    is bounded by orders-per-customer (degree-bounded, the cf1
+    argument) — never a global band join. At extreme per-key
+    cardinality the j2 binned-range pattern composes on top (bin by
+    cents div 100 inside the customer block). All comparisons int64."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_orderdate").alias("date_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck_b"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_orderdate").alias("date_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("custkey") == F.col("ck_b"))
+        & (F.col("order_a") < F.col("order_b"))
+        & (F.abs(F.col("cents_a") - F.col("cents_b")) <= 100)
+        & (F.abs(F.datediff(F.col("date_a"), F.col("date_b"))) <= 2),
+    )
+    return pairs.select(
+        "custkey",
+        "order_a",
+        "order_b",
+        F.abs(F.col("cents_a") - F.col("cents_b")).alias("cents_diff"),
+        F.datediff(F.col("date_b"), F.col("date_a"))
+        .cast("bigint")
+        .alias("days_apart"),
+    )
