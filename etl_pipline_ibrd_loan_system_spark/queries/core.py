@@ -1527,3 +1527,51 @@ def d16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_cents"),
         F.first("tw").alias("total_weight"),
     )
+
+
+@query(
+    "d17_group_mode",
+    sql="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*)::BIGINT AS n
+      FROM lineitem GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT l_returnflag, l_linestatus,
+             MAX({'n': n, 'negq': -qty}) AS b,
+             SUM(n)::BIGINT AS n_rows
+      FROM counts GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus,
+           -b.negq AS mode_qty, b.n AS mode_count, n_rows
+    FROM best
+    """,
+)
+def d17_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group MODE with a pinned tie-break (smallest value
+    wins) — Spark's builtin `mode()` leaves ties nondeterministic,
+    which a hash-compared pipeline cannot tolerate, so the engine form
+    is the two-aggregate decomposition: value-grain counts (map-side
+    combinable), then a lexicographic struct-max of (count, -value).
+    Both stages are plain hash aggregates; state is value-cardinality
+    per group, never row-grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    best = counts.groupBy("l_returnflag", "l_linestatus").agg(
+        F.max(
+            F.struct(F.col("n"), (-F.col("qty")).alias("negq"))
+        ).alias("b"),
+        F.sum("n").alias("n_rows"),
+    )
+    return best.select(
+        "l_returnflag",
+        "l_linestatus",
+        (-F.col("b.negq")).alias("mode_qty"),
+        F.col("b.n").alias("mode_count"),
+        "n_rows",
+    )
