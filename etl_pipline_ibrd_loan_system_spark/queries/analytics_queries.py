@@ -1588,3 +1588,46 @@ def m17_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("share_of_parent"),
     )
     return nation_rows.unionByName(region_rows)
+
+
+@query(
+    "m18_new_vs_returning",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT ud.day,
+           SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS new_users,
+           SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END)::BIGINT
+             AS returning_users
+    FROM ud JOIN firsts f USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def m18_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per day — the acquisition/retention
+    decomposition of e27's DAU: a user counts as NEW only on their
+    first-ever active day. One (user, day) dedup, one user-grain min,
+    one key equi-join back (first_day is user-sized — broadcastable),
+    one day-grain aggregate; all exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(F.broadcast(firsts), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("returning_users"),
+        )
+    )

@@ -1575,3 +1575,52 @@ def d17_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("mode_count"),
         "n_rows",
     )
+
+
+@query(
+    "f12_multiset_setops",
+    sql="""
+    WITH a AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+    ), b AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ), ia AS (
+      SELECT k FROM a INTERSECT ALL SELECT k FROM b
+    ), ea AS (
+      SELECT k FROM a EXCEPT ALL SELECT k FROM b
+    )
+    SELECT 'intersect_all' AS op, k, COUNT(*)::BIGINT AS n
+    FROM ia GROUP BY k
+    UNION ALL
+    SELECT 'except_all', k, COUNT(*)::BIGINT FROM ea GROUP BY k
+    """,
+)
+def f12_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET semantics f5's
+    distinct variants drop: per key the result keeps min(cnt_a, cnt_b)
+    respectively max(0, cnt_a - cnt_b) copies. Spark compiles both to
+    ONE aggregate producing per-side counts plus a generate (never a
+    join of the raw streams), which is exactly the count-arithmetic a
+    hand rollup would do — the plan to demand when reconciling
+    duplicate-preserving feeds. Output at (op, key) grain with
+    multiplicities so the oracle hash captures the counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 40).select(
+        F.col("l_suppkey").alias("k")
+    )
+    b = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("k")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return ia.unionByName(ea)
