@@ -1631,3 +1631,97 @@ def m18_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("returning_users"),
         )
     )
+
+
+@query(
+    "m19_growth_accounting",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), seq AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM ud
+    ), active AS (
+      SELECT day,
+             SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS new_users,
+             SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)::BIGINT
+               AS retained,
+             SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+                      THEN 1 ELSE 0 END)::BIGINT AS resurrected
+      FROM seq GROUP BY day
+    ), churn AS (
+      SELECT day + 1 AS day, COUNT(*)::BIGINT AS churned
+      FROM seq
+      WHERE next_day IS NULL OR next_day > day + 1
+      GROUP BY day + 1
+    )
+    SELECT coalesce(a.day, c.day) AS day,
+           coalesce(a.new_users, 0) AS new_users,
+           coalesce(a.retained, 0) AS retained,
+           coalesce(a.resurrected, 0) AS resurrected,
+           coalesce(c.churned, 0) AS churned
+    FROM active a FULL OUTER JOIN churn c ON c.day = a.day
+    """,
+)
+def m19_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the Social-Capital framework): every
+    active user-day is NEW (first ever), RETAINED (also active the
+    previous day) or RESURRECTED (back after a gap), and a user CHURNS
+    the day after their activity stops (including the day after their
+    final observed day). DAU(d) = new + retained + resurrected, and
+    DAU(d) - DAU(d-1) = new + resurrected - churned — the accounting
+    identity dashboards reconcile against (m18 is its two-bucket
+    collapse, e27 its rolling-window smoothing).
+
+    Exactness: all classifications are integer date comparisons off one
+    per-user lag/lead window; counts are exact bigints. Scale: one
+    shuffle to user grain for the window (state = 2 adjacent days), two
+    day-grain aggregates, one day-keyed outer join."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    active = seq.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("prev_day").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("new_users"),
+        F.sum(
+            F.when(F.col("prev_day") == F.date_sub(F.col("day"), 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("retained"),
+        F.sum(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.date_sub(F.col("day"), 1)),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("resurrected"),
+    )
+    churn = (
+        seq.where(
+            F.col("next_day").isNull()
+            | (F.col("next_day") > F.date_add(F.col("day"), 1))
+        )
+        .groupBy(F.date_add(F.col("day"), 1).alias("day"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    j = active.join(churn, "day", "full_outer")
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        "day",
+        F.coalesce("new_users", z).alias("new_users"),
+        F.coalesce("retained", z).alias("retained"),
+        F.coalesce("resurrected", z).alias("resurrected"),
+        F.coalesce("churned", z).alias("churned"),
+    )
