@@ -100,3 +100,25 @@ def test_sm6_predictions_come_from_corpus_labels(spark, sf_dir, registry):
     for r in rows:
         assert r["predicted_label"] in labels
         assert 1 <= r["votes"] <= 5
+
+
+def test_m19_growth_accounting_identity(spark, sf_dir, registry):
+    rows = sorted(
+        registry["m19_growth_accounting"](spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    dau = {
+        r["day"]: r["new_users"] + r["retained"] + r["resurrected"]
+        for r in rows
+    }
+    by_day = {r["day"]: r for r in rows}
+    import datetime
+
+    for day, r in by_day.items():
+        prev = day - datetime.timedelta(days=1)
+        if prev in dau:
+            # DAU(d) = DAU(d-1) + new + resurrected - churned
+            assert dau[day] == dau[prev] + r["new_users"] + r[
+                "resurrected"
+            ] - r["churned"], day
