@@ -1465,9 +1465,7 @@ def f8_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d16_weighted_median",
-    sql="""
+_D16_SQL = """
     WITH vals AS (
       SELECT l_returnflag,
              CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
@@ -1485,8 +1483,10 @@ def f8_token_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CASE WHEN 2 * cw >= tw THEN price_cents END) AS median_cents,
            arbitrary(tw) AS total_weight
     FROM cum GROUP BY l_returnflag
-    """,
-)
+"""
+
+
+@query("d16_weighted_median", sql=_D16_SQL)
 def d16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact QUANTITY-WEIGHTED median extended price per return flag —
     the quantile where half the shipped units (not half the rows) lie
@@ -1624,3 +1624,70 @@ def f12_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "k", "n")
     )
     return ia.unionByName(ea)
+
+
+@query("d16b_weighted_median_binned", sql=_D16_SQL)
+def d16b_weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16's 100 TB shape, registered against the IDENTICAL oracle:
+    bin-first exact weighted median. Phase 1 aggregates weights at
+    ($1000-bucket, group) grain — a shuffle of #buckets rows, not
+    values (the shuffle audit measured plain d16 moving 1.19M records
+    at sf0.1 because near-unique prices defeat value-grain combining).
+    The crossing bucket per group falls out of a bucket-grain
+    cumulative; phase 2 re-reads ONLY that bucket's rows (predicate
+    pushed to the scan via a broadcast (group, bucket) map), combines
+    at value grain WITHIN the bucket, and locates the exact median with
+    the carried-in prior cumulative. Same exactness — every comparison
+    int64 — with shuffle volume ~1/#buckets of d16's; both registered
+    so the equivalence is hash-proven every round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    ).withColumn("bucket", F.expr("price_cents div 100000"))
+    bw = base.groupBy("l_returnflag", "bucket").agg(
+        F.sum("w").alias("bucket_w")
+    )
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = bw.select(
+        "l_returnflag",
+        "bucket",
+        (F.sum("bucket_w").over(w_ord) - F.col("bucket_w")).alias("cum_before"),
+        F.sum("bucket_w").over(w_ord).alias("cum"),
+        F.sum("bucket_w").over(w_all).alias("tw"),
+    )
+    crossing = cum.where(
+        (2 * F.col("cum") >= F.col("tw"))
+        & (2 * F.col("cum_before") < F.col("tw"))
+    ).select("l_returnflag", "bucket", "cum_before", "tw")
+    inside = base.join(
+        F.broadcast(crossing), ["l_returnflag", "bucket"]
+    )
+    vals = inside.groupBy(
+        "l_returnflag", "price_cents", "cum_before", "tw"
+    ).agg(F.sum("w").alias("vw"))
+    w_val = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scanned = vals.select(
+        "l_returnflag",
+        "price_cents",
+        "tw",
+        (F.col("cum_before") + F.sum("vw").over(w_val)).alias("cw"),
+    )
+    return scanned.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_cents"))
+        ).alias("median_cents"),
+        F.first("tw").alias("total_weight"),
+    )
