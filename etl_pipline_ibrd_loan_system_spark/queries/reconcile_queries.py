@@ -591,3 +591,132 @@ def dq12_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_new",
         drift.alias("drifted"),
     )
+
+
+_ER_BAND = (
+    "CAST(CAST({x} AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000"
+)
+
+
+@query(
+    "er1b_linkage_tight_blocking",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS (
+      SELECT DISTINCT d_custkey, c_custkey FROM (
+        SELECT d.d_custkey, c.c_custkey
+        FROM dirty d JOIN customer c
+          ON d.d_nationkey = c.c_nationkey
+         AND d.d_name = c.c_name AND d.d_mktsegment = c.c_mktsegment
+        UNION ALL
+        SELECT d.d_custkey, c.c_custkey
+        FROM dirty d JOIN customer c
+          ON d.d_nationkey = c.c_nationkey
+         AND d.d_name = c.c_name
+         AND {_ER_BAND.format(x='d.d_acctbal')}
+             = {_ER_BAND.format(x='c.c_acctbal')}
+        UNION ALL
+        SELECT d.d_custkey, c.c_custkey
+        FROM dirty d JOIN customer c
+          ON d.d_nationkey = c.c_nationkey
+         AND d.d_mktsegment = c.c_mktsegment
+         AND {_ER_BAND.format(x='d.d_acctbal')}
+             = {_ER_BAND.format(x='c.c_acctbal')}
+      )
+    ), scored AS (
+      SELECT cand.d_custkey, cand.c_custkey,
+             CAST(CASE WHEN d.d_name = c.c_name THEN 35 ELSE -10 END
+                + CASE WHEN d.d_mktsegment = c.c_mktsegment
+                       THEN 15 ELSE -10 END
+                + CASE WHEN abs(
+                         CAST(CAST(d.d_acctbal AS DECIMAL(12,2)) * 100
+                              AS BIGINT)
+                         - CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                                AS BIGINT)) <= 1000
+                       THEN 20 ELSE -25 END AS BIGINT) AS score
+      FROM cand
+      JOIN dirty d ON d.d_custkey = cand.d_custkey
+      JOIN customer c ON c.c_custkey = cand.c_custkey
+    )
+    SELECT CASE WHEN score >= 60 THEN 'match'
+                WHEN score >= 20 THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           (d_custkey = c_custkey) AS is_true_pair,
+           COUNT(*)::BIGINT AS n_pairs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def er1b_linkage_tight_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er1's documented block-growth fix, registered: three blocking
+    passes keyed on PAIRS of the compared fields — (name, segment),
+    (name, band), (segment, band), all with nation. Each planted defect
+    corrupts exactly one field, so at least one pair survives intact:
+    recall on true pairs is still complete (the multi-pass theorem),
+    but blocks now require TWO field agreements, so the near-unique
+    name keys collapse passes A/B to ~1-row blocks and pass C is the
+    only moderate one — the pair volume that made er1 quadratic under
+    fattened blocks (SCALE.md: 10.4x at sf1) disappears. Different
+    candidate set => its own oracle; the confusion-matrix output schema
+    matches er1 for side-by-side reading."""
+    from ..operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
+    dirty = cust.where(mod10.isin(3, 7)).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.when(mod20 == 13, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mktsegment"),
+    )
+
+    def cents(c: F.Column) -> F.Column:
+        return (c.cast("decimal(12,2)") * 100).cast("bigint")
+
+    dirty_b = dirty.withColumn("d_band", F.expr(
+        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    clean_b = cust.withColumn("c_band", F.expr(
+        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    nation = ("d_nationkey", "c_nationkey")
+    name = ("d_name", "c_name")
+    seg = ("d_mktsegment", "c_mktsegment")
+    band = ("d_band", "c_band")
+    cand = linkage.multi_pass_candidates(
+        dirty_b, clean_b, "d_custkey", "c_custkey",
+        passes=[[nation, name, seg], [nation, name, band],
+                [nation, seg, band]],
+    )
+    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    scored = linkage.score_pairs(
+        pairs,
+        comparisons=[
+            (F.col("d_name") == F.col("c_name"), 35, -10),
+            (F.col("d_mktsegment") == F.col("c_mktsegment"), 15, -10),
+            (
+                F.abs(cents(F.col("d_acctbal")) - cents(F.col("c_acctbal")))
+                <= 1000,
+                20,
+                -25,
+            ),
+        ],
+        match_threshold=60,
+        possible_threshold=20,
+    )
+    return scored.groupBy(
+        "classification",
+        (F.col("d_custkey") == F.col("c_custkey")).alias("is_true_pair"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
