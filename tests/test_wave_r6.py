@@ -122,3 +122,27 @@ def test_m19_growth_accounting_identity(spark, sf_dir, registry):
             assert dau[day] == dau[prev] + r["new_users"] + r[
                 "resurrected"
             ] - r["churned"], day
+
+
+@pytest.mark.parametrize(
+    "qname", ["er1_linkage_confusion", "er1b_linkage_tight_blocking"]
+)
+def test_linkage_recall_is_complete(spark, sf_dir, registry, qname):
+    """Every true pair must be blocked by at least one pass (the
+    multi-pass recall theorem): the confusion matrix's true-pair mass
+    equals the dirty extract's row count, for both the coarse and the
+    tight blocking variants."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    n_dirty = cust.where((F.col("c_custkey") % 10).isin(3, 7)).count()
+    rows = registry[qname](spark, sf_dir).collect()
+    true_mass = sum(r["n_pairs"] for r in rows if r["is_true_pair"])
+    assert true_mass == n_dirty, qname
+    # and no true pair lands in non_match (the weights guarantee
+    # single-defect pairs clear the possible threshold)
+    for r in rows:
+        if r["is_true_pair"]:
+            assert r["classification"] in ("match", "possible"), qname
