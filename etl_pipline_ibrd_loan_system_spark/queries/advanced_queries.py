@@ -1892,3 +1892,86 @@ def e29_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("bigint").alias("n_events"),
         F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
     )
+
+
+@query(
+    "e30_session_sequence_match",
+    sql=f"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, {_SEQ_CHAR_SQL} AS ch FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id, ch,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, ch,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id::BIGINT AS session_id,
+           length(seq)::BIGINT AS n_events,
+           regexp_matches(seq, '{_SEQ_PATTERN}') AS matched
+    FROM seqs
+    """,
+)
+def e30_session_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e29's CEP pattern evaluated PER SESSION (e14's 30-minute-gap
+    islands): did this visit convert cleanly — view -> click -> purchase
+    with no error inside ONE session? This is both the semantically
+    right funnel grain (cross-day matches are rarely meaningful) and
+    e29's documented heavy-user cap made real: per-row state is now
+    bounded by session length, not lifetime history, so a years-long
+    power user costs the same as a new one.
+
+    Exactness: session islands from the same integer-microsecond gap
+    rule as e14 (lag + cumsum, (ts, event_id)-pinned), then the e29
+    ordered-fold + portable regex per (user, session). One user-grain
+    shuffle serves both the islands and the per-session fold."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    flagged = ev.select(
+        "user_id", "ts", "event_id", F.expr(_SEQ_CHAR_SQL).alias("ch"),
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_us > 1800000000), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    seqs = (
+        sess.select(
+            "user_id", "session_id",
+            F.struct("ts", "event_id").alias("k"), "ch",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "ch"))),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "session_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
+    )
