@@ -746,3 +746,84 @@ def dq13_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_apart"),
     )
+
+
+@query(
+    "dq14_coverage_gaps",
+    sql="""
+    WITH obs AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM obs
+    ), spine AS (
+      SELECT event_type, CAST(unnest(generate_series(d0, d1,
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT event_type FROM obs), span
+    ), missing AS (
+      SELECT s.event_type, s.day
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.day = s.day
+      WHERE o.day IS NULL
+    )
+    SELECT sp.event_type,
+           COUNT(*)::BIGINT AS expected_days,
+           COUNT(*) - coalesce(m.n_missing, 0) AS observed_days,
+           coalesce(m.n_missing, 0) AS missing_days,
+           m.first_missing
+    FROM spine sp
+    LEFT JOIN (
+      SELECT event_type, COUNT(*)::BIGINT AS n_missing,
+             MIN(day) AS first_missing
+      FROM missing GROUP BY event_type
+    ) m ON m.event_type = sp.event_type
+    GROUP BY sp.event_type, m.n_missing, m.first_missing
+    """,
+)
+def dq14_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-coverage audit: for every event type, how many days of
+    the table's global [min, max] span actually arrived, how many are
+    MISSING, and the first gap — the backfill-planning ledger a
+    partitioned lake pipeline consults before declaring a dataset
+    queryable (dq1 checks values; this checks PRESENCE; e5's spine is
+    the repair that fills the holes it finds).
+
+    Exactness: a (type x date-spine) anti-join — all date arithmetic
+    integer, counts exact. Scale: the spine is types x span-days (tiny,
+    generated — never scanned); the only row-scale work is the
+    map-side-combined distinct at (type, day) grain."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).distinct()
+    span = obs.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = obs.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"))
+            ).alias("day"),
+        )
+    )
+    missing = spine.join(obs, ["event_type", "day"], "left_anti")
+    m = missing.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_missing"),
+        F.min("day").alias("first_missing"),
+    )
+    exp = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("expected_days")
+    )
+    z = F.lit(0).cast("bigint")
+    return exp.join(F.broadcast(m), "event_type", "left").select(
+        "event_type",
+        "expected_days",
+        (F.col("expected_days") - F.coalesce("n_missing", z)).alias(
+            "observed_days"
+        ),
+        F.coalesce("n_missing", z).alias("missing_days"),
+        "first_missing",
+    )
