@@ -1256,3 +1256,59 @@ def tx24_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_sentences", "n_syllables",
         flesch.alias("flesch"),
     )
+
+
+@query(
+    "iv5_boolean_retrieval",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t != '') AS t
+      FROM documents
+    ), flags AS (
+      SELECT doc_id,
+             len(list_filter(t, x -> x = 'fast')) > 0 AS has_fast,
+             len(list_filter(t, x -> x = 'quick')) > 0 AS has_quick,
+             len(list_filter(t, x -> x = 'error')) > 0 AS has_error
+      FROM toks
+    )
+    SELECT doc_id, has_fast, has_quick
+    FROM flags
+    WHERE (has_fast OR has_quick) AND NOT has_error
+    """,
+)
+def iv5_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval — ('fast' OR 'quick') AND NOT 'error' — as
+    postings-set algebra through the inverted index: OR is a distinct
+    union of the two terms' postings, NOT is a left-anti join against
+    the negated term's postings. Completes the IR algebra next to iv2's
+    ranked, iv3's phrase and iv4's proximity queries.
+
+    Shape: only the THREE query terms' postings are ever materialized
+    (term filter pushed into the posting build, the iv3 discipline);
+    the union and anti-join are doc-keyed. The oracle replays per-row
+    membership tests — same sets, opposite evaluation strategy, which
+    is exactly what makes the hash check meaningful."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    postings = docs.select(
+        "doc_id", F.explode(toks).alias("term")
+    ).where(F.col("term").isin("fast", "quick", "error"))
+    fast = postings.where(F.col("term") == "fast").select("doc_id").distinct()
+    quick = postings.where(F.col("term") == "quick").select("doc_id").distinct()
+    err = postings.where(F.col("term") == "error").select("doc_id").distinct()
+    hits = (
+        fast.withColumn("has_fast", F.lit(True))
+        .join(
+            quick.withColumn("has_quick", F.lit(True)),
+            "doc_id",
+            "full_outer",
+        )
+        .join(err, "doc_id", "left_anti")
+    )
+    return hits.select(
+        "doc_id",
+        F.coalesce("has_fast", F.lit(False)).alias("has_fast"),
+        F.coalesce("has_quick", F.lit(False)).alias("has_quick"),
+    )
