@@ -10,7 +10,7 @@ dq2 profiles every customer column in one Expand-planned aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -827,3 +827,154 @@ def dq14_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_missing", z).alias("missing_days"),
         "first_missing",
     )
+
+
+@query(
+    "dq15_hash_collision_audit",
+    sql="""
+    WITH ids AS (
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS id FROM documents
+      UNION ALL
+      SELECT 'cust:' || CAST(c_custkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'supp:' || CAST(s_suppkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'ord:' || CAST(o_orderkey AS VARCHAR) FROM orders
+    ), hashed AS (
+      SELECT id,
+             CAST('0x' || substr(md5(id), 1, 15) AS BIGINT) AS h
+      FROM ids
+    )
+    SELECT COUNT(*)::BIGINT AS n_ids,
+           COUNT(DISTINCT id)::BIGINT AS n_distinct_ids,
+           COUNT(DISTINCT h)::BIGINT AS n_distinct_hashes,
+           (COUNT(DISTINCT id) - COUNT(DISTINCT h))::BIGINT AS n_collisions
+    FROM hashed
+    """,
+)
+def dq15_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the engine's OWN 60-bit md5 decision key
+    (dedup.shared_hash60 — every split, sample, pack, bootstrap and
+    interleave decision in this repo flows through it): hash every
+    entity id in the warehouse and count distinct-id vs distinct-hash.
+    Expected collisions at n ids: n²/2^61 (birthday bound) — ~0 until
+    billions of ids; the audit is the standing tripwire that the
+    60-bit budget still holds as the id population grows, run as a
+    plain query so it can sit in a scheduled quality suite.
+
+    Scale: two map-side-combined distinct aggregates over a union of
+    key projections — no payload columns move."""
+    from ..operators.dedup import shared_hash60
+
+    parts = []
+    for tbl, col, tag in [
+        ("documents", "doc_id", "doc"),
+        ("customer", "c_custkey", "cust"),
+        ("supplier", "s_suppkey", "supp"),
+        ("orders", "o_orderkey", "ord"),
+    ]:
+        parts.append(
+            load_table(spark, sf_dir, tbl).select(
+                F.concat(
+                    F.lit(f"{tag}:"), F.col(col).cast("string")
+                ).alias("id")
+            )
+        )
+    ids = parts[0]
+    for p in parts[1:]:
+        ids = ids.unionByName(p)
+    hashed = ids.select("id", shared_hash60(F.col("id")).alias("h"))
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_ids"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+        F.countDistinct("h").alias("n_distinct_hashes"),
+        (F.countDistinct("id") - F.countDistinct("h")).alias("n_collisions"),
+    )
+
+
+def _dq16_sql() -> str:
+    from .star_queries import _DIM1_SQL
+
+    return f"""
+    {_DIM1_SQL}
+    , corrupted AS (
+      SELECT s_suppkey, start_date, end_date FROM dim1
+      UNION ALL
+      SELECT s_suppkey, DATE '2024-03-01', CAST(NULL AS DATE)
+      FROM dim1 WHERE s_suppkey % 17 = 0 AND is_current
+    ), seq AS (
+      SELECT s_suppkey, start_date, end_date,
+             LAG(end_date) OVER (
+               PARTITION BY s_suppkey ORDER BY start_date, end_date
+             ) AS prev_end,
+             LAG(start_date) OVER (
+               PARTITION BY s_suppkey ORDER BY start_date, end_date
+             ) AS prev_start
+      FROM corrupted
+    )
+    SELECT s_suppkey,
+           COUNT(*)::BIGINT AS n_versions,
+           SUM(CASE WHEN prev_start IS NOT NULL
+                     AND (prev_end IS NULL OR prev_end > start_date)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_overlaps,
+           MIN(CASE WHEN prev_start IS NOT NULL
+                     AND (prev_end IS NULL OR prev_end > start_date)
+                    THEN start_date END) AS first_overlap_start
+    FROM seq GROUP BY s_suppkey
+    HAVING SUM(CASE WHEN prev_start IS NOT NULL
+                     AND (prev_end IS NULL OR prev_end > start_date)
+                    THEN 1 ELSE 0 END) > 0
+    """
+
+
+@query("dq16_scd2_overlap_audit", sql=_dq16_sql())
+def dq16_scd2_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-overlap detector as a runnable audit REPORT (the
+    non-overlap invariant lives in tests/test_scd.py for dims this
+    engine builds; this query is for dims built elsewhere): a corrupted
+    copy of the g1 dimension — every 17th current key gains a second
+    open version — must surface exactly those keys, with overlap counts
+    and the first offending start date. Overlap rule: sorted by
+    (start, end) per key, a version overlaps when the previous
+    version's end is NULL (open) or exceeds this start — half-open
+    interval semantics matching scd2_snapshot.
+
+    Scale: one key-partitioned lag window at version grain — dimension-
+    sized, the g1 argument."""
+    from ..operators.scd import scd2_apply
+    from .star_queries import ASOF1, scd_fixture
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"],
+        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk",
+    )
+    base = dim1.select("s_suppkey", "start_date", "end_date")
+    corrupted = base.unionByName(
+        dim1.where((F.col("s_suppkey") % 17 == 0) & F.col("is_current"))
+        .select(
+            "s_suppkey",
+            F.lit("2024-03-01").cast("date").alias("start_date"),
+            F.lit(None).cast("date").alias("end_date"),
+        )
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("start_date", "end_date")
+    seq = corrupted.select(
+        "s_suppkey",
+        "start_date",
+        "end_date",
+        F.lag("end_date").over(w).alias("prev_end"),
+        F.lag("start_date").over(w).alias("prev_start"),
+    )
+    is_overlap = F.col("prev_start").isNotNull() & (
+        F.col("prev_end").isNull() | (F.col("prev_end") > F.col("start_date"))
+    )
+    out = seq.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(is_overlap.cast("int")).cast("bigint").alias("n_overlaps"),
+        F.min(F.when(is_overlap, F.col("start_date"))).alias(
+            "first_overlap_start"
+        ),
+    )
+    return out.where(F.col("n_overlaps") > 0)
