@@ -1312,3 +1312,52 @@ def iv5_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("has_fast", F.lit(False)).alias("has_fast"),
         F.coalesce("has_quick", F.lit(False)).alias("has_quick"),
     )
+
+
+@query(
+    "tx26_encoding_screen",
+    sql="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
+                AS BIGINT) AS n_control,
+           CASE WHEN length(text) > 0
+                THEN CAST(len(regexp_extract_all(text,
+                       '[^\\x00-\\x7f]')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END AS non_ascii_frac,
+           (len(regexp_extract_all(text, '�')) = 0
+            AND len(regexp_extract_all(text,
+                  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) = 0) AS clean
+    FROM documents
+    """,
+)
+def tx26_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen: U+FFFD replacement-character count (the
+    mojibake fingerprint of a bad decode upstream), C0 control
+    characters (minus tab/newline/CR), and the non-ASCII fraction — the
+    triage columns a corpus intake runs BEFORE language ID, because
+    mojibake text poisons every downstream text signal while passing
+    length/stopword gates. Counts are exact regex extractions in the
+    shared dialect; the fraction is one double division; pure per-row
+    projection, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_repl = F.regexp_count(F.col("text"), F.lit("�")).cast("bigint")
+    n_ctrl = F.regexp_count(
+        F.col("text"), F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    ).cast("bigint")
+    n_nonascii = F.regexp_count(
+        F.col("text"), F.lit("[^\\x00-\\x7f]")
+    ).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        F.when(
+            n_chars > 0, n_nonascii.cast("double") / n_chars.cast("double")
+        ).alias("non_ascii_frac"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("clean"),
+    )
