@@ -90,7 +90,16 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # orphans, dq11 change-point, g10 assortativity, g11 clustering
 # coefficient, er1 linkage, pk2 FFD packing, c12 bitemporal, c13
 # compaction, d16 weighted median, sm6 kNN classify — each selfchecked
-# green at sf0.001 AND sf0.01 on registration day, 2026-08-15).
+# green at sf0.001 AND sf0.01 on registration day, 2026-08-15), and
+# the session tail (mx5 apportioned selection, dq12 profile drift,
+# iv4 proximity, tx23 novelty, cf1/cf1b CF similarity, sp10 Poisson
+# bootstrap, g12 2-hop features, e27 rolling WAU, e28 Kaplan-Meier,
+# m16 Gini, m17 ratio-to-parent, tx24 readability, e29/e30 sequence
+# match, dq13 duplicate payments, d17 mode, f12 multiset set ops,
+# m18 new-vs-returning, m19 growth accounting, d16b binned median,
+# er1b tight blocking, dq14 coverage gaps, dq15/dq16 audits, iv5
+# boolean retrieval, tx26 encoding screen — same two-SF selfcheck
+# discipline on registration day).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside
