@@ -1836,3 +1836,69 @@ def cf1b_capped_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "supp_a", "supp_b", "n_shared", "cust_a", "cust_b", "cosine", "rank"
     )
+
+
+@query(
+    "m20_activity_streaks",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             CAST(day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS INTEGER) AS DATE) AS grp
+      FROM ud
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*)::BIGINT AS len,
+             MAX(day) AS streak_end
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           MAX(CASE WHEN streak_end = last_end THEN len END)
+             AS current_streak
+    FROM (
+      SELECT s.*, MAX(streak_end) OVER (PARTITION BY user_id) AS last_end
+      FROM streaks s
+    ) GROUP BY user_id
+    """,
+)
+def m20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest and current consecutive-day activity streak per user —
+    the engagement metric gamified products anchor on, and the
+    gaps-and-islands classic in its purest form: island key = day minus
+    row_number (consecutive days share it), streak = island size,
+    current streak = the island containing the user's last active day.
+
+    Exactness: all date arithmetic integer; counts exact. Scale: one
+    user-grain exchange feeds the row_number window, the island
+    aggregate and the final rollup (the e14 shared-exchange argument);
+    state bounded by a user's active days."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.max("day").alias("streak_end"),
+    )
+    w_all = Window.partitionBy("user_id")
+    flagged = streaks.withColumn(
+        "last_end", F.max("streak_end").over(w_all)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.max(
+            F.when(F.col("streak_end") == F.col("last_end"), F.col("len"))
+        ).alias("current_streak"),
+    )
