@@ -1268,3 +1268,50 @@ def sp10_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.poisson_bootstrap_weights(
         docs.select("doc_id"), "doc_id", n_replicates=3
     )
+
+
+_RO_CUTOFFS = ("1997-01-01", "1998-07-01", "2000-01-01")
+_RO_HORIZON_DAYS = 180
+
+
+@query(
+    "sp11_rolling_origin",
+    sql=f"""
+    WITH folds(fold, cutoff) AS (VALUES
+      {", ".join(f"({i}, DATE '{c}')" for i, c in enumerate(_RO_CUTOFFS))}
+    )
+    SELECT f.fold::BIGINT AS fold, o.o_orderkey,
+           CASE WHEN o.o_orderdate < f.cutoff THEN 'train'
+                ELSE 'test' END AS role
+    FROM orders o JOIN folds f
+      ON o.o_orderdate < f.cutoff + INTERVAL {_RO_HORIZON_DAYS} DAY
+    """,
+)
+def sp11_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds for
+    time-series models: per cutoff, everything before it is train and
+    the next 180 days are test — the evaluation protocol where random
+    k-fold (sp8) silently leaks the future into training. Emitted long
+    (fold, orderkey, role); rows beyond a fold's test horizon are
+    excluded so each fold is a self-contained train/test pair.
+
+    Exactness: pure integer date comparisons against literal cutoffs.
+    Scale: the folds table is a 3-row broadcast; the fan-out is at most
+    #folds per row and the assignment is a projection — no shuffle at
+    all (sp6's temporal split, vectorized across origins)."""
+    orders = load_table(spark, sf_dir, "orders")
+    folds = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_RO_CUTOFFS)], "fold long, cutoff string"
+    ).select("fold", F.col("cutoff").cast("date").alias("cutoff"))
+    j = orders.join(
+        F.broadcast(folds),
+        F.col("o_orderdate")
+        < F.date_add(F.col("cutoff"), _RO_HORIZON_DAYS),
+    )
+    return j.select(
+        "fold",
+        "o_orderkey",
+        F.when(F.col("o_orderdate") < F.col("cutoff"), "train")
+        .otherwise("test")
+        .alias("role"),
+    )

@@ -978,3 +978,44 @@ def dq16_scd2_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.where(F.col("n_overlaps") > 0)
+
+
+def _dq17_sql() -> str:
+    from .text_queries import _lang_sql
+
+    pred = _lang_sql().strip()
+    return f"""
+    WITH pred AS ({pred})
+    SELECT d.lang AS declared, p.pred_lang AS detected,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN d.lang = p.pred_lang THEN 1 ELSE 0 END)::BIGINT
+             AS n_agree
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("dq17_langid_agreement", sql=_dq17_sql())
+def dq17_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: the metadata
+    QUALITY check for the corpus's `lang` column, built by joining
+    tx3's stopword-profile detector back onto the declarations — a
+    systematic off-diagonal cell means either a mislabeled source feed
+    or a detector blind spot, and EITHER invalidates per-language
+    sampling (sp2) and mixing (mx3) decisions downstream. One doc-keyed
+    join of two projections plus a 2-key aggregate."""
+    from ..operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs, "text", "doc_id").select(
+        "doc_id", "pred_lang"
+    )
+    j = docs.select("doc_id", F.col("lang").alias("declared")).join(
+        pred, "doc_id"
+    )
+    return j.groupBy("declared", F.col("pred_lang").alias("detected")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("declared") == F.col("pred_lang"), 1).otherwise(0)
+        ).cast("bigint").alias("n_agree"),
+    )
