@@ -1975,3 +1975,37 @@ def e30_session_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("bigint").alias("n_events"),
         F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
     )
+
+
+@query(
+    "e31_topk_with_ties",
+    sql="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk::INT AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC
+             ) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def e31_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITH TIES (RANK, not row_number): when
+    the third-largest amount repeats, every tied order qualifies — the
+    semantics leaderboards and audit samples usually actually want; e2's
+    row_number variant silently drops tied rows on an arbitrary
+    physical order unless a tiebreak column is pinned. One key-
+    partitioned window; output size is k plus tie overflow, never more
+    than the group."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

@@ -1902,3 +1902,59 @@ def m20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("streak_end") == F.col("last_end"), F.col("len"))
         ).alias("current_streak"),
     )
+
+
+@query(
+    "m21_interpurchase_gaps",
+    sql="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+                       lag(o.o_orderdate) OVER (
+                         PARTITION BY o.o_custkey
+                         ORDER BY o.o_orderdate, o.o_orderkey
+                       ),
+                       o.o_orderdate)::BIGINT AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           COUNT(gap_days)::BIGINT AS n_gaps,
+           CAST(ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days), 6)
+                AS DOUBLE) AS mean_gap_days,
+           quantile_cont(gap_days, 0.5) AS median_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY segment
+    """,
+)
+def m21_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per market segment: days between a
+    customer's consecutive orders (lag window pinned by (date, key)),
+    rolled up to segment mean and exact median — the replenishment-
+    cycle input behind m11's recency scoring and any churn-risk
+    horizon. Gap sums are exact integers (mean = one division, rounded
+    identically); the median is the d9 interpolated percentile both
+    engines share. One customer-grain exchange for the lag, one
+    segment-grain aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count("gap_days").alias("n_gaps"),
+        F.round(
+            F.sum("gap_days").cast("double") / F.count("gap_days"), 6
+        ).alias("mean_gap_days"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+    )

@@ -1691,3 +1691,39 @@ def d16b_weighted_median_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_cents"),
         F.first("tw").alias("total_weight"),
     )
+
+
+@query(
+    "b16_row_checksums",
+    sql="""
+    SELECT c_custkey,
+           md5(
+             coalesce(c_name, '<NULL>') || '\x1f'
+             || coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') || '\x1f'
+             || coalesce(CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                   AS BIGINT) AS VARCHAR), '<NULL>') || '\x1f'
+             || coalesce(c_mktsegment, '<NULL>')
+           ) AS row_checksum
+    FROM customer
+    """,
+)
+def b16_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical row fingerprint per customer: md5 over the attribute
+    tuple serialized with an explicit unit-separator delimiter, NULLs
+    mapped to a sentinel, and floats canonicalized to integer cents
+    FIRST (a raw double's string form differs between engines; its
+    cents value doesn't) — the checksum column that turns c7's
+    column-by-column snapshot diff into a single-column comparison and
+    makes cross-system reconciliation shippable as one join. Pure
+    per-row projection, zero shuffle; the delimiter prevents the
+    ('ab','c') vs ('a','bc') concatenation collision."""
+    cust = load_table(spark, sf_dir, "customer")
+    sep = F.lit("\x1f")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+    payload = F.concat(
+        F.coalesce(F.col("c_name"), F.lit("<NULL>")), sep,
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("<NULL>")), sep,
+        F.coalesce(cents.cast("string"), F.lit("<NULL>")), sep,
+        F.coalesce(F.col("c_mktsegment"), F.lit("<NULL>")),
+    )
+    return cust.select("c_custkey", F.md5(payload).alias("row_checksum"))
