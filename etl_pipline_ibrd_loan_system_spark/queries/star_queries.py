@@ -559,3 +559,97 @@ def c13_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_date").cast("string").alias("end_date"),
         "is_current",
     )
+
+
+@query(
+    "g13_period_allocation",
+    sql=f"""
+    {_DIM1_SQL}
+    , facts AS (
+      SELECT l_suppkey AS s_suppkey,
+             DATE '2024-04-01'
+               + CAST((l_orderkey * 11 + l_linenumber) % 120 AS INTEGER)
+               AS p_start,
+             DATE '2024-04-01'
+               + CAST((l_orderkey * 11 + l_linenumber) % 120 AS INTEGER)
+               + INTERVAL 45 DAY AS p_end,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), alloc AS (
+      SELECT d.sk, d.s_suppkey, d.is_current, f.qty,
+             date_diff('day',
+               greatest(f.p_start, d.start_date),
+               least(f.p_end, coalesce(d.end_date, DATE '9999-12-31'))
+             )::BIGINT AS overlap_days
+      FROM facts f
+      JOIN dim1 d
+        ON d.s_suppkey = f.s_suppkey
+       AND d.start_date < f.p_end
+       AND (d.end_date IS NULL OR d.end_date > f.p_start)
+    )
+    SELECT sk, s_suppkey, is_current,
+           COUNT(*)::BIGINT AS n_facts,
+           SUM(overlap_days)::BIGINT AS sum_overlap_days,
+           SUM(qty * overlap_days)::BIGINT AS weighted_qty
+    FROM alloc GROUP BY sk, s_suppkey, is_current
+    """,
+)
+def g13_period_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period allocation across SCD2 versions: each fact carries a
+    45-day validity PERIOD (deterministic start straddling the
+    2024-06-01 version boundary), and its quantity is attributed to
+    every supplier version it overlaps, weighted by exact overlap days
+    — the time-weighted cost-allocation join g8's point-in-time lookup
+    cannot express (a point probe picks ONE version; a period spans
+    several). The canonical use: amortizing a subscription or contract
+    over the dimension history it lived through.
+
+    Exactness: overlap = min(end) - max(start) in integer days (open
+    end mapped to a far sentinel); the weighted quantity stays an int64
+    PRODUCT-SUM — the allocation RATIO (weighted/period_len) is left to
+    the consumer so no division ever happens inside the aggregate
+    (the g12 no-mean-of-means rule). Scale: one broadcast interval
+    join (dim history is dimension-sized; disjoint versions bound the
+    fan-out by versions-overlapping-the-period, <= 2 here) and one
+    version-grain aggregate."""
+    from ..functions import exact as _  # noqa: F401  (doc anchor)
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    start = F.date_add(
+        F.to_date(F.lit("2024-04-01")),
+        ((F.col("l_orderkey") * 11 + F.col("l_linenumber")) % 120).cast("int"),
+    )
+    facts = li.select(
+        F.col("l_suppkey").alias("f_key"),
+        start.alias("p_start"),
+        F.date_add(start, 45).alias("p_end"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    dimv = dim1.select(
+        F.col("s_suppkey").alias("d_key"), "sk", "s_suppkey", "is_current",
+        "start_date", "end_date",
+    )
+    joined = facts.join(
+        F.broadcast(dimv),
+        (F.col("f_key") == F.col("d_key"))
+        & (F.col("start_date") < F.col("p_end"))
+        & (F.col("end_date").isNull() | (F.col("end_date") > F.col("p_start"))),
+    )
+    overlap = F.datediff(
+        F.least(
+            F.col("p_end"),
+            F.coalesce(F.col("end_date"), F.lit("9999-12-31").cast("date")),
+        ),
+        F.greatest(F.col("p_start"), F.col("start_date")),
+    ).cast("bigint")
+    return joined.groupBy("sk", "s_suppkey", "is_current").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(overlap).alias("sum_overlap_days"),
+        F.sum(F.col("qty") * overlap).alias("weighted_qty"),
+    )
