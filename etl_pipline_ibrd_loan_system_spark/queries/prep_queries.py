@@ -1315,3 +1315,53 @@ def sp11_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("role"),
     )
+
+
+_BAL_HASH = _HASH60.format(x="'bal:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "sp12_class_balance",
+    sql=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {_BAL_HASH}, doc_id
+             ) AS rn
+      FROM documents
+    ), target AS (
+      SELECT MIN(n) AS n_min FROM (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+      )
+    )
+    SELECT doc_id, lang, rn::BIGINT AS pick_rank
+    FROM ranked, target WHERE rn <= n_min
+    """,
+)
+def sp12_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact class-balanced downsample: every language contributes
+    EXACTLY min-class-count documents, picked by deterministic hash
+    rank — the classifier-training counterweight to mx3's temperature
+    softening (alpha -> 0 limit, but exact-size instead of Bernoulli).
+    Rerun-stable, and growing a majority class never changes which of
+    its documents are kept until the minority count itself moves.
+
+    Scale: sp5's sub-bucketed exact-stratified machinery is the skew
+    path for a serialized per-class window; the target is a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = sampling.shared_hash60(
+        F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("pick_rank")
+    )
+    target = docs.groupBy("lang").count().agg(
+        F.min("count").alias("n_min")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .where(F.col("pick_rank") <= F.col("n_min"))
+        .select("doc_id", "lang", "pick_rank")
+    )
