@@ -1958,3 +1958,88 @@ def m21_interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_days"),
         F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
     )
+
+
+@query(
+    "m22_price_volume_variance",
+    sql="""
+    WITH by_year AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM l.l_shipdate)::INT AS yr,
+             SUM(CAST(l.l_quantity AS BIGINT))::BIGINT AS qty,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT))::BIGINT AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE EXTRACT(year FROM l.l_shipdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    ), pivoted AS (
+      SELECT nation,
+             MAX(CASE WHEN yr = 1997 THEN qty END) AS q0,
+             MAX(CASE WHEN yr = 1997 THEN rev_cents END) AS r0,
+             MAX(CASE WHEN yr = 1998 THEN qty END) AS q1,
+             MAX(CASE WHEN yr = 1998 THEN rev_cents END) AS r1
+      FROM by_year GROUP BY nation
+    )
+    SELECT nation, q0, q1, r0, r1,
+           (r1 - r0)::BIGINT AS delta_rev_cents,
+           (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+            - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q1 AS DOUBLE) AS price_effect_cents,
+           (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             AS volume_effect_cents
+    FROM pivoted
+    WHERE q0 IS NOT NULL AND q1 IS NOT NULL
+    """,
+)
+def m22_price_volume_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume variance decomposition per supplier nation,
+    1997 -> 1998: delta-revenue split into the price effect
+    ((p1 - p0) * q1) and the volume effect ((q1 - q0) * p0) — the FP&A
+    bridge-chart decomposition (the two effects sum to delta by the
+    standard identity), a capability class next to m14's plain YoY.
+
+    Exactness: the per-year reductions are exact int64 (quantities and
+    revenue cents); the effects are FIXED double trees over those
+    exact inputs — two divisions, multiplies, subtractions, identical
+    both engines. Scale: one fact aggregate at (nation, year) grain
+    with both dims broadcast; the decomposition is a 25-row projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    yr = F.year("l_shipdate")
+    base = (
+        li.where(yr.isin(1997, 1998))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), yr.cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+                .cast("bigint")
+            ).alias("rev_cents"),
+        )
+    )
+    piv = base.groupBy("nation").agg(
+        F.max(F.when(F.col("yr") == 1997, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("yr") == 1997, F.col("rev_cents"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 1998, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("yr") == 1998, F.col("rev_cents"))).alias("r1"),
+    ).where(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    q0, q1 = F.col("q0").cast("double"), F.col("q1").cast("double")
+    r0, r1 = F.col("r0").cast("double"), F.col("r1").cast("double")
+    return piv.select(
+        "nation", "q0", "q1", "r0", "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_rev_cents"),
+        ((r1 / q1 - r0 / q0) * q1).alias("price_effect_cents"),
+        ((q1 - q0) * (r0 / q0)).alias("volume_effect_cents"),
+    )
