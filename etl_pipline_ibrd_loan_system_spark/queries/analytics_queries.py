@@ -2043,3 +2043,64 @@ def m22_price_volume_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r1 / q1 - r0 / q0) * q1).alias("price_effect_cents"),
         ((q1 - q0) * (r0 / q0)).alias("volume_effect_cents"),
     )
+
+
+@query(
+    "m23_time_to_convert",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT user_id,
+             (epoch_us(t_buy) - epoch_us(t_view)) // 1000000 AS secs
+      FROM firsts
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view
+    )
+    SELECT COUNT(*)::BIGINT AS n_converters,
+           quantile_cont(secs, 0.5) AS p50_secs,
+           quantile_cont(secs, 0.9) AS p90_secs,
+           MAX(secs)::BIGINT AS max_secs
+    FROM conv
+    """,
+)
+def m23_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's first view
+    to their first purchase (converters only, purchase not before
+    view), summarized as p50/p90/max — the latency companion to e10's
+    stage counts: the funnel says HOW MANY convert, this says HOW LONG
+    conversion takes, which is what sets attribution windows and
+    remarketing delays. Gaps in exact integer seconds (integer
+    microsecond difference, integer division); percentiles are the
+    shared d9 interpolation. One user-grain aggregate, one global
+    summary."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_buy"),
+    )
+    conv = firsts.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_view"))
+    ).select(
+        (
+            (
+                F.unix_micros(F.col("t_buy").cast("timestamp"))
+                - F.unix_micros(F.col("t_view").cast("timestamp"))
+            )
+        ).alias("us")
+    ).select(F.expr("us div 1000000").alias("secs")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.expr("percentile(secs, 0.5)").alias("p50_secs"),
+        F.expr("percentile(secs, 0.9)").alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )

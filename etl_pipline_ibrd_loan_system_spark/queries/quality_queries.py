@@ -1019,3 +1019,55 @@ def dq17_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("declared") == F.col("pred_lang"), 1).otherwise(0)
         ).cast("bigint").alias("n_agree"),
     )
+
+
+@query(
+    "dq18_weekday_anomaly",
+    sql="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             isodow(ts) - 1 AS dow,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT event_type, dow,
+             SUM(n)::BIGINT AS dow_events,
+             COUNT(*)::BIGINT AS dow_days
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.n,
+           b.dow_events, b.dow_days,
+           (d.n * b.dow_days > 2 * b.dow_events) AS spike,
+           (2 * d.n * b.dow_days < b.dow_events) AS drop
+    FROM daily d
+    JOIN base b ON b.event_type = d.event_type AND b.dow = d.dow
+    WHERE d.n * b.dow_days > 2 * b.dow_events
+       OR 2 * d.n * b.dow_days < b.dow_events
+    """,
+)
+def dq18_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-baseline anomaly days: a (type, day) whose count exceeds
+    2x its own weekday's mean — or falls below half of it — flagged by
+    INTEGER cross-multiplication (n * dow_days vs k * dow_events), so
+    no float mean ever exists. The seasonality-aware screen dq8's
+    global CUSUM misses: a normal Saturday lull isn't drift, a
+    Saturday at Tuesday volume is. Composes e26's index with dq8's
+    alarm discipline. Everything past the daily aggregate is (type,
+    dow)-grain joined back at (type, day) grain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.weekday("ts").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("dow_events"),
+        F.count(F.lit(1)).alias("dow_days"),
+    )
+    j = daily.join(F.broadcast(base), ["event_type", "dow"])
+    spike = F.col("n") * F.col("dow_days") > 2 * F.col("dow_events")
+    drop = 2 * F.col("n") * F.col("dow_days") < F.col("dow_events")
+    return j.where(spike | drop).select(
+        "event_type", "day", "n", "dow_events", "dow_days",
+        spike.alias("spike"), drop.alias("drop"),
+    )
