@@ -1727,3 +1727,71 @@ def b16_row_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c_mktsegment"), F.lit("<NULL>")),
     )
     return cust.select("c_custkey", F.md5(payload).alias("row_checksum"))
+
+
+@query(
+    "f13_relational_division",
+    sql="""
+    WITH target AS (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    ), pairs AS (
+      SELECT DISTINCT l.l_suppkey AS suppkey, c.c_nationkey AS nationkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey IN (SELECT n_nationkey FROM target)
+    )
+    SELECT suppkey,
+           COUNT(*)::BIGINT AS n_nations_served
+    FROM pairs
+    GROUP BY suppkey
+    HAVING COUNT(*) = (SELECT COUNT(*) FROM target)
+    """,
+)
+def f13_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (the FORALL quantifier): suppliers who have
+    shipped to customers in EVERY nation of region 0 — the query shape
+    SQL famously lacks a keyword for. Engine form: distinct
+    (supplier, nation) pairs restricted to the divisor set, then
+    count-equals-divisor-cardinality (the Date/Darwen counting
+    formulation — one aggregate instead of the double-NOT-EXISTS
+    transliteration, which would plan as two correlated anti-joins).
+
+    Scale: the divisor is a broadcast semi-filter; the pair distinct is
+    map-side combinable at (supplier, nation) grain; the division
+    itself is a supplier-grain aggregate against a 1-row broadcast
+    count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    target = nation.where(F.col("n_regionkey") == 0).select("n_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(target),
+            cust.c_nationkey == target.n_nationkey,
+            "left_semi",
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .distinct()
+    )
+    n_target = target.agg(F.count(F.lit(1)).alias("n_target"))
+    counts = pairs.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("n_nations_served")
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_target))
+        .where(F.col("n_nations_served") == F.col("n_target"))
+        .select("suppkey", "n_nations_served")
+    )
