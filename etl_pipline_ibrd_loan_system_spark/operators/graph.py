@@ -282,3 +282,122 @@ def bellman_ford(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to the SEED set):
+    like pagerank_fixed_point but the teleport mass returns only to the
+    seeds — rank becomes proximity TO the seed set, the graph-retrieval
+    primitive (related-entity ranking, seed-expansion labeling) where
+    global PageRank is just importance. Identical integer fixed-point
+    discipline: 1e12-unit ranks, `div` everywhere, so partitioning and
+    reduction order can't move a single unit and the oracle replays the
+    iterations verbatim (ppr_oracle_ctes, generated from the same
+    constants).
+
+    rank_0(v)   = SCALE div |S| for v in S, else 0
+    rank_k+1(v) = [v in S] * (100-d)*SCALE div (100*|S|)
+                  + d * sum(contribs) div 100
+
+    Scale: per-iteration cost equals one edges x ranks equi-join plus a
+    node-grain aggregate (the Pregel superstep); |S| is a driver-side
+    scalar (the IVF-centroid rule). Mass leaks at dangling/unreached
+    nodes exactly as in the global variant — proximity ORDER, the thing
+    retrieval uses, is unaffected."""
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    s = seeds.select(F.col("node").cast("bigint").alias("node")).distinct()
+    ns = s.count()  # driver-side scalar, bounded by the seed set
+    seed_base = ((100 - damping_pct) * SCALE) // (100 * ns)
+    init = SCALE // ns
+    seed_flag = s.withColumn("__seed", F.lit(True))
+    ranks = nodes.join(seed_flag, "node", "left").select(
+        "node",
+        F.when(F.col("__seed"), F.lit(init))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg.withColumnRenamed("node", "__dn"), e.src == F.col("__dn"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .join(seed_flag, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed"), F.lit(seed_base))
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0)) div 100"
+                    ).cast("bigint")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.withColumnRenamed("rank", "rank_units")
+
+
+def ppr_oracle_ctes(iters: int = 3, damping_pct: int = 85) -> str:
+    """DuckDB CTE chain replaying personalized_pagerank_fixed_point.
+    Expects `edges(src, dst)` and `pprseeds(node)`; emits
+    `pprfinal(node, rank_units)`."""
+    parts = [
+        "pprnodes AS (SELECT DISTINCT src AS node FROM (SELECT src FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        "pprdeg AS (SELECT src AS node, COUNT(*) AS outdeg"
+        " FROM edges GROUP BY src)",
+        "pprns AS (SELECT COUNT(*) AS ns FROM (SELECT DISTINCT node"
+        " FROM pprseeds))",
+        f"ppr0 AS (SELECT p.node, (CASE WHEN s.node IS NOT NULL"
+        f" THEN {SCALE} // ns ELSE 0 END)::BIGINT AS rank"
+        f" FROM pprnodes p CROSS JOIN pprns"
+        f" LEFT JOIN (SELECT DISTINCT node FROM pprseeds) s"
+        f" ON s.node = p.node)",
+    ]
+    prev = "ppr0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pprc{k} AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS s"
+            f" FROM edges e JOIN {prev} r ON e.src = r.node"
+            f" JOIN pprdeg d ON d.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"ppr{k} AS (SELECT p.node,"
+            f" ((CASE WHEN sd.node IS NOT NULL"
+            f" THEN ({100 - damping_pct} * {SCALE}) // (100 * ns)"
+            f" ELSE 0 END)"
+            f" + ({damping_pct} * COALESCE(c.s, 0)) // 100)::BIGINT AS rank"
+            f" FROM pprnodes p CROSS JOIN pprns"
+            f" LEFT JOIN pprc{k} c ON p.node = c.node"
+            f" LEFT JOIN (SELECT DISTINCT node FROM pprseeds) sd"
+            f" ON sd.node = p.node)"
+        )
+        prev = f"ppr{k}"
+    parts.append(f"pprfinal AS (SELECT node, rank AS rank_units FROM {prev})")
+    return ",\n    ".join(parts)

@@ -2104,3 +2104,52 @@ def m23_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(secs, 0.9)").alias("p90_secs"),
         F.max("secs").alias("max_secs"),
     )
+
+
+@query(
+    "g14_personalized_pagerank",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    pprseeds AS (
+      SELECT s_suppkey + 1000000 AS node FROM supplier WHERE s_nationkey = 0
+    ),
+    {_graph.ppr_oracle_ctes(iters=3)}
+    SELECT node, rank_units FROM pprfinal WHERE rank_units > 0
+    """,
+)
+def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (3 damped iterations, restart mass on
+    nation-0 suppliers) over the symmetric trade graph — proximity TO
+    the seed set rather than g3's global importance: the related-entity
+    ranking / seed-expansion primitive. Integer fixed-point units as in
+    g3, oracle replays the iterations verbatim from the same constants
+    (ppr_oracle_ctes). Zero-rank nodes (outside 3 hops of the seeds)
+    are filtered on both sides."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") + 1000000).alias("node"))
+    )
+    out = _graph.personalized_pagerank_fixed_point(edges, seeds, iters=3)
+    return out.where(F.col("rank_units") > 0)
