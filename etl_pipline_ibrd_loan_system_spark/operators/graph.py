@@ -323,6 +323,8 @@ def personalized_pagerank_fixed_point(
     )
     s = seeds.select(F.col("node").cast("bigint").alias("node")).distinct()
     ns = s.count()  # driver-side scalar, bounded by the seed set
+    if ns == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
     seed_base = ((100 - damping_pct) * SCALE) // (100 * ns)
     init = SCALE // ns
     seed_flag = s.withColumn("__seed", F.lit(True))

@@ -2115,7 +2115,7 @@ def m23_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
     pprseeds AS (
-      SELECT s_suppkey + 1000000 AS node FROM supplier WHERE s_nationkey = 0
+      SELECT s_suppkey + 1000000 AS node FROM supplier WHERE s_suppkey <= 5
     ),
     {_graph.ppr_oracle_ctes(iters=3)}
     SELECT node, rank_units FROM pprfinal WHERE rank_units > 0
@@ -2123,7 +2123,7 @@ def m23_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (3 damped iterations, restart mass on
-    nation-0 suppliers) over the symmetric trade graph — proximity TO
+    the five lowest-keyed suppliers — present at every SF) over the symmetric trade graph — proximity TO
     the seed set rather than g3's global importance: the related-entity
     ranking / seed-expansion primitive. Integer fixed-point units as in
     g3, oracle replays the iterations verbatim from the same constants
@@ -2148,7 +2148,7 @@ def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = (
         load_table(spark, sf_dir, "supplier")
-        .where(F.col("s_nationkey") == 0)
+        .where(F.col("s_suppkey") <= 5)
         .select((F.col("s_suppkey") + 1000000).alias("node"))
     )
     out = _graph.personalized_pagerank_fixed_point(edges, seeds, iters=3)
