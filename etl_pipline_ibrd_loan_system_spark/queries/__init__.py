@@ -75,10 +75,11 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; re-swept 229/229, 244/244,
-# and finally 255/255 green at sf0.01 on 2026-08-15 — every registered
-# query, not just the window (the last three registrations, e29/dq13/
-# d17, were each selfchecked at sf0.001 AND sf0.01 individually);
-# later additions selfchecked
+# 255/255, and finally 279/279 green at sf0.01 on 2026-08-15 — every
+# registered query, not just the window (registrations after each
+# sweep snapshot were each selfchecked at sf0.001 AND sf0.01
+# individually, a discipline that caught g14's empty sf0.001 seed set
+# before its fix was committed); later additions selfchecked
 # individually at sf0.001/0.01/0.1 on registration day). The ninth-wave
 # set registered after the round-6 sf0.1 sweep snapshot (g8/g8b
 # point-in-time SCD2 join, tx22 Kneser-Ney counts, s5 streaming PIT
