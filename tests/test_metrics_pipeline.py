@@ -1,0 +1,72 @@
+"""Cross-metric consistency laws of the composed metrics mart — the
+identities four independent pipelines can silently violate when one
+drifts (the value-level checks live in e27/m19/m20/e28's oracle rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipline_ibrd_loan_system_spark.plans.metrics_pipeline import (
+    activity_grain,
+    build_metrics_mart,
+)
+
+
+@pytest.fixture(scope="module")
+def mart(spark, sf_dir):
+    return build_metrics_mart(spark, sf_dir)
+
+
+def test_dau_decomposes_into_growth_classes(spark, sf_dir, mart):
+    eng = {r["day"]: r for r in mart["engagement"].collect()}
+    gro = {r["day"]: r for r in mart["growth"].collect()}
+    assert eng
+    for day, e in eng.items():
+        g = gro[day]
+        assert (
+            g["new_users"] + g["retained"] + g["resurrected"] == e["dau"]
+        ), day
+        assert e["wau"] >= e["dau"]
+
+
+def test_streak_mass_equals_grain(spark, sf_dir, mart):
+    # every active user-day belongs to exactly one streak: the sum of
+    # all streak lengths (recomputed from the grain) equals |grain|
+    ud = activity_grain(spark, sf_dir)
+    n_grain = ud.count()
+    n_users = ud.select("user_id").distinct().count()
+    streaks = mart["streaks"].collect()
+    assert len(streaks) == n_users
+    for r in streaks:
+        assert 1 <= r["current_streak"] <= r["longest_streak"]
+
+
+def test_survival_base_accounts_every_user(spark, sf_dir, mart):
+    ud = activity_grain(spark, sf_dir)
+    n_users = ud.select("user_id").distinct().count()
+    base = mart["survival_base"].collect()
+    assert len(base) == n_users
+    # exactly the max-tenure users on the cutoff day are censored
+    assert any(not r["churned_observed"] for r in base)
+
+
+def test_churn_mass_equals_user_episodes(spark, sf_dir, mart):
+    # every user churns once per activity episode (streak): total
+    # churned across all days == total number of streaks
+    gro = mart["growth"].collect()
+    total_churned = sum(r["churned"] for r in gro)
+    ud = activity_grain(spark, sf_dir)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    n_streaks = (
+        ud.select(
+            "user_id",
+            F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+        )
+        .select("user_id", "grp")
+        .distinct()
+        .count()
+    )
+    assert total_churned == n_streaks
