@@ -1071,3 +1071,55 @@ def dq18_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "n", "dow_events", "dow_days",
         spike.alias("spike"), drop.alias("drop"),
     )
+
+
+@query(
+    "dq19_fixed_attr_violations",
+    sql="""
+    WITH staging AS (
+      SELECT s_suppkey, s_name, s_acctbal,
+             CASE WHEN s_suppkey % 13 = 0 THEN s_nationkey + 1
+                  ELSE s_nationkey END AS s_nationkey
+      FROM supplier
+    )
+    SELECT st.s_suppkey,
+           d.s_nationkey AS dim_nationkey,
+           st.s_nationkey AS staged_nationkey
+    FROM staging st
+    JOIN supplier d ON d.s_suppkey = st.s_suppkey
+    WHERE st.s_nationkey IS DISTINCT FROM d.s_nationkey
+    """,
+)
+def dq19_fixed_attr_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-attribute violation report: staging rows that try to
+    change a column declared immutable (supplier nation; the fixture
+    plants a mutation on every 13th key). The reference's SCD wizard
+    has exactly this semantics tier — Fixed attributes with a
+    fail-on-change option (`project SSIS::bor_dim.dtsx` FailOnFixed
+    routing) — and scd2_apply honors fixed_cols by never copying them
+    from staging; this query is the REPORTING half: surface the
+    violations so the load can fail loudly or route them to an error
+    table instead of silently keeping the dimension value. One
+    broadcast probe join, null-safe comparison."""
+    sup = load_table(spark, sf_dir, "supplier")
+    staging = sup.select(
+        "s_suppkey", "s_name", "s_acctbal",
+        F.when(
+            F.col("s_suppkey") % 13 == 0, F.col("s_nationkey") + 1
+        ).otherwise(F.col("s_nationkey")).alias("s_nationkey"),
+    )
+    d = sup.select(
+        F.col("s_suppkey").alias("d_key"),
+        F.col("s_nationkey").alias("dim_nationkey"),
+    )
+    return (
+        staging.join(F.broadcast(d), staging.s_suppkey == F.col("d_key"))
+        .where(
+            ~F.col("s_nationkey").eqNullSafe(F.col("dim_nationkey"))
+        )
+        .select(
+            "s_suppkey",
+            "dim_nationkey",
+            F.col("s_nationkey").alias("staged_nationkey"),
+        )
+    )
