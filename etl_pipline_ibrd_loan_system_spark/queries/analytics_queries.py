@@ -2153,3 +2153,76 @@ def g14_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _graph.personalized_pagerank_fixed_point(edges, seeds, iters=3)
     return out.where(F.col("rank_units") > 0)
+
+
+@query(
+    "m24_ltv_curve",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_order
+      FROM orders GROUP BY o_custkey
+    ), aged AS (
+      SELECT date_diff('day', f.first_order, o.o_orderdate)::BIGINT
+               AS days_since,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), daily AS (
+      SELECT days_since, SUM(cents)::BIGINT AS rev_cents,
+             COUNT(*)::BIGINT AS n_orders
+      FROM aged GROUP BY days_since
+    ), n AS (
+      SELECT COUNT(*)::BIGINT AS n_cust FROM firsts
+    )
+    SELECT days_since, n_orders, rev_cents,
+           SUM(rev_cents) OVER (ORDER BY days_since
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS cum_rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY days_since
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(n_cust * 100 AS DOUBLE) AS ltv_per_customer
+    FROM daily, n
+    """,
+)
+def m24_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value curve: cumulative revenue per customer
+    as a function of days since that customer's FIRST order — the
+    payback-period input CAC decisions read off (m10's retention grid
+    with money instead of presence). Revenue accumulates in exact int64
+    cents at tenure grain; the per-customer normalization is one double
+    division by a 1-row count broadcast.
+
+    Scale: first-order is a customer-grain aggregate whose join back
+    reuses the same key partitioning (the m10 argument); the cumsum
+    window runs at TENURE grain (days — bounded), not order grain."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order")
+    )
+    aged = orders.join(firsts, "o_custkey").select(
+        F.datediff(F.col("o_orderdate"), F.col("first_order"))
+        .cast("bigint")
+        .alias("days_since"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    daily = aged.groupBy("days_since").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    n = firsts.agg(F.count(F.lit(1)).alias("n_cust"))
+    w = Window.orderBy("days_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = daily.crossJoin(F.broadcast(n)).select(
+        "days_since",
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+        (
+            F.sum("rev_cents").over(w).cast("double")
+            / (F.col("n_cust") * 100).cast("double")
+        ).alias("ltv_per_customer"),
+    )
+    return out
