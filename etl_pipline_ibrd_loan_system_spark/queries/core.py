@@ -1795,3 +1795,94 @@ def f13_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_nations_served") == F.col("n_target"))
         .select("suppkey", "n_nations_served")
     )
+
+
+@query(
+    "b17_penny_allocation",
+    sql="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_orderkey) AS qty_total
+      FROM lineitem
+    ), totals AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS total_cents
+      FROM orders
+    ), alloc AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.qty, t.total_cents,
+             (t.total_cents * l.qty) // l.qty_total AS floor_cents,
+             (t.total_cents * l.qty) % l.qty_total AS remainder
+      FROM lines l JOIN totals t ON t.o_orderkey = l.l_orderkey
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY remainder DESC, l_linenumber
+             ) AS rn,
+             SUM(floor_cents) OVER (PARTITION BY l_orderkey) AS floor_sum
+      FROM alloc
+    )
+    SELECT l_orderkey, l_linenumber, qty, floor_cents,
+           (floor_cents
+            + CASE WHEN rn <= total_cents - floor_sum THEN 1 ELSE 0 END
+           )::BIGINT AS alloc_cents
+    FROM ranked
+    """,
+)
+def b17_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order penny allocation: each order's total is split across
+    its line items proportional to quantity with largest-remainder
+    rounding — GROUPED Hamilton apportionment (mx4 runs one global
+    apportionment at source grain; this runs millions of independent
+    ones, one per order), the invoice/tax-allocation primitive where
+    naive per-line rounding leaks or conjures cents. Per order the
+    allocations sum to EXACTLY the order total.
+
+    Exactness: all int64 — floor = (total*qty) div qty_sum, leftovers
+    to the largest remainders, line number as the tie-break. Scale:
+    every window partitions by ORDER key (state bounded by
+    lines-per-order, <= 7 in TPC-H) — the grouped form needs no global
+    anything; one fact-key join against the order totals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("l_orderkey")
+    lines = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).withColumn("qty_total", F.sum("qty").over(w_ord))
+    totals = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    alloc = lines.join(
+        totals, lines.l_orderkey == totals.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        "total_cents",
+        F.expr("(total_cents * qty) div qty_total").alias("floor_cents"),
+        F.expr("(total_cents * qty) % qty_total").alias("remainder"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("remainder"), "l_linenumber"
+    )
+    ranked = alloc.withColumn(
+        "rn", F.row_number().over(w_rank)
+    ).withColumn("floor_sum", F.sum("floor_cents").over(w_ord))
+    extra = (
+        F.col("rn") <= F.col("total_cents") - F.col("floor_sum")
+    ).cast("bigint")
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        "floor_cents",
+        (F.col("floor_cents") + extra).alias("alloc_cents"),
+    )

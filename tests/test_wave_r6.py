@@ -146,3 +146,26 @@ def test_linkage_recall_is_complete(spark, sf_dir, registry, qname):
     for r in rows:
         if r["is_true_pair"]:
             assert r["classification"] in ("match", "possible"), qname
+
+
+def test_b17_allocations_sum_to_order_totals(spark, sf_dir, registry):
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    out = registry["b17_penny_allocation"](spark, sf_dir)
+    sums = out.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("allocated")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+    bad = (
+        sums.join(orders, "l_orderkey")
+        .where(F.col("allocated") != F.col("total_cents"))
+        .count()
+    )
+    assert bad == 0  # every order's pennies conserved exactly
