@@ -677,3 +677,81 @@ def s5_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.table("s5_enriched").localCheckpoint(eager=True)
         finally:
             q.stop()
+
+
+# --- s6: streaming corpus intake (stateless gate + split, one agg) --------
+
+_S6_SQL = """
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t != ''))::BIGINT AS n_tokens,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 100 AS bkt
+      FROM documents
+    )
+    SELECT CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+           (n_tokens >= 5) AS keep,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS sum_chars
+    FROM base GROUP BY 1, 2
+    """
+
+
+def _s6_intake(docs: DataFrame) -> DataFrame:
+    from ..operators.dedup import shared_hash60
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    bkt = (
+        shared_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        bkt.alias("bkt"),
+    )
+    split = (
+        F.when(F.col("bkt") < 80, "train")
+        .when(F.col("bkt") < 90, "val")
+        .otherwise("test")
+    )
+    return base.groupBy(
+        split.alias("split"), (F.col("n_tokens") >= 5).alias("keep")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query("s6_stream_corpus_intake", sql=_S6_SQL)
+def s6_stream_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake: documents arrive through a parquet file
+    stream and flow through the STATELESS prep projections — token
+    count, minimum-length keep gate, sp1's deterministic hash split —
+    into one complete-mode accounting aggregate (docs and chars per
+    split x verdict). The streaming half of the corpus story: because
+    every per-row decision is a pure hash/count function (the sampling
+    module's design center), the same intake code runs identically in
+    batch backfill and continuous ingestion, and the oracle proves the
+    stream drains to the exact batch answer (the s1/h1 discipline,
+    applied to documents instead of events)."""
+    import tempfile
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stage_dir = tempfile.mkdtemp(prefix="s6_docs_")
+    os.symlink(path, os.path.join(stage_dir, "documents.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage_dir)
+    with _stream_partitions(spark):
+        q = run_stream_to_memory(
+            _s6_intake(stream), "s6_intake", output_mode="complete"
+        )
+        try:
+            return spark.table("s6_intake").localCheckpoint(eager=True)
+        finally:
+            q.stop()
