@@ -785,3 +785,12 @@ def test_late_wave_never_cartesian(spark, sf_dir, registry, name):
     rank) are documented in their operators, not asserted against."""
     plan = _plan(registry[name](spark, sf_dir))
     assert "CartesianProduct" not in plan, name
+
+
+def test_b17_windows_are_order_partitioned(spark, sf_dir, registry):
+    """b17: every window must partition by the ORDER key (state bounded
+    by lines-per-order) — the grouped-Hamilton contract; and the totals
+    attach is a plain equi-join."""
+    plan = _plan(registry["b17_penny_allocation"](spark, sf_dir))
+    assert "windowspecdefinition(l_orderkey" in plan
+    assert "CartesianProduct" not in plan
