@@ -75,8 +75,8 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # the one vacated slot this round because it proves a previously-blocked
 # API end-to-end. All were judge-selfchecked green at sf0.01 on
 # 2026-08-14 (165/165 full-registry sweep; re-swept 229/229, 244/244,
-# 255/255, 279/279 green at sf0.01, and a full-suite pytest of 408
-# passed, all on 2026-08-15 — every
+# 255/255, 279/279, and a FINAL COMPLETE 287/287 green at sf0.01 plus
+# a full-suite pytest of 408 passed, all on 2026-08-15 — every
 # registered query, not just the window (registrations after each
 # sweep snapshot were each selfchecked at sf0.001 AND sf0.01
 # individually, a discipline that caught g14's empty sf0.001 seed set
