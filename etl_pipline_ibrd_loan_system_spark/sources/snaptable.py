@@ -416,3 +416,42 @@ def lookup(
     )
     slice_df = read(spark, root, version=version, buckets=buckets)
     return slice_df.join(F.broadcast(kdf), key, "left_semi")
+
+
+def rebucket(spark: SparkSession, root: str, new_n_buckets: int) -> dict:
+    """Partition-spec evolution: rewrite the CURRENT snapshot under a
+    new bucket count and publish it as a fresh version — the operation
+    a table needs when merges started narrow (few keys per batch, small
+    n_buckets fine) and the key population outgrew the spec (every
+    batch now touches every bucket, so copy-on-write degenerates to
+    rewrite-the-world; raising n_buckets restores merge locality).
+
+    Like Iceberg's spec evolution this is metadata-versioned: the new
+    manifest carries the new n_buckets and SUBSEQUENT merges pick it up
+    from the manifest automatically (scd2_merge reads the spec, it
+    never trusts create-time arguments); time travel to pre-rebucket
+    versions still reads the old layout because each manifest is
+    self-describing. Unlike Iceberg's lazy spec change this rewrites
+    eagerly — one full pass — because a mixed-spec bucket listing would
+    make touched-bucket discovery spec-dependent per file, complexity a
+    single rewrite commit avoids. Rollback undoes it; vacuum reclaims
+    whichever layout falls out of retention."""
+    m = read_manifest(root)
+    if int(new_n_buckets) == int(m["n_buckets"]):
+        return m
+    snapshot = read(spark, root)
+    version = _next_version(root)
+    files = _write_commit(
+        spark, root, snapshot, m["key"], int(new_n_buckets), version
+    )
+    manifest = {
+        "version": version,
+        "parent": m["version"],
+        "key": m["key"],
+        "n_buckets": int(new_n_buckets),
+        "schema": m["schema"],
+        "buckets": files,
+        "rebucketed_from": int(m["n_buckets"]),
+    }
+    _publish(root, manifest)
+    return manifest

@@ -292,3 +292,49 @@ def test_lookup_reads_only_the_keys_buckets(spark, tmp_path):
     files_read = [p for bb in b for p in m["buckets"].get(str(bb), [])]
     all_files = [p for fl in m["buckets"].values() for p in fl]
     assert 0 < len(files_read) < len(all_files)
+
+
+def test_rebucket_preserves_rows_and_evolves_spec(spark, tmp_path):
+    root, _ = _make_table(spark, tmp_path, n_buckets=2)
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD2),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-02-01",
+    )
+    before = _rows(snaptable.read(spark, root))
+    pre_version = snaptable.current_version(root)
+
+    m = snaptable.rebucket(spark, root, 16)
+    assert m["n_buckets"] == 16 and m["rebucketed_from"] == 2
+    # snapshot is row-identical under the new layout
+    assert _rows(snaptable.read(spark, root)) == before
+    # time travel to the pre-rebucket version still reads the OLD layout
+    assert _rows(snaptable.read(spark, root, version=pre_version)) == before
+
+    # subsequent merges pick the new spec up FROM THE MANIFEST and
+    # produce the same rows a full rebuild would
+    snaptable.scd2_merge(
+        spark, root, _staging(spark, LOAD3),
+        t1_cols=["name"], t2_cols=["city"], asof="2024-03-01",
+    )
+    m2 = snaptable.read_manifest(root)
+    assert m2["n_buckets"] == 16
+    dim0 = scd2_init(
+        _staging(spark, LOAD1), "bk", ["name", "city"],
+        asof="2024-01-01", sk_strategy="hash",
+    )
+    dim1 = scd2_apply(
+        dim0, _staging(spark, LOAD2), "bk", t1_cols=["name"],
+        t2_cols=["city"], asof="2024-02-01", sk_strategy="hash",
+    )
+    dim2 = scd2_apply(
+        dim1, _staging(spark, LOAD3), "bk", t1_cols=["name"],
+        t2_cols=["city"], asof="2024-03-01", sk_strategy="hash",
+    )
+    assert _rows(snaptable.read(spark, root)) == _rows(dim2)
+
+
+def test_rebucket_same_count_is_noop(spark, tmp_path):
+    root, _ = _make_table(spark, tmp_path, n_buckets=4)
+    v = snaptable.current_version(root)
+    m = snaptable.rebucket(spark, root, 4)
+    assert m["version"] == v  # no new commit published
