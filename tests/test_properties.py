@@ -448,3 +448,70 @@ def test_incremental_join_view_equals_monolithic(spark, a, b, a_cut, b_cut):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+# --------------------------------------------------- Hamilton apportionment
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(1, 10_000), min_size=1, max_size=8),
+    budget=st.integers(0, 5_000),
+)
+def test_apportionment_laws_random(spark, weights, budget):
+    """Hamilton laws under random weights: exact-sum, floor/ceil
+    bounds, and quota monotonicity (alloc within 1 of the real-valued
+    proportional share)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.sampling import (
+        apportion_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", w) for i, w in enumerate(weights)], "source string, w long"
+    )
+    rows = apportion_budget(df, "source", "w", budget=budget).collect()
+    total_w = sum(weights)
+    assert sum(r["alloc"] for r in rows) == budget
+    for r in rows:
+        quota = budget * r["weight"] / total_w
+        assert r["floor_alloc"] <= r["alloc"] <= r["floor_alloc"] + 1
+        # Hamilton never strays more than 1 from the real quota
+        assert quota - 1 < r["alloc"] < quota + 1 or abs(
+            r["alloc"] - quota
+        ) <= 1
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+)
+def test_ffd_engines_agree_random(spark, sizes):
+    """The Arrow kernel and the Catalyst fold produce IDENTICAL bin
+    assignments on random size multisets (the oracle checks the fold;
+    this transitively covers the kernel the registered query runs)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.sampling import ffd_pack
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    a = {
+        (r["doc_id"], r["bin_id"])
+        for r in ffd_pack(
+            df, "doc_id", "n", budget=256, n_buckets=2, engine="arrow"
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["bin_id"])
+        for r in ffd_pack(
+            df, "doc_id", "n", budget=256, n_buckets=2, engine="fold"
+        ).collect()
+    }
+    assert a == b
