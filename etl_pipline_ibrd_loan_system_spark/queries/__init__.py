@@ -100,8 +100,13 @@ ROWS_ONLY: frozenset[str] = frozenset()
 # match, dq13 duplicate payments, d17 mode, f12 multiset set ops,
 # m18 new-vs-returning, m19 growth accounting, d16b binned median,
 # er1b tight blocking, dq14 coverage gaps, dq15/dq16 audits, iv5
-# boolean retrieval, tx26 encoding screen — same two-SF selfcheck
-# discipline on registration day).
+# boolean retrieval, tx26 encoding screen, m20 streaks, dq17 lang
+# agreement, sp11 rolling origin, m21 gaps, e31 tie top-k, b16
+# checksums, g13 period allocation, sp12 class balance, m22
+# price/volume, m23 time-to-convert, dq18 weekday anomaly, f13
+# relational division, g14 personalized pagerank, dq19 fixed-attr
+# violations, m24 LTV, b17 penny allocation, s6 streaming intake —
+# same two-SF selfcheck discipline on registration day).
 DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",  # canary
     # -- 13 never-driver-checked queries (r5 additions parked outside
