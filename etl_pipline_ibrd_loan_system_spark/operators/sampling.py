@@ -665,11 +665,23 @@ def apportion_budget(
     billions), so the unpartitioned rank window is a deliberately
     driver-scale step, same argument as dq8's per-type fold.
     """
+    b = int(budget)
+    if b < 0:
+        raise ValueError(f"apportion_budget: negative budget {b}")
     per = df.groupBy(group_col).agg(
         F.sum(F.col(weight_col)).cast("bigint").alias("weight")
     )
+    # Negative totals would flip div/mod semantics between engines —
+    # refuse loudly. Zero-weight groups are safe as-is: their remainder
+    # is 0 and the leftover count never exceeds the number of groups
+    # with NONZERO remainders (sum of fractional parts), so they can
+    # never be awarded an extra unit.
+    n_bad = per.where(F.col("weight") < 0).count()
+    if n_bad:
+        raise ValueError(
+            f"apportion_budget: {n_bad} group(s) with negative total weight"
+        )
     tot = per.agg(F.sum("weight").alias("tot"))
-    b = int(budget)
     q = per.crossJoin(F.broadcast(tot)).select(
         group_col,
         "weight",

@@ -718,3 +718,24 @@ def test_poisson_bootstrap_weights_properties(spark):
     # replicates decorrelated: joint (0,0) frequency near e^-2
     both0 = sum(1 for r in rows if r["w0"] == 0 and r["w1"] == 0) / n
     assert both0 == pytest.approx(0.1353, abs=0.04)
+
+
+def test_apportion_budget_guards_and_zero_weight_safety(spark):
+    with pytest.raises(ValueError):
+        sampling.apportion_budget(
+            spark.createDataFrame([("a", -1)], "source string, w long"),
+            "source", "w", budget=10,
+        )
+    with pytest.raises(ValueError):
+        sampling.apportion_budget(
+            spark.createDataFrame([("a", 1)], "source string, w long"),
+            "source", "w", budget=-1,
+        )
+    # zero-weight groups never receive an extra unit
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 3), ("c", 5)], "source string, w long"
+    )
+    out = {r["source"]: r for r in
+           sampling.apportion_budget(df, "source", "w", budget=7).collect()}
+    assert out["a"]["alloc"] == 0
+    assert sum(r["alloc"] for r in out.values()) == 7
