@@ -1886,3 +1886,43 @@ def b17_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor_cents",
         (F.col("floor_cents") + extra).alias("alloc_cents"),
     )
+
+
+# One ANSI string with CTEs + window functions, executed verbatim by
+# spark.sql AND DuckDB — extends sql1's proof from join/HAVING SQL to
+# the ANALYTIC dialect (the part migrating BI workloads actually stress).
+_SHARED_ANALYTIC_SQL = """
+    WITH nation_orders AS (
+      SELECT c.c_nationkey AS nationkey, o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), ranked AS (
+      SELECT nationkey, o_orderkey, cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY nationkey ORDER BY cents DESC, o_orderkey
+             ) AS rn,
+             SUM(cents) OVER (PARTITION BY nationkey) AS nation_cents
+      FROM nation_orders
+    )
+    SELECT nationkey, o_orderkey, cents, nation_cents,
+           CAST(rn AS INT) AS rn,
+           CASE WHEN 10 * cents > nation_cents THEN 'whale'
+                ELSE 'regular' END AS tier
+    FROM ranked WHERE rn <= 3
+"""
+
+
+@query("sql2_shared_analytic_dialect", sql=_SHARED_ANALYTIC_SQL)
+def sql2_shared_analytic_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-SQL dialect proof: ONE string with CTEs, a
+    partitioned ROW_NUMBER, a windowed SUM and a CASE tier, executed
+    VERBATIM by spark.sql and by the DuckDB oracle — sql1 proved the
+    join/aggregate dialect is shared; this proves the window dialect
+    is too, which is what a migrating BI workload actually exercises.
+    All arithmetic int64 cents (the whale tier compares by integer
+    cross-multiplication, no share division)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_ANALYTIC_SQL)
