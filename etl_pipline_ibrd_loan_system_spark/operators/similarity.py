@@ -665,16 +665,21 @@ def mmr_topk(
     against redundancy, the retrieval twin of dedup (a near-identical
     neighbor of an already-picked result scores itself out).
 
-    Scale shape: relevance is one broadcast-query cosine pass over the
-    corpus (exact, = cosine_topk); everything AFTER the shortlist cut
-    is bounded by n_queries x shortlist (+ shortlist² pairwise sims per
-    query, all Spark-computed doubles) — BOUNDED DRIVER STATE by
-    design, the IVF-centroid argument: the greedy's sequential data
-    dependence runs driver-side over ≤ q·s² numbers the executors
-    produced; the corpus is never collected. `mu` is an explicit
-    parameter (NOT 1-lam: 1-0.7 rounds to 0.30000000000000004 while the
-    oracle's literal 0.3 doesn't — the weights must be literal-identical
-    on both engines). Ties break on ascending id at every step."""
+    Scale shape (r7): relevance is one broadcast-query cosine pass over
+    the corpus (exact, = cosine_topk); everything AFTER the shortlist
+    cut is bounded by n_queries x shortlist (+ shortlist² pairwise sims
+    per query, all Spark-computed doubles). The greedy's sequential
+    data dependence is PER-QUERY independent, so it runs as
+    `applyInPandas` grouped by query_id — per-task state is ONE query's
+    s relevances + s² pairwise sims; DRIVER STATE IS ZERO (the r6
+    verdict's sm4 fix: a few million rerank queries now parallelize
+    across executors instead of serializing a driver loop). The corpus
+    is never collected anywhere. `mu` is an explicit parameter (NOT
+    1-lam: 1-0.7 rounds to 0.30000000000000004 while the oracle's
+    literal 0.3 doesn't — the weights must be literal-identical on both
+    engines); the greedy arithmetic is plain Python-float (C double)
+    inside the kernel, bit-identical to the old driver loop. Ties break
+    on ascending id at every step."""
     sl = cosine_topk(corpus, queries, id_col, vec_col, k=shortlist)
     cv = corpus.select(
         F.col(id_col).alias("nid"),
@@ -700,37 +705,73 @@ def mmr_topk(
             cosine(F.col("va"), F.col("vb")).alias("s"),
         )
     )
-    rel_rows = sl.select("query_id", "neighbor_id", "cos_sim").collect()
-    sim_rows = sims.collect()
-    rel: dict = {}
-    for r in rel_rows:
-        rel.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["cos_sim"]
-    sim: dict = {}
-    for r in sim_rows:
-        sim[(r["query_id"], r["aid"], r["bid"])] = r["s"]
+    # Pack the two per-query inputs (shortlist relevances, pairwise sims)
+    # into one keyed stream so a single groupBy ships exactly one query's
+    # state to one task. kind=0 rows carry (a=neighbor_id, val=cos_sim);
+    # kind=1 rows carry (a=aid, b=bid, val=s); b=-1 on rel rows so no
+    # column is nullable (nullable int64 would arrive float64 in pandas).
+    packed = sl.select(
+        "query_id",
+        F.lit(0).alias("kind"),
+        F.col("neighbor_id").alias("a"),
+        F.lit(-1).cast("bigint").alias("b"),
+        F.col("cos_sim").alias("val"),
+    ).unionByName(
+        sims.select(
+            "query_id",
+            F.lit(1).alias("kind"),
+            F.col("aid").alias("a"),
+            F.col("bid").alias("b"),
+            F.col("s").alias("val"),
+        )
+    )
 
-    def pair(qid, x, y):
-        return sim[(qid, x, y) if x < y else (qid, y, x)]
+    def _greedy(pdf):
+        import pandas as pd
 
-    out = []
-    for qid in sorted(rel):
-        cands = rel[qid]
-        # rank 1: pure relevance, id-ascending tie-break
-        first = max(cands, key=lambda n: (cands[n], -n))
-        sel = [first]
-        out.append((qid, 1, first, cands[first]))
-        for rank in range(2, k + 1):
-            remaining = [n for n in cands if n not in sel]
-            if not remaining:
-                break
+        qid = int(pdf["query_id"].iloc[0])
+        relp = pdf[pdf["kind"] == 0]
+        simp = pdf[pdf["kind"] == 1]
+        # plain Python floats: the kernel's arithmetic is the exact
+        # C-double sequence the old driver loop ran
+        cands = {
+            int(a): float(v) for a, v in zip(relp["a"], relp["val"])
+        }
+        sim = {
+            (int(a), int(b)): float(v)
+            for a, b, v in zip(simp["a"], simp["b"], simp["val"])
+        }
 
-            def mmr(n):
-                maxsim = max(pair(qid, n, s) for s in sel)
-                return lam * cands[n] - mu * maxsim
+        def pair(x, y):
+            return sim[(x, y) if x < y else (y, x)]
 
-            best = max(remaining, key=lambda n: (mmr(n), -n))
-            out.append((qid, rank, best, mmr(best)))
-            sel.append(best)
-    return corpus.sparkSession.createDataFrame(
-        out, "query_id bigint, rank int, vec_id bigint, mmr_score double"
+        out = []
+        if cands:
+            # rank 1: pure relevance, id-ascending tie-break
+            first = max(cands, key=lambda n: (cands[n], -n))
+            sel = [first]
+            out.append((qid, 1, first, cands[first]))
+            for rank in range(2, k + 1):
+                remaining = [n for n in cands if n not in sel]
+                if not remaining:
+                    break
+
+                def mmr(n):
+                    maxsim = max(pair(n, s) for s in sel)
+                    return lam * cands[n] - mu * maxsim
+
+                best = max(remaining, key=lambda n: (mmr(n), -n))
+                out.append((qid, rank, best, mmr(best)))
+                sel.append(best)
+        return pd.DataFrame(
+            out, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    return (
+        packed.groupBy("query_id")
+        .applyInPandas(
+            _greedy,
+            schema="query_id bigint, rank int, vec_id bigint, mmr_score double",
+        )
+        .sortWithinPartitions("query_id", "rank")
     )

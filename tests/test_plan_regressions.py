@@ -794,3 +794,35 @@ def test_b17_windows_are_order_partitioned(spark, sf_dir, registry):
     plan = _plan(registry["b17_penny_allocation"](spark, sf_dir))
     assert "windowspecdefinition(l_orderkey" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sm4_greedy_runs_in_executors_not_driver(spark, sf_dir, registry):
+    """sm4 (VERDICT r6 item 2): the MMR greedy must be a FlatMapGroupsInPandas
+    stage grouped by query_id — per-task state is one query's shortlist,
+    driver state zero. The plan must show the Arrow group-map operator
+    hash-partitioned on query_id, and the source must not contain a
+    collect boundary (a driver loop would surface as a LocalTableScan of
+    pre-collected rows feeding nothing)."""
+    df = registry["sm4_mmr_diversified_topk"](spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan, "sm4 greedy left applyInPandas"
+    assert "hashpartitioning(query_id" in plan, (
+        "sm4 greedy exchange is not query-grain"
+    )
+    # the old driver-side implementation materialized the greedy result as
+    # a createDataFrame => the WHOLE plan was one LocalTableScan/Scan
+    # ExistingRDD with no upstream parquet lineage
+    assert "Scan parquet" in plan or "BatchScan" in plan, (
+        "sm4 result lost its distributed lineage (driver materialization?)"
+    )
+
+
+def test_mmr_topk_source_has_no_collect():
+    """Source-level gate: mmr_topk must not call .collect() (r6 fix)."""
+    import inspect
+
+    from etl_pipline_ibrd_loan_system_spark.operators import similarity
+
+    src = inspect.getsource(similarity.mmr_topk)
+    assert ".collect()" not in src
+    assert "applyInPandas" in src
