@@ -255,6 +255,50 @@ def g7_snapshot_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "g7b_merged_dim_timetravel",
+    sql=f"""
+    WITH {_FIXTURE_SQL}
+    SELECT sk, s_suppkey, s_name, s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM dim0
+    """,
+)
+def g7b_merged_dim_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel THROUGH the table format (r7, VERDICT r6 item 3):
+    after the SCD2 merge commit bumps CURRENT to version 2, a version-1
+    read must return the initial load bit-for-bit — including the dense
+    surrogate keys, which the oracle replays exactly (dim0's
+    row_number), proving the merge rewrote only new files and the old
+    manifest still resolves to untouched data. Complements g7 (which
+    checks the POST-merge state) and the loan pipeline's
+    `load_star_snaptable(version=1)` production path."""
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="g7b_snaptable_")
+    try:
+        snaptable.create(spark, root, dim0, "s_suppkey", n_buckets=8)
+        snaptable.scd2_merge(
+            spark, root, staging,
+            t1_cols=["s_acctbal"], t2_cols=["s_name"],
+            fixed_cols=["s_nationkey"], asof=ASOF1,
+        )
+        assert snaptable.current_version(root) == 2
+        return snaptable.read(spark, root, version=1).select(
+            "sk", "s_suppkey", "s_name", "s_acctbal", "s_nationkey",
+            F.col("start_date").cast("string").alias("start_date"),
+            F.col("end_date").cast("string").alias("end_date"),
+            "is_current",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- G8: per-row point-in-time fact->SCD2 join ---------------------------
 
 _G8_SQL = f"""

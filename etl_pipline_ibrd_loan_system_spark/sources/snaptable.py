@@ -172,10 +172,13 @@ def _publish(root: str, manifest: dict) -> None:
 
 def create(
     spark: SparkSession, root: str, df: DataFrame, key: str,
-    n_buckets: int = 16,
+    n_buckets: int = 16, sk_col: str = "sk",
 ) -> dict:
     """Initialize the table at version 1 from `df` (e.g. an scd2_init
-    result). Returns the published manifest."""
+    result). `sk_col` names the surrogate-key column merges extend
+    (recorded in the manifest so callers with non-default SCD column
+    names — the loan warehouse's `pk_<dim>_sk` — merge correctly).
+    Returns the published manifest."""
     if current_version(root) is not None:
         raise FileExistsError(f"snapshot table already exists at {root!r}")
     files = _write_commit(spark, root, df, key, n_buckets, version=1)
@@ -184,6 +187,7 @@ def create(
         "parent": None,
         "key": key,
         "n_buckets": n_buckets,
+        "sk_col": sk_col,
         "schema": df.schema.json(),
         "buckets": files,
     }
@@ -231,6 +235,7 @@ def scd2_merge(
 
     m = read_manifest(root)
     key, n_buckets = m["key"], m["n_buckets"]
+    sk_col = m.get("sk_col", "sk")
     touched = sorted(
         r["__b"]
         for r in staging.select(
@@ -241,7 +246,8 @@ def scd2_merge(
     new_slice = scd2_apply(
         old_slice, staging, key,
         t1_cols=t1_cols, t2_cols=t2_cols, fixed_cols=fixed_cols,
-        asof=asof, sk_strategy="hash", broadcast_dim=broadcast_dim,
+        asof=asof, sk_col=sk_col, sk_strategy="hash",
+        broadcast_dim=broadcast_dim,
     )
     version = _next_version(root)
     files = _write_commit(spark, root, new_slice, key, n_buckets, version)
@@ -339,10 +345,11 @@ def changes(
     new = read(spark, root, version=to_version)
     m = read_manifest(root, to_version)
     key = m["key"]
+    sk_col = m.get("sk_col", "sk")
     if compare_cols is None:
-        compare_cols = [c for c in new.columns if c not in (key, "sk")]
+        compare_cols = [c for c in new.columns if c not in (key, sk_col)]
     return snapshot_diff(
-        old, new, [key, "sk"], list(compare_cols),
+        old, new, [key, sk_col], list(compare_cols),
         include_values=include_values,
     )
 
