@@ -108,8 +108,17 @@ def main() -> int:
             con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    from etl_pipline_ibrd_loan_system_spark.queries import REGISTRY_ERRORS, ROWS_ONLY
+    from etl_pipline_ibrd_loan_system_spark.queries import (
+        REGISTRY_ERRORS,
+        ROWS_ONLY,
+        rotation_lint,
+    )
     failed = []
+    # driver-window staleness lint (VERDICT r6 item 8): the registry can't
+    # outgrow its driver-verification schedule — fail fast, before anything runs
+    for problem in rotation_lint():
+        print(f"FAIL  rotation: {problem}")
+        failed.append("lint:rotation")
     # registry lint (VERDICT r4 item 7): every query needs an oracle or an
     # explicit rows-only declaration — fail fast, before anything runs
     for name in qs:
