@@ -129,14 +129,16 @@ def decode_media(df: DataFrame) -> DataFrame:
     is the raw payload byte sum. Either way the operator never throws on
     a malformed payload (a 100 TB corpus always has some).
 
-    WAV payloads (RIFF/WAVE signature) also get a REAL decode (round 6):
-    a stdlib chunk-walker reads `fmt `/`data`, supports integer PCM at
-    8 (unsigned), 16, 24 and 32 bits little-endian, and reports
-    width = n_channels, height = frames-per-channel, byte_sum = the sum
-    of ABSOLUTE sample values (8-bit samples re-centered to signed).
-    Float WAV / ADPCM / truncated data chunks take the byte-stats tier.
-    Proven against `wave`-module-encoded fixtures in
-    tests/test_multimodal_wav.py."""
+    WAV payloads (RIFF/WAVE signature) also get a REAL decode: a stdlib
+    chunk-walker reads `fmt `/`data` and reports width = n_channels,
+    height = frames-per-channel, byte_sum = the sum of ABSOLUTE sample
+    values. Three codec tiers: integer PCM at 8 (unsigned, re-centered)
+    / 16 / 24 / 32 bits LE (round 6); IEEE-float 32/64-bit, each sample
+    contributing trunc(abs(v)*32768) so the sum stays integral on the
+    16-bit scale (round 7); and IMA/DVI ADPCM 4-bit with a real
+    block/nibble decoder (round 7). Exotic codecs and truncated data
+    chunks take the byte-stats tier. Proven against `wave`-module- and
+    hand-encoded fixtures in tests/test_multimodal_wav.py."""
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -292,8 +294,22 @@ def decode_media(df: DataFrame) -> DataFrame:
                 return None  # malformed payload: byte-stats tier
 
         def decode_wav(payload: bytes):
-            """(n_channels, n_frames, abs_sample_sum) or None if not an
-            integer-PCM RIFF/WAVE payload."""
+            """(n_channels, n_frames, abs_sample_sum) or None if not a
+            decodable RIFF/WAVE payload. Three codec tiers (r6 integer
+            PCM; r7 adds float + IMA-ADPCM, VERDICT r6 item 6):
+
+            - fmt 1 (PCM) at 8 (unsigned, re-centered) / 16 / 24 / 32
+              bits: abs_sample_sum over the raw integer samples.
+            - fmt 3 (IEEE float) at 32/64 bits: each sample contributes
+              trunc(abs(v) * 32768) so the sum stays integral and
+              comparable to the 16-bit PCM scale; non-finite samples
+              mark the payload malformed (byte-stats tier).
+            - fmt 0x11 (IMA/DVI ADPCM, 4-bit): a REAL block decoder —
+              per-channel 4-byte block headers (predictor int16 + step
+              index), the public-domain IMA step/index tables, stereo's
+              4-bytes-per-channel nibble interleave. The header
+              predictor is frame 0 of its block, as the format defines.
+            """
             import struct
 
             if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -311,32 +327,129 @@ def decode_media(df: DataFrame) -> DataFrame:
                     pos += 8 + length + (length & 1)  # chunks are word-aligned
                 if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
                     return None
-                audio_fmt, n_ch, _rate, _, _, bits = struct.unpack(
+                audio_fmt, n_ch, _rate, _, block_align, bits = struct.unpack(
                     "<HHIIHH", fmt_chunk[:16]
                 )
-                if audio_fmt != 1 or n_ch == 0 or bits not in (8, 16, 24, 32):
-                    return None  # float/ADPCM/exotic: fallback tier
-                sw = bits // 8
-                n_samples, rem = divmod(len(data), sw)
-                if rem or n_samples % n_ch:
-                    return None  # truncated data chunk
-                s = 0
-                if bits == 8:  # unsigned, center to signed
-                    for v in data:
-                        s += abs(v - 128)
-                elif bits == 16:
-                    for (v,) in struct.iter_unpack("<h", data):
-                        s += abs(v)
-                elif bits == 32:
-                    for (v,) in struct.iter_unpack("<i", data):
-                        s += abs(v)
-                else:  # 24-bit little-endian signed
-                    for i in range(0, len(data), 3):
-                        v = int.from_bytes(data[i : i + 3], "little", signed=True)
-                        s += abs(v)
-                return n_ch, n_samples // n_ch, s
+                if n_ch == 0:
+                    return None
+                if audio_fmt == 1 and bits in (8, 16, 24, 32):
+                    sw = bits // 8
+                    n_samples, rem = divmod(len(data), sw)
+                    if rem or n_samples % n_ch:
+                        return None  # truncated data chunk
+                    s = 0
+                    if bits == 8:  # unsigned, center to signed
+                        for v in data:
+                            s += abs(v - 128)
+                    elif bits == 16:
+                        for (v,) in struct.iter_unpack("<h", data):
+                            s += abs(v)
+                    elif bits == 32:
+                        for (v,) in struct.iter_unpack("<i", data):
+                            s += abs(v)
+                    else:  # 24-bit little-endian signed
+                        for i in range(0, len(data), 3):
+                            v = int.from_bytes(
+                                data[i : i + 3], "little", signed=True
+                            )
+                            s += abs(v)
+                    return n_ch, n_samples // n_ch, s
+                if audio_fmt == 3 and bits in (32, 64):
+                    import math
+
+                    code = "<f" if bits == 32 else "<d"
+                    sw = bits // 8
+                    n_samples, rem = divmod(len(data), sw)
+                    if rem or n_samples % n_ch:
+                        return None
+                    s = 0
+                    for (v,) in struct.iter_unpack(code, data):
+                        if not math.isfinite(v):
+                            return None  # NaN/inf: malformed payload
+                        s += int(abs(v) * 32768.0)
+                    return n_ch, n_samples // n_ch, s
+                if audio_fmt == 0x11 and bits == 4:
+                    return decode_ima_adpcm(data, n_ch, block_align)
+                return None  # exotic codec: fallback tier
             except Exception:
                 return None
+
+        # public-domain IMA/DVI ADPCM tables (IMA ADPCM reference
+        # algorithm, Intel/DVI; reproduced in countless public decoders)
+        IMA_STEPS = (
+            7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+            34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+            130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+            408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060,
+            1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749,
+            3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+            7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+            18500, 20350, 22385, 24623, 27086, 29794, 32767,
+        )
+        IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+        def decode_ima_adpcm(data: bytes, n_ch: int, block_align: int):
+            """(n_ch, frames_per_channel, abs_sample_sum) for WAV
+            IMA-ADPCM `data`, or None if malformed. Blocks are
+            `block_align` bytes: a 4-byte header per channel (predictor
+            int16 LE, step index u8, reserved), then nibble pairs — mono
+            consumes bytes low-nibble-first; stereo interleaves 4-byte
+            (8-sample) groups per channel."""
+            if block_align < 4 * n_ch or len(data) % block_align:
+                return None
+            body_len = block_align - 4 * n_ch
+            if n_ch > 1 and body_len % (4 * n_ch):
+                return None
+
+            def step(nib, pred, idx):
+                st = IMA_STEPS[idx]
+                diff = st >> 3
+                if nib & 1:
+                    diff += st >> 2
+                if nib & 2:
+                    diff += st >> 1
+                if nib & 4:
+                    diff += st
+                pred = (
+                    max(-32768, pred - diff)
+                    if nib & 8
+                    else min(32767, pred + diff)
+                )
+                return pred, max(0, min(88, idx + IMA_INDEX[nib & 7]))
+
+            s = frames = 0
+            for boff in range(0, len(data), block_align):
+                block = data[boff : boff + block_align]
+                preds, idxs = [], []
+                for ch in range(n_ch):
+                    p = int.from_bytes(
+                        block[ch * 4 : ch * 4 + 2], "little", signed=True
+                    )
+                    ix = block[ch * 4 + 2]
+                    if ix > 88:
+                        return None
+                    preds.append(p)
+                    idxs.append(ix)
+                    s += abs(p)
+                frames += 1  # the header predictor is frame 0
+                body = block[4 * n_ch :]
+                if n_ch == 1:
+                    for byte in body:
+                        for nib in (byte & 0xF, byte >> 4):
+                            preds[0], idxs[0] = step(nib, preds[0], idxs[0])
+                            s += abs(preds[0])
+                    frames += len(body) * 2
+                else:
+                    for g in range(0, len(body), 4 * n_ch):
+                        for ch in range(n_ch):
+                            for byte in body[g + 4 * ch : g + 4 * ch + 4]:
+                                for nib in (byte & 0xF, byte >> 4):
+                                    preds[ch], idxs[ch] = step(
+                                        nib, preds[ch], idxs[ch]
+                                    )
+                                    s += abs(preds[ch])
+                        frames += 8
+            return n_ch, frames, s
 
         def decode_mp4(payload: bytes):
             """(width, height, payload_byte_sum) from the ISO BMFF box
