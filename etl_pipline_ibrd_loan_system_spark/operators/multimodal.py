@@ -110,6 +110,212 @@ def frame_sample(df: DataFrame, every: int = 5) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, "
+    "frame_bytes bigint, frame_byte_sum bigint"
+)
+
+
+def synthetic_jpeg(w: int, h: int) -> bytes:
+    """Minimal baseline JPEG (SOI + JFIF APP0 + SOF0 + EOI) with the
+    given dims — the deterministic frame payload `with_synthetic_video`
+    builds. Byte sum is affine in the dims (for w,h < 256:
+    sum = sum(synthetic_jpeg(0,0)) + w + h), which is what lets a SQL
+    oracle replay the real frame-extraction path analytically."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    )
+    frame = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(frame)) + frame
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def synthetic_mjpeg_avi(frames: list[bytes]) -> bytes:
+    """RIFF/AVI container around JPEG frames (hdrl/avih + movi 00dc
+    chunks, word-aligned) — the with_synthetic_video payload layout."""
+    import struct
+
+    def chunk(fcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0
+    ))
+    hdrl = chunk(b"LIST", b"hdrl" + avih)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def with_synthetic_video(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic MJPEG-AVI payloads from a text corpus (the video
+    twin of `with_media`): row -> an AVI whose (1 + id % 3) frames are
+    synthetic JPEGs of (16 + len % 64 + frame_idx) x (16 + len % 48).
+    Dims/count are pure functions of stable row facts, so the REAL
+    container walk + frame decode downstream is SQL-oracle-replayable.
+    Arrow-batched; payload bytes are built and consumed executor-side,
+    never shuffled."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        # self-contained (the decode_media closure rule): duplicated from
+        # synthetic_jpeg/synthetic_mjpeg_avi; the mm7 oracle hash-checks
+        # the two stay in lockstep
+        def jpeg(w, h):
+            app0 = (
+                b"\xff\xe0" + struct.pack(">H", 16)
+                + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+            )
+            frame = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+            sof = b"\xff\xc0" + struct.pack(">H", 2 + len(frame)) + frame
+            return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+        def chunk(fcc, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return fcc + struct.pack("<I", len(body)) + body + pad
+
+        def avi(frames):
+            avih = chunk(b"avih", struct.pack(
+                "<14I", 33333, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0
+            ))
+            hdrl = chunk(b"LIST", b"hdrl" + avih)
+            movi = chunk(
+                b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+            )
+            return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+        for b in batches:
+            ids, blobs = [], []
+            for did, text in zip(b[id_col], b[text_col]):
+                n = len(text)
+                w0, h0 = 16 + n % 64, 16 + n % 48
+                ids.append(did)
+                blobs.append(
+                    avi([jpeg(w0 + k, h0) for k in range(int(did) % 3 + 1)])
+                )
+            yield pd.DataFrame({"media_id": ids, "data": blobs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="media_id bigint, data binary"
+    )
+
+
+def extract_video_frames(df: DataFrame, every: int = 1) -> DataFrame:
+    """REAL video frame sampling (r7 — upgrades the metadata-only
+    `frame_sample` for container formats the sandbox can parse): walks
+    each RIFF/AVI payload's `movi` chunk list and emits one row per
+    sampled video frame (indices 0, every, 2*every, ...) carrying the
+    frame's OWN dimensions read from its JPEG SOFn header (the MJPEG
+    layout: every frame is a complete JPEG), its byte length, and its
+    raw byte sum. Non-AVI / malformed payloads emit no rows — the
+    metadata tier (`frame_sample`) remains the path for opaque codecs.
+
+    Scale shape: Arrow-batched `mapInPandas`, zero shuffle — the fan-out
+    is per-row and bounded by frames/every; the payload bytes never
+    leave the task that read them, only (dims, sums) rows do. At 100 TB
+    the frame sampler is a pure map stage whose output is metadata-
+    sized."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def jpeg_dims(frame: bytes):
+            if len(frame) < 4 or frame[:2] != b"\xff\xd8":
+                return None
+            sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+            pos = 2
+            try:
+                while pos + 4 <= len(frame):
+                    if frame[pos] != 0xFF:
+                        return None
+                    while pos < len(frame) and frame[pos] == 0xFF:
+                        pos += 1
+                    if pos >= len(frame):
+                        return None
+                    marker = frame[pos]
+                    pos += 1
+                    if marker == 0xD9:
+                        return None
+                    if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                        continue
+                    if pos + 2 > len(frame):
+                        return None
+                    (seglen,) = struct.unpack(">H", frame[pos : pos + 2])
+                    if seglen < 2 or pos + seglen > len(frame):
+                        return None
+                    if marker in sof:
+                        if seglen < 7:
+                            return None
+                        h, w = struct.unpack(">HH", frame[pos + 3 : pos + 7])
+                        return (w, h) if w and h else None
+                    if marker == 0xDA:
+                        return None
+                    pos += seglen
+                return None
+            except Exception:
+                return None
+
+        def avi_frames(payload: bytes):
+            if (
+                len(payload) < 12
+                or payload[:4] != b"RIFF"
+                or payload[8:12] != b"AVI "
+            ):
+                return
+            try:
+                def walk(pos, end):
+                    while pos + 8 <= end:
+                        cid = payload[pos : pos + 4]
+                        (length,) = struct.unpack(
+                            "<I", payload[pos + 4 : pos + 8]
+                        )
+                        if pos + 8 + length > end:
+                            return
+                        yield cid, pos + 8, length
+                        pos += 8 + length + (length & 1)
+
+                for cid, start, length in walk(12, len(payload)):
+                    if cid == b"LIST" and payload[start : start + 4] == b"movi":
+                        idx = 0
+                        for fcc, fs, fl in walk(start + 4, start + length):
+                            if fcc[2:4] in (b"dc", b"db"):
+                                yield idx, payload[fs : fs + fl]
+                                idx += 1
+                        return
+            except Exception:
+                return
+
+        cols = ("media_id", "frame_idx", "width", "height",
+                "frame_bytes", "frame_byte_sum")
+        for b in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(b["media_id"], b["data"]):
+                for idx, frame in avi_frames(bytes(payload)):
+                    if idx % every:
+                        continue
+                    dims = jpeg_dims(frame)
+                    if dims is None:
+                        continue  # non-JPEG codec frame: skip, not throw
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(dims[0])
+                    out["height"].append(dims[1])
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_byte_sum"].append(sum(frame))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "data").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode over (media_id, data, meta). Output schema is
     fixed (DECODED_SCHEMA); batches stream per-partition so memory is
@@ -734,6 +940,48 @@ def decode_media(df: DataFrame) -> DataFrame:
             except Exception:
                 return None
 
+        def decode_avi(payload: bytes):
+            """(width, height, payload_byte_sum) for a RIFF/AVI payload
+            whose first video frame is a complete JPEG (the MJPEG
+            layout): dims come from that frame's own SOFn header — a
+            REAL frame-level parse, not the container header — and
+            byte_sum stays the raw payload sum (the MP4/JPEG structural
+            tier; entropy-coded scan data is out of stdlib scope). None
+            when not AVI, malformed, or no decodable video frame."""
+            import struct
+
+            if (
+                len(payload) < 12
+                or payload[:4] != b"RIFF"
+                or payload[8:12] != b"AVI "
+            ):
+                return None
+            try:
+                def walk(pos, end):
+                    """Yield (fourcc, body_start, body_len) at one level."""
+                    while pos + 8 <= end:
+                        cid = payload[pos : pos + 4]
+                        (length,) = struct.unpack(
+                            "<I", payload[pos + 4 : pos + 8]
+                        )
+                        if pos + 8 + length > end:
+                            return
+                        yield cid, pos + 8, length
+                        pos += 8 + length + (length & 1)
+
+                for cid, start, length in walk(12, len(payload)):
+                    if cid == b"LIST" and payload[start : start + 4] == b"movi":
+                        for fcc, fs, fl in walk(start + 4, start + length):
+                            if fcc[2:4] in (b"dc", b"db"):
+                                j = decode_jpeg(payload[fs : fs + fl])
+                                if j is None:
+                                    return None  # non-JPEG codec
+                                w, h, _ = j
+                                return w, h, sum(payload)
+                return None
+            except Exception:
+                return None
+
         for b in batches:
             out = {k: [] for k in ("media_id", "fmt", "n_bytes", "byte_sum", "width", "height")}
             for mid, payload, meta in zip(b["media_id"], b["data"], b["meta"]):
@@ -746,6 +994,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                         decoded = (n_ch, n_frames, s)
                 if decoded is None:
                     decoded = decode_mp4(payload)
+                if decoded is None:
+                    decoded = decode_avi(payload)
                 if decoded is None:
                     decoded = decode_jpeg(payload)
                 if decoded is None:

@@ -257,6 +257,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "e31_topk_with_ties",
         "er1_linkage_confusion",
         "er1b_linkage_tight_blocking",
+        # registered r7 after the plan was cut (earliest non-full window):
+        "mm7_video_frame_extract",
     ),
 }
 

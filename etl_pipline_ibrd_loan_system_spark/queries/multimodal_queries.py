@@ -215,3 +215,48 @@ def mm6_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.normalized_banded_pairs(
         blocked, "media_id", "feature", block_col="source", threshold=0.999
     )
+
+
+def _mm7_sql() -> str:
+    """Analytic replay of the REAL AVI walk + JPEG frame decode: the
+    synthetic payloads' frame dims/count are pure functions of
+    (doc_id, length(text)), and synthetic_jpeg's byte sum is affine in
+    the dims (sum = base + w + h for dims < 256, which 16+63+2 max
+    guarantees), so DuckDB predicts every frame row the container parse
+    emits. The constants come from the module builder at registration
+    time — any drift between the executor-side builder closure and
+    synthetic_jpeg/the decoder fails this hash."""
+    base = multimodal.synthetic_jpeg(0, 0)
+    return f"""
+    WITH sel AS (
+      SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 7 = 0
+    ),
+    fr AS (
+      SELECT doc_id, n, unnest(range(0, doc_id % 3 + 1)) AS k FROM sel
+    )
+    SELECT doc_id AS media_id, k::INT AS frame_idx,
+           (16 + n % 64 + k)::INT AS width,
+           (16 + n % 48)::INT AS height,
+           {len(base)}::BIGINT AS frame_bytes,
+           ({sum(base)} + (16 + n % 64 + k) + (16 + n % 48))::BIGINT
+             AS frame_byte_sum
+    FROM fr WHERE k % 2 = 0
+    """
+
+
+@query("mm7_video_frame_extract", sql=_mm7_sql())
+def mm7_video_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end (r7): deterministic MJPEG-AVI
+    payloads built executor-side (with_synthetic_video), then
+    extract_video_frames walks each container's movi chunk list and
+    reads every SAMPLED frame's dims from its own JPEG SOF header —
+    the full binary path (build -> Arrow batch -> RIFF walk -> marker
+    parse) runs for real; only the analytic expectation is SQL. Zero
+    shuffle: one mapInPandas chain, payloads never leave their task."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    vids = multimodal.with_synthetic_video(
+        docs.where(F.col("doc_id") % 7 == 0), "text", "doc_id"
+    )
+    return multimodal.extract_video_frames(vids, every=2)
