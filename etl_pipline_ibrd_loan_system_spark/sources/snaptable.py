@@ -259,6 +259,7 @@ def scd2_merge(
         "parent": m["version"],
         "key": key,
         "n_buckets": n_buckets,
+        "sk_col": sk_col,  # spec travels with every manifest (rebucket rule)
         "schema": m["schema"],
         "buckets": buckets,
         "touched_buckets": touched,
@@ -456,6 +457,7 @@ def rebucket(spark: SparkSession, root: str, new_n_buckets: int) -> dict:
         "parent": m["version"],
         "key": m["key"],
         "n_buckets": int(new_n_buckets),
+        "sk_col": m.get("sk_col", "sk"),
         "schema": m["schema"],
         "buckets": files,
         "rebucketed_from": int(m["n_buckets"]),

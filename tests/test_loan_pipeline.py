@@ -183,3 +183,19 @@ def test_star_snaptable_merge_path(spark, staging, tmp_path):
     assert len(rows) == 4
     cur_sk = [c.pk_country_sk for c in ctry if c.is_current][0]
     assert {r.fk_country for r in rows} == {cur_sk}
+
+    # THIRD load: a second MERGE must still know the sk column (the
+    # manifest carries sk_col through every commit, not just create)
+    staging3 = staging2.withColumn(
+        "country_code", F.when(F.col("country_code") == "fr", "fx")
+        .otherwise(F.col("country_code"))
+    )
+    manifests3 = lp.apply_star_increment_snaptable(
+        spark, staging3, asof="2024-09-01", root=root
+    )
+    assert all(m["version"] == 3 for m in manifests3.values())
+    ctry3 = lp.load_star_snaptable(spark, staging3, root)["dim_country"]
+    cur = ctry3.filter(F.col("is_current")).collect()
+    # country_code is T1 on dim_country: overwritten in place, same row count
+    assert len(cur) == 1 and cur[0].country_code == "fx"
+    assert ctry3.count() == 2
