@@ -42,6 +42,10 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars rewrite lines with \r and interleave with tool
+        # stdout — they corrupted the r7 sf0.1 sweep's per-query log
+        # lines (the 19/19 summary survived); keep harness output clean
+        .config("spark.ui.showConsoleProgress", "false")
     )
 
 
