@@ -56,6 +56,29 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def exact_collapse(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collapse identical payloads to ONE representative row (min id,
+    plus copy count) — the mandatory stage ZERO of a production near-dup
+    pipeline. The r7 sf10 decade measured why: replicated corpora make
+    every identical-copy cluster of size m emit C(m,2) verified pairs
+    through the LSH path (dd3 went 4.1s at sf1 -> 248s at sf10 purely on
+    copy mass), while near-dup after collapse scales with DISTINCT
+    content. Group key is xxhash64(text) so the shuffle ships one
+    (hash, min-struct) per map-side group, not the text once per copy;
+    64-bit collisions are negligible at any realistic corpus size (the
+    dd9 argument) and would only merge two unrelated groups, never drop
+    content."""
+    rep = F.min(F.struct(F.col(id_col), F.col(text_col))).alias("r")
+    out = df.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(
+        rep, F.count(F.lit(1)).alias("n_copies")
+    )
+    return out.select(
+        F.col(f"r.{id_col}").alias(id_col),
+        F.col(f"r.{text_col}").alias(text_col),
+        "n_copies",
+    )
+
+
 def tokenize(text: Column) -> Column:
     return F.split(F.lower(text), r"\s+")
 
@@ -113,7 +136,13 @@ def lsh_candidate_pairs(
     candidate pair (id_a < id_b). Shuffle key (band, bucket) is uniform by
     hash construction."""
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
-    a = buckets.alias("a")
+    # corpus-grain x corpus-grain: NEVER broadcast a side. At sf10 the
+    # bucket table's on-disk estimate slips under autoBroadcastJoinThreshold
+    # while its in-memory hash relation is GBs — the r7 sf10 decade's
+    # broadcast-OOM landmine. shuffle_hash pins a shuffled hash join:
+    # both sides partition by (band, bucket), memory per task stays
+    # bucket-sized.
+    a = buckets.alias("a").hint("shuffle_hash")
     b = buckets.alias("b")
     return (
         a.join(
@@ -133,12 +162,16 @@ def jaccard_verify_pairs(
     shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keep >= threshold."""
+    # the shingle relation is corpus-grain with array payloads: its
+    # in-memory broadcast form is orders of magnitude bigger than the
+    # columnar estimate (sf10 broadcast-OOM landmine, r7) — pin a
+    # shuffled hash join keyed on the id
     sa = shingled.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
+    ).hint("shuffle_hash")
     sb = shingled.select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    ).hint("shuffle_hash")
     j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )

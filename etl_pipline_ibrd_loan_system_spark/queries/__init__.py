@@ -259,6 +259,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "er1b_linkage_tight_blocking",
         # registered r7 after the plan was cut (earliest non-full window):
         "mm7_video_frame_extract",
+        "dd3b_neardup_after_exact_collapse",
+        "dd7b_vector_dedup_collapsed",
     ),
 }
 

@@ -91,6 +91,51 @@ def dd3_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd3b_neardup_after_exact_collapse",
+    sql="""
+    WITH reps AS (
+      SELECT min(doc_id) AS doc_id, text
+      FROM documents GROUP BY text
+    ),
+    rsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+            FROM reps)
+      WHERE len(toks) >= 3
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM rsh a JOIN rsh b ON a.doc_id < b.doc_id
+        AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def dd3b_neardup_after_exact_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd3's PRODUCTION-SCALE twin (r7 sf10 decade): exact-collapse
+    identical texts to their min-id representative (dedup.exact_collapse,
+    one hash-grouped shuffle), THEN MinHash+LSH+verify over distinct
+    content only. Semantically: every cross-copy pair dd3 emits is
+    jaccard=1.0 between identical texts and recoverable from dd1's copy
+    groups; the pairs that NEED the LSH machinery — near-but-not-equal
+    content — are exactly what survives the collapse. Cost model: dd3's
+    verified-pair mass grows as sum C(m_i, 2) over identical-copy
+    clusters (measured 4.1s sf1 -> 248s sf10 on 10x copy replication);
+    dd3b's grows with distinct content, flat across replication decades.
+    Oracle: brute-force Jaccard over the SQL-computed representatives
+    (recall-1.0 theorem unchanged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = dedup.exact_collapse(docs, "text", "doc_id")
+    return dedup.minhash_dedup_pairs(
+        reps, "text", "doc_id", n=3, k=64, bands=16, rows_per_band=4,
+        threshold=0.8,
+    )
+
+
 def _simhash_sql(bits: int = 60) -> str:
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
@@ -276,6 +321,71 @@ def dd8_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8)
     return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+@query(
+    "dd7b_vector_dedup_collapsed",
+    sql=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    grp AS (
+      SELECT embedding, min(vec_id) AS rep FROM aug GROUP BY embedding
+    ),
+    members AS (
+      SELECT g.rep AS id_a, a.vec_id AS id_b, 1.0 AS cos_sim
+      FROM aug a JOIN grp g USING (embedding)
+      WHERE a.vec_id != g.rep
+    ),
+    near AS (
+      SELECT * FROM (
+        SELECT a.rep AS id_a, b.rep AS id_b, {_COSINE_SQL} AS cos_sim
+        FROM grp a JOIN grp b ON a.rep < b.rep
+      ) WHERE cos_sim >= 0.95
+    )
+    SELECT id_a, id_b, cos_sim FROM members
+    UNION ALL
+    SELECT id_a, id_b, cos_sim FROM near
+    """,
+)
+def dd7b_vector_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd7's PRODUCTION-SCALE twin (r7 sf10 decade: dd7 went 3.6s sf1 ->
+    228s sf10 purely on identical-copy mass — replicated embeddings form
+    cos=1.0 clusters whose pair output is C(m,2)). Stage zero collapses
+    identical vectors by xxhash64 (dedup.exact_collapse — one linear
+    hash-grouped shuffle; membership resolves as (rep, member) pairs at
+    cos 1.0 exactly), and hyperplane LSH runs only over DISTINCT vectors,
+    so the banded path scales with unique content across any replication
+    factor. Same planted-duplicate fixture as dd7; same recall-1.0
+    structure (identical vectors collapse instead of colliding)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    h = F.xxhash64("embedding")
+    reps = dedup.exact_collapse(aug, "embedding", "vec_id")
+    members = (
+        aug.select("vec_id", h.alias("__h"))
+        .join(
+            reps.select(F.col("vec_id").alias("id_a"), h.alias("__h")),
+            "__h",
+        )
+        .where(F.col("vec_id") != F.col("id_a"))
+        .select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
+    near = dedup.embedding_lsh_pairs(
+        reps.select("vec_id", "embedding"), "vec_id", "embedding",
+        threshold=0.95, bands=4, band_bits=16, hamming_prefilter=8,
+    )
+    return members.unionByName(near.select("id_a", "id_b", "cos_sim"))
 
 
 # 16 words so the injected banner occupies exactly one non-overlapping
