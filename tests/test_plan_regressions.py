@@ -826,3 +826,37 @@ def test_mmr_topk_source_has_no_collect():
     src = inspect.getsource(similarity.mmr_topk)
     assert ".collect()" not in src
     assert "applyInPandas" in src
+
+
+def test_mm7_video_extract_is_shuffle_free(spark, sf_dir, registry):
+    """mm7: the frame sampler must stay a pure map chain — no Exchange
+    anywhere; the payload bytes never leave the task that built them."""
+    plan = _plan(registry["mm7_video_frame_extract"](spark, sf_dir))
+    assert "Exchange" not in plan, "mm7 grew a shuffle"
+    assert "MapInPandas" in plan
+
+
+def test_dd3b_collapse_is_partial_agged_and_no_broadcast_of_corpus(
+    spark, sf_dir, registry
+):
+    """dd3b: the exact-collapse groupBy must partial-aggregate map-side
+    (HashAggregate pair over xxhash64 keys), and no corpus-grain side
+    may broadcast (the sf10 landmine): every join in the chain is
+    shuffle-hash or sort-merge, never BroadcastHashJoin on shingle/
+    bucket relations."""
+    plan = _plan(registry["dd3b_neardup_after_exact_collapse"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "collapse lost map-side combine"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "corpus-grain relation is broadcasting again (sf10 OOM landmine)"
+    )
+
+
+def test_dd3_verify_join_never_broadcasts(spark, sf_dir, registry):
+    """dd3 proper: the r7 shuffle_hash pins must hold — the band-bucket
+    self-join and the shingle verify joins are ShuffledHashJoin, not
+    broadcast (in-memory hash relation of a corpus-grain side is GBs at
+    sf10 while its columnar estimate slips under the threshold)."""
+    plan = _plan(registry["dd3_minhash_lsh"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
