@@ -261,6 +261,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "mm7_video_frame_extract",
         "dd3b_neardup_after_exact_collapse",
         "dd7b_vector_dedup_collapsed",
+        "fv4_linear_quality_score",
     ),
 }
 

@@ -641,6 +641,64 @@ def fv1_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("dim").cast("bigint").alias("dim"), "tf")
 
 
+def _fv4_numerators(dim: int = 64) -> list[int]:
+    """Deterministic stand-in for trained classifier weights, as
+    FIXED-POINT numerators over denominator 97: Knuth multiplicative
+    hash of the dimension index mapped to -48..48. Integer numerators
+    keep the dot product exact on both engines (see
+    textstats.linear_score — a float-weight fold diverged from DuckDB's
+    list_sum by one ulp on ~60% of rows)."""
+    return [((j * 2654435761) % 97) - 48 for j in range(dim)]
+
+
+@query(
+    "fv4_linear_quality_score",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_HTF_HASH} % 64) AS buckets
+      FROM t
+    ), v AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               j -> len(list_filter(buckets, x -> x = j))) AS tf
+      FROM b
+    ), z AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(1, 65),
+               i -> tf[i]::BIGINT
+                    * ([{", ".join(str(w) for w in _fv4_numerators())}])[i]))
+               AS zi
+      FROM v
+    )
+    SELECT doc_id,
+           zi::DOUBLE / 97.0 AS quality_logit,
+           zi::DOUBLE / 97.0 >= 0.0 AS keep
+    FROM z
+    """,
+)
+def fv4_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style quality-classifier scoring (r7): hashing-TF
+    featurize (fv1's stateless featurizer), then textstats.linear_score
+    with fixed-point weights as plan literals — logit + keep verdict
+    per document, zero shuffle, no UDF, no broadcast state. The oracle
+    replays featurization AND the exact integer dot product with the
+    identical numerator literals; the single final division is the only
+    float op, so the logit is value-checked bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = textstats.hashing_tf(docs, "text", "doc_id", dim=64)
+    scored = textstats.linear_score(
+        vecs, "tf_vec", _fv4_numerators(), denominator=97.0,
+        out_col="quality_logit",
+    )
+    return scored.select(
+        "doc_id", "quality_logit",
+        (F.col("quality_logit") >= 0.0).alias("keep"),
+    )
+
+
 # --- round-6 seventh wave: normalization, Gopher rules, phrase search ---
 
 
