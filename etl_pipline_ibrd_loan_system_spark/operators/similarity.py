@@ -302,6 +302,72 @@ def lloyd_oracle_ctes(
     return ",\n    ".join(ctes), f"cent_{iters}"
 
 
+def _ivf_build(
+    corpus_v: DataFrame,
+    id_col: str,
+    n_centroids: int,
+    lloyd_iters: int,
+    dims: int | None,
+) -> tuple[list[tuple[int, list[float]]], int]:
+    """Shared IVF centroid build (seed from the first n_centroids ids,
+    then Lloyd refinement): k·dims driver state, corpus never collected.
+    `corpus_v` must expose (id_col, v) and SHOULD be persisted by the
+    caller (the seed collect builds the cache). Returns (centroids,
+    dims)."""
+    seed_rows = (
+        corpus_v.orderBy(id_col).limit(n_centroids).collect()
+    )  # k rows of driver state; this action also builds the cache
+    if not seed_rows:
+        raise ValueError("ivf build: empty corpus")
+    cents = [
+        (int(r[id_col]), [float(x) for x in r["v"]]) for r in seed_rows
+    ]
+    sizes = {len(cw) for _, cw in cents}
+    if len(sizes) != 1:
+        raise ValueError(f"ivf build: ragged seed vector sizes {sizes}")
+    data_dims = sizes.pop()
+    if dims is None:
+        dims = data_dims
+    elif data_dims != dims:
+        raise ValueError(
+            f"ivf build: dims={dims} but corpus vectors have size "
+            f"{data_dims} — centroid components past the array end "
+            f"would silently go NULL"
+        )
+    if lloyd_iters:
+        cents = _lloyd_py(corpus_v, cents, dims, lloyd_iters)
+    return (
+        [(int(cid), [float(x) for x in cw]) for cid, cw in cents],
+        dims,
+    )
+
+
+def _ivf_assign(
+    corpus_v: DataFrame,
+    id_col: str,
+    cents: list[tuple[int, list[float]]],
+    dims: int,
+) -> DataFrame:
+    """Cell assignment as an Arrow kernel against literal centroids —
+    no join, no corpus shuffle; the vector rides along. Returns
+    (id_col, v, cent_id)."""
+    cents_local = [(int(cid), [float(x) for x in cw]) for cid, cw in cents]
+    _dims = dims
+
+    def assign_part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _rows_matrix(pdf["v"], _dims)
+            out = pdf[[id_col, "v"]].copy()
+            out["cent_id"] = _argmin_cells(V, cents_local)
+            yield out
+
+    return corpus_v.mapInPandas(
+        assign_part, f"{id_col} long, v array<double>, cent_id long"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -334,46 +400,10 @@ def ivf_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        seed_rows = (
-            corpus_v.orderBy(id_col).limit(n_centroids).collect()
-        )  # k rows of driver state; this action also builds the cache
-        if not seed_rows:
-            raise ValueError("ivf_topk: empty corpus")
-        cents = [
-            (int(r[id_col]), [float(x) for x in r["v"]]) for r in seed_rows
-        ]
-        sizes = {len(cw) for _, cw in cents}
-        if len(sizes) != 1:
-            raise ValueError(f"ivf_topk: ragged seed vector sizes {sizes}")
-        data_dims = sizes.pop()
-        if dims is None:
-            dims = data_dims
-        elif data_dims != dims:
-            raise ValueError(
-                f"ivf_topk: dims={dims} but corpus vectors have size "
-                f"{data_dims} — centroid components past the array end "
-                f"would silently go NULL"
-            )
-        if lloyd_iters:
-            cents = _lloyd_py(corpus_v, cents, dims, lloyd_iters)
-
-        # final cell assignment: Arrow kernel, vector rides along —
-        # no join, no corpus shuffle
-        cents_local = [(int(cid), [float(x) for x in cw]) for cid, cw in cents]
-        _dims = dims
-
-        def assign_part(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = _rows_matrix(pdf["v"], _dims)
-                out = pdf[[id_col, "v"]].copy()
-                out["cent_id"] = _argmin_cells(V, cents_local)
-                yield out
-
-        assign = corpus_v.mapInPandas(
-            assign_part, f"{id_col} long, v array<double>, cent_id long"
+        cents, dims = _ivf_build(
+            corpus_v, id_col, n_centroids, lloyd_iters, dims
         )
+        assign = _ivf_assign(corpus_v, id_col, cents, dims)
 
         cent = corpus.sparkSession.createDataFrame(
             cents, "cent_id bigint, cw array<double>"
@@ -420,6 +450,69 @@ def ivf_topk(
         # materialize the (≤ n_queries·k)-row answer while the cache is
         # hot so unpersist can't trigger a source rescan later
         return result.localCheckpoint(eager=True)
+    finally:
+        corpus_v.unpersist()
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+    threshold: float = 0.95,
+    dims: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding corpus, compare pairs ONLY within a cluster,
+    and drop every vector that has a higher-similarity (>= threshold)
+    neighbor with a smaller id in its cluster — keep-min-id, the
+    dd-family convention. Returns one verdict row per corpus vector:
+    (id, cent_id, keep).
+
+    Scale shape: the centroid build is the shared IVF build (k·dims
+    driver state, integer-quantized Lloyd sums); assignment is the
+    Arrow argmin kernel (no shuffle); the pair search shuffles the
+    corpus ONCE on cent_id and is quadratic only within a cluster —
+    exactly the bound SemDeDup's clustering buys (clusters ~n/k). Both
+    pair sides carry vectors, so neither may broadcast (the sf10
+    lesson): the join is pinned shuffle_hash. The verdict-per-vector
+    result is localCheckpointed while the corpus cache is hot."""
+    corpus_v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents, dims = _ivf_build(
+            corpus_v, id_col, n_centroids, lloyd_iters, dims
+        )
+        assign = _ivf_assign(corpus_v, id_col, cents, dims)
+        from ..cache import pin
+
+        assign = pin(assign)
+        a = assign.select(
+            "cent_id", F.col(id_col).alias("id_a"), F.col("v").alias("va")
+        ).hint("shuffle_hash")
+        b = assign.select(
+            "cent_id", F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+        )
+        dropped = (
+            a.join(b, "cent_id")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+        res = (
+            assign.join(
+                dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+            )
+            .select(
+                id_col,
+                "cent_id",
+                F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
     finally:
         corpus_v.unpersist()
 

@@ -262,6 +262,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd3b_neardup_after_exact_collapse",
         "dd7b_vector_dedup_collapsed",
         "fv4_linear_quality_score",
+        "sm7_semantic_dedup",
     ),
 }
 

@@ -393,3 +393,60 @@ def sm6_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neglabel")).cast("int").alias("predicted_label"),
         F.col("b.votes").alias("votes"),
     )
+
+
+_SD_LLOYD, _SD_FINAL = similarity.lloyd_oracle_ctes(
+    "c", "vec_id", _cos, dims=64, n_centroids=8, iters=2
+)
+
+
+@query(
+    "sm7_semantic_dedup",
+    sql=f"""
+    WITH c AS (
+      SELECT vec_id, embedding AS cv FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    {_SD_LLOYD},
+    assign AS (
+      SELECT vec_id, cv, cent_id FROM (
+        SELECT c.vec_id, c.cv, p.cent_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {similarity.nan_guard_sql(_cos('c.cv', 'p.cw'))} DESC,
+                          p.cent_id ASC
+               ) AS rn
+        FROM c CROSS JOIN {_SD_FINAL} p
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id FROM assign a
+      JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {_cos('a.cv', 'b.cv')} >= 0.95
+    )
+    SELECT a.vec_id, a.cent_id,
+           (d.vec_id IS NULL) AS keep
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def sm7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (r7): k-means-cluster the embedding corpus (shared IVF
+    build, oracle-replayed Lloyd passes), compare pairs only WITHIN a
+    cluster, drop any vector with a smaller-id neighbor at cos >= 0.95.
+    Same planted-duplicate fixture as dd7 (every 10th vector re-added
+    under vec_id+1e6) so the dedup has true positives; clustering
+    bounds the quadratic to cluster size — the SemDeDup scaling
+    argument, here value-checked end to end: seed, both Lloyd passes,
+    the argmin assignment (NaN-guarded identically), the within-cluster
+    pair screen, and every keep verdict."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(dup)
+    return similarity.semantic_dedup(
+        aug, "vec_id", "embedding", n_centroids=8, lloyd_iters=2,
+        threshold=0.95, dims=64,
+    )
