@@ -221,3 +221,19 @@ def test_dd14_phonetic_blocking_catches_planted_misspellings(spark, sf_dir):
     for r in rows:
         by_code.setdefault(r.code, set()).update((r.tok_a, r.tok_b))
     assert all(len(v) >= 2 for v in by_code.values())
+
+
+def test_exact_collapse_picks_min_id_and_counts(spark):
+    """exact_collapse: one representative per distinct payload, min id
+    wins, n_copies exact; distinct payloads pass through untouched."""
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(7, "aaa"), (3, "aaa"), (5, "bbb"), (1, "aaa"), (9, "ccc"),
+         (2, "ccc")],
+        "doc_id bigint, text string",
+    )
+    got = {r.text: r for r in dd.exact_collapse(df, "text", "doc_id").collect()}
+    assert (got["aaa"].doc_id, got["aaa"].n_copies) == (1, 3)
+    assert (got["bbb"].doc_id, got["bbb"].n_copies) == (5, 1)
+    assert (got["ccc"].doc_id, got["ccc"].n_copies) == (2, 2)

