@@ -778,18 +778,30 @@ def mmr_topk(
         F.col(id_col).alias("nid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # the shortlist (q·s rows) probes the corpus vectors: BROADCAST the
+    # shortlist side explicitly — its size is post-window and Catalyst
+    # can't estimate it, so the default is a full corpus sort-merge
+    # shuffle (2 of them) for a tiny probe set (caught by the r7 plan
+    # audit: 2 SMJs in the static plan)
     sa = (
-        sl.select("query_id", F.col("neighbor_id").alias("aid"))
-        .join(cv, F.col("aid") == F.col("nid"))
+        cv.join(
+            F.broadcast(sl.select("query_id", F.col("neighbor_id").alias("aid"))),
+            F.col("aid") == F.col("nid"),
+        )
         .select("query_id", "aid", F.col("v").alias("va"))
     )
     sb = (
-        sl.select("query_id", F.col("neighbor_id").alias("bid"))
-        .join(cv, F.col("bid") == F.col("nid"))
+        cv.join(
+            F.broadcast(sl.select("query_id", F.col("neighbor_id").alias("bid"))),
+            F.col("bid") == F.col("nid"),
+        )
         .select("query_id", "bid", F.col("v").alias("vb"))
     )
+    # query-grain s x s pair fanout: co-partitioned on query_id (the
+    # scale-correct shape — q grows, s stays bounded); shuffle_hash
+    # skips the two sorts an SMJ would add per side
     sims = (
-        sa.join(sb, ["query_id"])
+        sa.hint("shuffle_hash").join(sb, ["query_id"])
         .where(F.col("aid") < F.col("bid"))
         .select(
             "query_id",
