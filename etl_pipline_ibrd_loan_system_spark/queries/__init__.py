@@ -263,6 +263,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd7b_vector_dedup_collapsed",
         "fv4_linear_quality_score",
         "sm7_semantic_dedup",
+        "dd8b_clusters_via_collapse",
     ),
 }
 

@@ -388,6 +388,42 @@ def dd7b_vector_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.unionByName(near.select("id_a", "id_b", "cos_sim"))
 
 
+@query(
+    "dd8b_clusters_via_collapse",
+    sql=f"""
+    WITH RECURSIVE {CLOSURE_CTES}
+    SELECT node, cluster_id FROM cl
+    """,
+)
+def dd8b_clusters_via_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd8's PRODUCTION-SCALE twin with dd8's EXACT oracle — the
+    strongest twin form: the flat path must reproduce the quadratic
+    path's answer bit-for-bit. Identical texts have identical shingle
+    sets, so jaccard(copy, x) == jaccard(rep, x) for every x: replacing
+    dd8's per-cluster cliques (C(m,2) edges per identical-copy group,
+    the measured 341s sf10 tail) with collapse STAR edges (rep ->
+    member, m-1 edges) plus rep-level near-dup pairs preserves every
+    connected component and therefore every (node, min-reachable-id)
+    cluster label. Edge mass drops from quadratic-in-copies to linear;
+    large-star/small-star runs over the same components either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = dedup.exact_collapse(docs, "text", "doc_id")
+    h = F.xxhash64("text")
+    members = (
+        docs.select("doc_id", h.alias("__h"))
+        .join(
+            reps.select(F.col("doc_id").alias("id_a"), h.alias("__h")),
+            "__h",
+        )
+        .where(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+    rep_pairs = dedup.minhash_dedup_pairs(
+        reps, "text", "doc_id", threshold=0.8
+    ).select("id_a", "id_b")
+    return dedup.connected_components(members.unionByName(rep_pairs))
+
+
 # 16 words so the injected banner occupies exactly one non-overlapping
 # 16-token chunk (stride == chunk == 16) in every tainted document
 _BANNER = (
