@@ -264,6 +264,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "fv4_linear_quality_score",
         "sm7_semantic_dedup",
         "dd8b_clusters_via_collapse",
+        "g7c_snaptable_change_feed",
     ),
 }
 

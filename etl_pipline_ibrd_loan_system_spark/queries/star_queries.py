@@ -299,6 +299,53 @@ def g7b_merged_dim_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@query(
+    "g7c_snaptable_change_feed",
+    sql=f"""
+    WITH {_FIXTURE_SQL}
+    SELECT s_suppkey, 'changed' AS change_kind,
+           'end_date,is_current' AS changed_cols
+    FROM classified WHERE change_type = 't2'
+    UNION ALL
+    SELECT s_suppkey, 'changed', 's_acctbal'
+    FROM classified WHERE change_type = 't1'
+    UNION ALL
+    SELECT s_suppkey, 'added', ''
+    FROM classified WHERE change_type IN ('t2', 'new')
+    """,
+)
+def g7c_snaptable_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read THROUGH the table format (r7):
+    snaptable.changes(v1 -> v2) after the SCD2 merge commit must emit
+    exactly the change mass the merge applied — per T2 key a 'changed'
+    row on the closed version (end_date,is_current) plus an 'added' row
+    for the new version, per T1 key one 'changed' row (s_acctbal), per
+    new key one 'added' row, NOTHING for unchanged keys (a CDF's size
+    tracks change mass, not table size). The oracle derives all of it
+    from the classified routing CTE; the hash surrogate keys the diff
+    is keyed on are projected away (xxhash64 is not DuckDB-replayable —
+    the key column and every semantic change IS value-checked)."""
+    import shutil
+    import tempfile
+
+    from ..sources import snaptable
+
+    dim0, staging = scd_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="g7c_snaptable_")
+    try:
+        snaptable.create(spark, root, dim0, "s_suppkey", n_buckets=8)
+        snaptable.scd2_merge(
+            spark, root, staging,
+            t1_cols=["s_acctbal"], t2_cols=["s_name"],
+            fixed_cols=["s_nationkey"], asof=ASOF1,
+        )
+        return snaptable.changes(spark, root, 1, 2).select(
+            "s_suppkey", "change_kind", "changed_cols"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- G8: per-row point-in-time fact->SCD2 join ---------------------------
 
 _G8_SQL = f"""

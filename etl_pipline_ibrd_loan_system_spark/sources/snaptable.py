@@ -181,6 +181,14 @@ def create(
     Returns the published manifest."""
     if current_version(root) is not None:
         raise FileExistsError(f"snapshot table already exists at {root!r}")
+    if sk_col in df.columns:
+        # canonicalize the surrogate key to bigint at create time: merge
+        # commits assign xxhash64 sks (64-bit by necessity), and a
+        # dense-int create would otherwise leave the manifest schema
+        # narrower than post-merge data files — a v1(int)+v2(int64)
+        # multi-version read (changes(), time travel across the merge)
+        # then fails the parquet type check. Found by the g7c CDF oracle.
+        df = df.withColumn(sk_col, F.col(sk_col).cast("bigint"))
     files = _write_commit(spark, root, df, key, n_buckets, version=1)
     manifest = {
         "version": 1,
