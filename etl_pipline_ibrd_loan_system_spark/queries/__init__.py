@@ -31,80 +31,82 @@ ROWS_ONLY: frozenset[str] = frozenset()
 
 # The driver's correctness gate checks the FIRST 50 registry entries (every
 # recorded round stopped at exactly entry 50 regardless of per-query cost).
-# ROUND-7 ROTATION (VERDICT r6 "Next round" #1): the window is now driven
-# by an explicit multi-round schedule, ROTATION_PLAN below, that covers
-# every query that has never had a driver row. This round's 50 slots:
-#   - 3 canaries the verdicts pin (q1, g1, c2);
-#   - 3 changed-module queries needing fresh exposure: sm4 (the MMR
-#     greedy moved into applyInPandas this round), g7 (snaptable grew
-#     sk_col plumbing), g7b (NEW: version time travel through the table
-#     format, the loan pipeline's production read path);
-#   - the 20 TPC-H full-inventory shapes + f9 (never driver-checked);
-#   - the reconciliation family c6/c10-c13/g8/g8b/g9/g13;
-#   - the data-quality battery dq1-dq16 (dq4 already has its r6 row).
+# ROUND-8 ROTATION (VERDICT r7 "Next round" #2): the active window is
+# ROTATION_PLAN[8] — the asof/shape/dedup-tail/retrieval/text/ANN/
+# streaming families that have never had a driver row, PLUS:
+#   - q12/dq12 re-queued: their r7 rows went red on an oracle-typing
+#     defect (DuckDB HUGEINT → float64 hash divergence), the oracle SQL
+#     is fixed this round (CAST ... AS BIGINT) and both need fresh GREEN
+#     rows — a red row never retires a query (the lint now counts only
+#     green rows as coverage);
+#   - dd3b/dd7b pulled forward from the r10 window (VERDICT r7 item 8:
+#     the exact-collapse twins are the documented production entry
+#     points for near-dup at scale and should earn driver rows early).
+# Displaced to the r10 window to make room: s6, dc2, tx21, tx22 (each
+# has family coverage already green via s1-s5/dc1/tx battery selfcheck).
 # Everything else stays covered by tools/selfcheck.py (identical oracle
 # comparison; full-registry sweeps recorded in SCALE.md/COVERAGE.md).
 #
-# ROTATION_PLAN is the recorded schedule for the remainder (r8: asof/
-# shape/dedup-tail/retrieval/text/ANN/streaming families; r9: sampling/
+# ROTATION_PLAN is the recorded schedule for the remainder (r9: sampling/
 # mixing/feature + the metrics mart; r10: the e-series analytics tail,
-# sketches, graph/linkage remainder). The staleness lint
+# sketches, graph/linkage remainder + displacements). The staleness lint
 # (tools/selfcheck.py --lint / tests/test_entry.py) fails the suite if
-# any registered query is neither driver-checked nor scheduled, if the
-# current window deviates from the plan, or if a newly registered query
-# is parked more than one planned round out — the registry can no
-# longer outgrow its driver-verification schedule silently.
+# any registered query is neither GREEN-driver-checked nor scheduled, or
+# if the current window deviates from the plan — the registry can no
+# longer outgrow its driver-verification schedule silently. (Newly
+# registered queries must be appended to the earliest non-full window
+# by hand; the lint only enforces that they are scheduled SOMEWHERE.)
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "g1_scd2_apply",
-    "c2_lookup_cascade",
-    "sm4_mmr_diversified_topk",
-    "g7_snapshot_table_merge",
-    "g7b_merged_dim_timetravel",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
+    "j1c_asof_forward",
+    "j1d_asof_nearest",
+    "e16_time_range_rolling",
     "q12_late_lines_by_status",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q20_promotion_supplier",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    "f9_customers_without_urgent_orders",
-    "c6_cdc_apply",
-    "c10_incremental_join_view",
-    "c11_deletion_cascade",
-    "c12_bitemporal_probe",
-    "c13_scd2_compaction",
-    "g8_pointintime_fact_join",
-    "g8b_pointintime_unbroadcast",
-    "g9_scd3_apply",
-    "g13_period_allocation",
-    "dq1_expectation_checks",
-    "dq2_table_profile",
-    "dq3_group_outliers",
-    "dq5_benford_screen",
-    "dq6_k_anonymity",
-    "dq7_l_diversity",
-    "dq8_cusum_drift",
-    "dq9_fd_discovery",
-    "dq10_temporal_orphans",
-    "dq11_changepoint",
     "dq12_profile_drift",
-    "dq13_duplicate_payments",
-    "dq14_coverage_gaps",
-    "dq15_hash_collision_audit",
-    "dq16_scd2_overlap_audit",
+    "e7_pivot_status_by_year",
+    "m8_rollup_status_priority",
+    "f8_token_set_ops",
+    "d16_weighted_median",
+    "d17_group_mode",
+    "f12_multiset_setops",
+    "d16b_weighted_median_binned",
+    "b16_row_checksums",
+    "f13_relational_division",
+    "b17_penny_allocation",
+    "sql2_shared_analytic_dialect",
+    "g2_dim_snapshot_asof",
+    "dd3b_neardup_after_exact_collapse",
+    "dd7b_vector_dedup_collapsed",
+    "dd9_boilerplate_chunks",
+    "dd10_cluster_representatives",
+    "dd11_sorted_neighborhood",
+    "dd12_verbatim_overlap",
+    "dd14_phonetic_blocking",
+    "dd15_containment_pairs",
+    "tx15_bigram_familiarity",
+    "iv1_inverted_index",
+    "iv2_bm25_topk",
+    "tx16_chi2_terms",
+    "tx17_keyword_in_context",
+    "fv1_hashing_tf",
+    "tx18_unicode_normalize",
+    "tx19_gopher_rules",
+    "iv3_phrase_search",
+    "u2_content_defined_chunks",
+    "tx20_textrank_keywords",
+    "tx22_kneser_ney_counts",
+    "iv4_proximity_search",
+    "tx23_ngram_novelty",
+    "tx24_readability",
+    "iv5_boolean_retrieval",
+    "tx26_encoding_screen",
+    "sm3_int8_topk",
+    "rp1_random_projection",
+    "rp2_jl_rerank_topk",
+    "sm6_knn_classify",
+    "s3_session_window_stream",
+    "s2_stream_static_enrich",
+    "s4_watermark_late_drop",
+    "ss2_stream_stream_left_outer",
 )
 
 # Recorded driver-window schedule for rounds 8-10 (VERDICT r6 item 1:
@@ -113,59 +115,61 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # cut must be appended to the earliest non-full window by the author —
 # the staleness lint enforces it.
 ROTATION_PLAN: dict[int, tuple[str, ...]] = {
-    7: DRIVER_PRIORITY,
-    8: (
-        "j1c_asof_forward",
-        "j1d_asof_nearest",
-        "e16_time_range_rolling",
-        "e7_pivot_status_by_year",
-        "m8_rollup_status_priority",
-        "f8_token_set_ops",
-        "d16_weighted_median",
-        "d17_group_mode",
-        "f12_multiset_setops",
-        "d16b_weighted_median_binned",
-        "b16_row_checksums",
-        "f13_relational_division",
-        "b17_penny_allocation",
-        "sql2_shared_analytic_dialect",
-        "g2_dim_snapshot_asof",
-        "dd9_boilerplate_chunks",
-        "dd10_cluster_representatives",
-        "dd11_sorted_neighborhood",
-        "dd12_verbatim_overlap",
-        "dd14_phonetic_blocking",
-        "dd15_containment_pairs",
-        "tx15_bigram_familiarity",
-        "iv1_inverted_index",
-        "iv2_bm25_topk",
-        "tx16_chi2_terms",
-        "tx17_keyword_in_context",
-        "fv1_hashing_tf",
-        "tx18_unicode_normalize",
-        "tx19_gopher_rules",
-        "iv3_phrase_search",
-        "u2_content_defined_chunks",
-        "tx20_textrank_keywords",
-        "tx21_symspell_candidates",
-        "tx22_kneser_ney_counts",
-        "iv4_proximity_search",
-        "tx23_ngram_novelty",
-        "tx24_readability",
-        "iv5_boolean_retrieval",
-        "tx26_encoding_screen",
-        "sm3_int8_topk",
-        "rp1_random_projection",
-        "rp2_jl_rerank_topk",
-        "sm6_knn_classify",
-        "s3_session_window_stream",
-        "s2_stream_static_enrich",
-        "s4_watermark_late_drop",
-        "ss2_stream_stream_left_outer",
-        "s5_stream_scd2_enrich",
-        "s6_stream_corpus_intake",
-        "dc2_substring_decontaminate",
+    # r7's shipped window, recorded as a literal (historical — its rows are
+    # in CORRECTNESS_r07.json). q12/dq12 are NOT listed here: their r7 rows
+    # were red (oracle HUGEINT typing) and they are re-queued in window 8 —
+    # under the green-only lint a window listing them would never retire.
+    7: (
+        "q1_pricing_summary",
+        "g1_scd2_apply",
+        "c2_lookup_cascade",
+        "sm4_mmr_diversified_topk",
+        "g7_snapshot_table_merge",
+        "g7b_merged_dim_timetravel",
+        "q2_min_cost_supplier",
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_part_value",
+        "q13_customer_order_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customer",
+        "q19_disjunctive_revenue",
+        "q20_promotion_supplier",
+        "q21_waiting_supplier",
+        "q22_sales_opportunity",
+        "f9_customers_without_urgent_orders",
+        "c6_cdc_apply",
+        "c10_incremental_join_view",
+        "c11_deletion_cascade",
+        "c12_bitemporal_probe",
+        "c13_scd2_compaction",
+        "g8_pointintime_fact_join",
+        "g8b_pointintime_unbroadcast",
+        "g9_scd3_apply",
+        "g13_period_allocation",
+        "dq1_expectation_checks",
+        "dq2_table_profile",
+        "dq3_group_outliers",
+        "dq5_benford_screen",
+        "dq6_k_anonymity",
+        "dq7_l_diversity",
+        "dq8_cusum_drift",
+        "dq9_fd_discovery",
+        "dq10_temporal_orphans",
+        "dq11_changepoint",
+        "dq13_duplicate_payments",
+        "dq14_coverage_gaps",
+        "dq15_hash_collision_audit",
+        "dq16_scd2_overlap_audit",
     ),
+    8: DRIVER_PRIORITY,
     9: (
         "sp3_weighted_sample",
         "sp4_cluster_aware_split",
@@ -257,14 +261,19 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "e31_topk_with_ties",
         "er1_linkage_confusion",
         "er1b_linkage_tight_blocking",
-        # registered r7 after the plan was cut (earliest non-full window):
+        # registered r7 after the plan was cut (earliest non-full window);
+        # dd3b/dd7b were pulled FORWARD into the r8 window (VERDICT r7 #8):
         "mm7_video_frame_extract",
-        "dd3b_neardup_after_exact_collapse",
-        "dd7b_vector_dedup_collapsed",
         "fv4_linear_quality_score",
         "sm7_semantic_dedup",
         "dd8b_clusters_via_collapse",
         "g7c_snaptable_change_feed",
+        # displaced from the r8 window to make room for q12/dq12/dd3b/dd7b
+        # (each family already has a green driver row or selfcheck sweep):
+        "tx21_symspell_candidates",
+        "s5_stream_scd2_enrich",
+        "s6_stream_corpus_intake",
+        "dc2_substring_decontaminate",
     ),
 }
 
@@ -304,18 +313,24 @@ def query(name: str, sql: str | None = None):
 
 
 def rotation_lint(repo_root: str | None = None) -> list[str]:
-    """Driver-window staleness lint (VERDICT r6 item 8). Returns the list
-    of violations (empty = clean). Rules:
+    """Driver-window staleness lint (VERDICT r6 item 8, tightened r8).
+    Returns the list of violations (empty = clean). Rules:
 
-    1. Every registered query has a driver row (union of the repo's
-       CORRECTNESS_r*.json) OR a slot in ROTATION_PLAN — a registration
-       can never silently outgrow the verification schedule.
+    1. Every registered query has a GREEN driver row (union of the repo's
+       CORRECTNESS_r*.json, counting only rows whose hash/rows/schema all
+       match — a red row never retires a query, VERDICT r7 item 2) OR a
+       slot in ROTATION_PLAN — a registration can never silently outgrow
+       the verification schedule.
     2. Every planned window holds <= 50 known, duplicate-free names
        (50/round is the driver's measured bandwidth).
     3. DRIVER_PRIORITY must equal the EARLIEST planned window that still
-       contains a never-driver-checked query — once a round's rows land,
-       the lint forces the window forward; a query can no longer sit
-       planned-but-unshipped while later windows rotate past it.
+       contains a query without a green driver row — once a round's rows
+       land, the lint forces the window forward; a query can no longer
+       sit planned-but-unshipped while later windows rotate past it.
+
+    Newly registered queries must be hand-appended to the earliest
+    non-full window; the lint enforces only that they are scheduled
+    somewhere (rule 1), not which window they land in.
 
     Call after load_registry() (QUERIES must be populated)."""
     import glob
@@ -329,9 +344,20 @@ def rotation_lint(repo_root: str | None = None) -> list[str]:
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(f, encoding="utf-8") as fh:
-                seen |= set(json.load(fh))
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)  # legacy shape: presence only
+                continue
+            green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is not False  # None = rows-only check
+            )
+            if green:
+                seen.add(name)
     problems: list[str] = []
     scheduled = {n for w in ROTATION_PLAN.values() for n in w}
     for n in QUERIES:

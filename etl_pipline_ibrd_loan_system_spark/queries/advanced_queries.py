@@ -490,7 +490,7 @@ def sk6_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS session_no
       FROM flagged
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            COUNT(*) AS n_events,
            MIN(ts) AS t_start, MAX(ts) AS t_end,
            epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
@@ -594,7 +594,7 @@ def sk7_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM ordered
     )
-    SELECT user_id, event_type, island,
+    SELECT user_id, event_type, CAST(island AS BIGINT) AS island,
            MIN(event_id) AS first_event_id,
            MAX(event_id) AS last_event_id,
            COUNT(*)::BIGINT AS n_events,

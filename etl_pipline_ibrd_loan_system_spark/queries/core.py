@@ -1345,11 +1345,11 @@ def j1b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e7_pivot_status_by_year",
     sql=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
            {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", "f_price")},
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_orders,
            {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", "o_price")},
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_orders,
            {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END", "p_price")}
     FROM orders GROUP BY order_year
     """,
@@ -1825,7 +1825,7 @@ def f13_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(floor_cents) OVER (PARTITION BY l_orderkey) AS floor_sum
       FROM alloc
     )
-    SELECT l_orderkey, l_linenumber, qty, floor_cents,
+    SELECT l_orderkey, l_linenumber, qty, floor_cents::BIGINT AS floor_cents,
            (floor_cents
             + CASE WHEN rn <= total_cents - floor_sum THEN 1 ELSE 0 END
            )::BIGINT AS alloc_cents
@@ -1905,7 +1905,8 @@ _SHARED_ANALYTIC_SQL = """
              SUM(cents) OVER (PARTITION BY nationkey) AS nation_cents
       FROM nation_orders
     )
-    SELECT nationkey, o_orderkey, cents, nation_cents,
+    SELECT nationkey, o_orderkey, cents,
+           CAST(nation_cents AS BIGINT) AS nation_cents,
            CAST(rn AS INT) AS rn,
            CASE WHEN 10 * cents > nation_cents THEN 'whale'
                 ELSE 'regular' END AS tier

@@ -509,22 +509,22 @@ _DQ12_COLS = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
              SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
              COUNT(DISTINCT c_name)::BIGINT AS n_distinct FROM customer
       UNION ALL
-      SELECT 'c_nationkey', COUNT(*), SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_nationkey) FROM customer
+      SELECT 'c_nationkey', COUNT(*)::BIGINT, SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_nationkey)::BIGINT FROM customer
       UNION ALL
-      SELECT 'c_acctbal', COUNT(*), SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_acctbal) FROM customer
+      SELECT 'c_acctbal', COUNT(*)::BIGINT, SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_acctbal)::BIGINT FROM customer
       UNION ALL
-      SELECT 'c_mktsegment', COUNT(*), SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_mktsegment) FROM customer
+      SELECT 'c_mktsegment', COUNT(*)::BIGINT, SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_mktsegment)::BIGINT FROM customer
     ),
     new_p AS (
       SELECT 'c_name' AS col, COUNT(*)::BIGINT AS n_rows,
              SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
              COUNT(DISTINCT c_name)::BIGINT AS n_distinct FROM newsnap
       UNION ALL
-      SELECT 'c_nationkey', COUNT(*), SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_nationkey) FROM newsnap
+      SELECT 'c_nationkey', COUNT(*)::BIGINT, SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_nationkey)::BIGINT FROM newsnap
       UNION ALL
-      SELECT 'c_acctbal', COUNT(*), SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_acctbal) FROM newsnap
+      SELECT 'c_acctbal', COUNT(*)::BIGINT, SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_acctbal)::BIGINT FROM newsnap
       UNION ALL
-      SELECT 'c_mktsegment', COUNT(*), SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT c_mktsegment) FROM newsnap
+      SELECT 'c_mktsegment', COUNT(*)::BIGINT, SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT, COUNT(DISTINCT c_mktsegment)::BIGINT FROM newsnap
     )
     SELECT o.col AS column_name,
            o.n_rows AS rows_old, n.n_rows AS rows_new,

@@ -261,7 +261,7 @@ def tx13_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(freq) AS freq_sum,
+           CAST(SUM(freq) AS BIGINT) AS freq_sum,
            ROUND(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 4) AS familiarity
     FROM pairs JOIN model USING (bigram)
     GROUP BY doc_id

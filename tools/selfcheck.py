@@ -82,6 +82,21 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
     s, o = normalize(sdf), normalize(odf)
+    # Integer-vs-float dtype divergence check (VERDICT r7 "What's wrong" #2):
+    # the driver hashes canonicalized value STRINGS, so a DuckDB HUGEINT that
+    # fetchdf() materializes as float64 ("389.0") hash-mismatches Spark's
+    # bigint ("389") even though assert_frame_equal(check_dtype=False) passes.
+    # Replicate the driver's sensitivity: any column where one side is integer
+    # dtype and the other floating is a failure (cast the oracle SUM to BIGINT).
+    for c in s.columns:
+        skind = getattr(s[c].dtype, "kind", None)
+        okind = getattr(o[c].dtype, "kind", None)
+        if {skind, okind} == {"i", "f"} or {skind, okind} == {"u", "f"}:
+            problems.append(
+                f"dtype divergence on '{c}': spark={s[c].dtype} vs "
+                f"oracle={o[c].dtype} - the driver's value hash treats "
+                "389 != 389.0; CAST the oracle expression to BIGINT"
+            )
     if len(s) == len(o):
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
