@@ -145,12 +145,19 @@ def run_clean_pipeline(
 
 
 def init_star(staging: DataFrame, asof: str) -> dict[str, DataFrame]:
-    """First warehouse load: 7 SCD2 dimensions + DimDate (SURVEY §1.3)."""
+    """First warehouse load: 7 SCD2 dimensions + DimDate (SURVEY §1.3).
+
+    SSIS-IDENTITY parity path: surrogate keys are dense 1..n, matching
+    the reference warehouse's IDENTITY columns exactly — a global-window
+    numbering that serializes at large dimension grain. The production
+    path at scale is `init_star_snaptable` (hash sks, fully distributed);
+    this overwrite-rebuild twin exists for reference parity and as the
+    g1-oracle-equivalent baseline."""
     dims: dict[str, DataFrame] = {}
     for name, (bk, attrs, _t1, _t2) in DIM_SPECS.items():
         dims[f"dim_{name}"] = scd2_init(
             staging.where(F.col(bk).isNotNull()), key=bk, attr_cols=attrs,
-            asof=asof, sk_col=f"pk_{name}_sk",
+            asof=asof, sk_col=f"pk_{name}_sk", sk_strategy="dense",
         )
     dates = None
     for c in DATE_FK_COLS:
@@ -171,7 +178,7 @@ def apply_star_increment(
             dims[f"dim_{name}"],
             staging.where(F.col(bk).isNotNull()).select(bk, *attrs).distinct(),
             key=bk, t1_cols=t1, t2_cols=t2, fixed_cols=fixed,
-            asof=asof, sk_col=f"pk_{name}_sk",
+            asof=asof, sk_col=f"pk_{name}_sk", sk_strategy="dense",
         )
     return out
 

@@ -634,7 +634,7 @@ def dq10_temporal_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"],
-        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk",
+        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     li = load_table(spark, sf_dir, "lineitem")
     probes = li.select(
@@ -948,7 +948,7 @@ def dq16_scd2_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"],
-        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk",
+        fixed_cols=["s_nationkey"], asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     base = dim1.select("s_suppkey", "start_date", "end_date")
     corrupted = base.unionByName(

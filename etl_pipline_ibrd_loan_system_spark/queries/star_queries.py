@@ -61,7 +61,7 @@ def scd_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     sup = load_table(spark, sf_dir, "supplier")
     dim0 = scd2_init(
         sup, key="s_suppkey", attr_cols=["s_name", "s_acctbal", "s_nationkey"],
-        asof=ASOF0, sk_col="sk",
+        asof=ASOF0, sk_col="sk", sk_strategy="dense",
     )
     mod10 = F.col("s_suppkey") % 10
     staging = sup.select(
@@ -154,7 +154,7 @@ def g1_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     # dates surfaced as ISO strings: Spark DateType and DuckDB DATE reach
     # pandas as different object types, which would break the value hash
@@ -185,7 +185,7 @@ def g2_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     return scd2_snapshot(dim1, "2024-03-01").select(
         "sk", "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
@@ -390,7 +390,7 @@ def _g8_plan(spark: SparkSession, sf_dir: str, broadcastable: bool) -> DataFrame
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     joined = scd2_pointintime_join(
         _g8_probe_lineitem(spark, sf_dir), dim1,
@@ -623,7 +623,7 @@ def c13_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     churn_date = F.lit("2024-09-01").cast("date")
     cur = dim1.filter(F.col("is_current"))
@@ -709,7 +709,7 @@ def g13_period_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     li = load_table(spark, sf_dir, "lineitem")
     start = F.date_add(

@@ -653,7 +653,7 @@ def s5_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim1 = scd2_apply(
         dim0, staging, key="s_suppkey",
         t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
-        asof=ASOF1, sk_col="sk",
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
     )
     stream = _events_stream_factory(spark, sf_dir, "s5_events_")()
     probes = stream.select(

@@ -37,8 +37,12 @@ KW = dict(key="bk", t1_cols=["balance"], t2_cols=["name"], fixed_cols=["country"
 def dims(spark):
     s0 = spark.createDataFrame(ROWS0, COLS)
     s1 = spark.createDataFrame(ROWS1, COLS)
-    dim0 = scd2_init(s0, key="bk", attr_cols=COLS[1:], asof="2024-01-01", sk_col="sk")
-    dim1 = scd2_apply(dim0, s1, asof="2024-02-01", **KW)
+    # dense pinned: this fixture tests the SSIS-IDENTITY parity numbering
+    # (sk == 1..n, continuation from max) — the hash default is covered by
+    # test_sk_hash_strategy and the snaptable suite
+    dim0 = scd2_init(s0, key="bk", attr_cols=COLS[1:], asof="2024-01-01",
+                     sk_col="sk", sk_strategy="dense")
+    dim1 = scd2_apply(dim0, s1, asof="2024-02-01", sk_strategy="dense", **KW)
     return s0, s1, dim0, dim1
 
 
