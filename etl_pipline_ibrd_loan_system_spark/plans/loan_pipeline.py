@@ -60,6 +60,19 @@ DIM_SPECS = {
     "project": ("project_id", ["project_name_"], [], ["project_name_"]),
 }
 
+# SCD validity-column type per dimension: six of the seven SSIS dims
+# declare DT_DBDATE start/end dates; Dimension_LoanType alone uses
+# DT_DBTIMESTAMP (`project SSIS::loan_type_dim.dtsx:327-332`) — its
+# versions open/close at timestamp grain. Default (absent) = "date".
+DIM_DATE_TYPES = {
+    "loan_type": "timestamp",
+}
+
+
+def _dim_date_type(name: str) -> str:
+    return DIM_DATE_TYPES.get(name, "date")
+
+
 DATE_FK_COLS = [
     "end_of_period",
     "first_repayment_date",
@@ -77,6 +90,18 @@ MEASURE_COLS = [
     "repaid",
     "due",
 ]
+
+# Fact-sink type narrowing (SURVEY §1.2/§1.3): the SSIS destination
+# metadata declares Fact_Loan.original_principal_amount DT_NUMERIC(18)
+# (`project SSIS::loan_fact.dtsx:1711-1999`) while the dataflow carries
+# it as DT_R8 — the sink NARROWS double -> numeric(18,0). SQL Server's
+# float->numeric conversion rounds half away from zero, which is exactly
+# Spark's double->decimal HALF_UP cast (and DuckDB's double->DECIMAL),
+# so one declarative cast reproduces the sink semantics bit-for-bit.
+# The other measures stay r8/double, matching the destination columns.
+FACT_SINK_CASTS = {
+    "original_principal_amount": "decimal(18,0)",
+}
 
 
 def clean_stage(raw: DataFrame, snapshot_dates: Sequence[str] = SNAPSHOT_DATES) -> DataFrame:
@@ -158,6 +183,7 @@ def init_star(staging: DataFrame, asof: str) -> dict[str, DataFrame]:
         dims[f"dim_{name}"] = scd2_init(
             staging.where(F.col(bk).isNotNull()), key=bk, attr_cols=attrs,
             asof=asof, sk_col=f"pk_{name}_sk", sk_strategy="dense",
+            date_type=_dim_date_type(name),
         )
     dates = None
     for c in DATE_FK_COLS:
@@ -179,6 +205,7 @@ def apply_star_increment(
             staging.where(F.col(bk).isNotNull()).select(bk, *attrs).distinct(),
             key=bk, t1_cols=t1, t2_cols=t2, fixed_cols=fixed,
             asof=asof, sk_col=f"pk_{name}_sk", sk_strategy="dense",
+            date_type=_dim_date_type(name),
         )
     return out
 
@@ -207,6 +234,7 @@ def init_star_snaptable(
         dim0 = scd2_init(
             staging.where(F.col(bk).isNotNull()), key=bk, attr_cols=attrs,
             asof=asof, sk_col=f"pk_{name}_sk", sk_strategy="hash",
+            date_type=_dim_date_type(name),
         )
         manifests[f"dim_{name}"] = snaptable.create(
             spark, os.path.join(root, f"dim_{name}"), dim0, bk,
@@ -236,6 +264,7 @@ def apply_star_increment_snaptable(
             spark, os.path.join(root, f"dim_{name}"),
             staging.where(F.col(bk).isNotNull()).select(bk, *attrs).distinct(),
             t1_cols=t1, t2_cols=t2, fixed_cols=fixed, asof=asof,
+            date_type=_dim_date_type(name),
         )
     return manifests
 
@@ -280,9 +309,14 @@ def build_fact_loan(staging: DataFrame, dims: Mapping[str, DataFrame]) -> DataFr
     dimdate = dims["dim_date"]
     for c in DATE_FK_COLS:
         lookups.append((dimdate, {c: "date"}, {"date_sk": f"{c}_sk"}))
-    return build_fact(
+    out = build_fact(
         fact,
         lookups,
         measure_cols=MEASURE_COLS,
         key_cols=["loan_number"],
     )
+    # destination-metadata narrowing (FACT_SINK_CASTS): applied at the
+    # sink projection, after the lookup cascade, like the SSIS fast-load
+    for c, t in FACT_SINK_CASTS.items():
+        out = out.withColumn(c, F.col(c).cast(t))
+    return out

@@ -274,6 +274,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "s5_stream_scd2_enrich",
         "s6_stream_corpus_intake",
         "dc2_substring_decontaminate",
+        # registered r8 (earliest non-full window):
+        "b18_sink_decimal_narrowing",
     ),
 }
 

@@ -1888,6 +1888,43 @@ def b17_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b18_sink_decimal_narrowing",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS DOUBLE)
+             AS principal_narrowed,
+           CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS DOUBLE)
+             <> floor(o_totalprice) AS rounded_up
+    FROM orders
+    """,
+)
+def b18_sink_decimal_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-sink DT_NUMERIC(18) narrowing parity (VERDICT r7 item 4):
+    the SSIS Fact_Loan destination declares original_principal_amount
+    numeric(18,0) while the dataflow carries DT_R8 — the sink narrows
+    double -> decimal(18,0) (`project SSIS::loan_fact.dtsx:1711-1999`).
+    SQL Server's float->numeric conversion ROUNDS half away from zero
+    (it does not truncate); Spark's double->decimal cast is HALF_UP and
+    DuckDB's double->DECIMAL rounds half away from zero too, so the one
+    declarative cast in plans/loan_pipeline.py::FACT_SINK_CASTS is the
+    exact sink semantics. This query runs that same cast over every
+    order total; `rounded_up` pins rounding-vs-truncation explicitly
+    (true whenever the narrowed value moved off the floor).
+
+    Scale: a projection in the sink stage — no shuffle, whole-stage
+    codegen, nothing added to the fact build's one broadcast stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    narrowed = (
+        F.col("o_totalprice").cast("decimal(18,0)").cast("double")
+    )
+    return orders.select(
+        "o_orderkey",
+        narrowed.alias("principal_narrowed"),
+        (narrowed != F.floor("o_totalprice")).alias("rounded_up"),
+    )
+
+
 # One ANSI string with CTEs + window functions, executed verbatim by
 # spark.sql AND DuckDB — extends sql1's proof from join/HAVING SQL to
 # the ANALYTIC dialect (the part migrating BI workloads actually stress).
