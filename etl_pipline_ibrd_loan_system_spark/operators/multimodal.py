@@ -221,6 +221,10 @@ def extract_video_frames(df: DataFrame, every: int = 1) -> DataFrame:
     leave the task that read them, only (dims, sums) rows do. At 100 TB
     the frame sampler is a pure map stage whose output is metadata-
     sized."""
+    # validate on the DRIVER: every=0 would otherwise surface as an
+    # opaque ZeroDivisionError task failure inside the executor kernel
+    if not isinstance(every, int) or every < 1:
+        raise ValueError(f"every must be an int >= 1, got {every!r}")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import struct
@@ -521,7 +525,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
                 return None
             try:
-                pos, fmt_chunk, data = 12, None, None
+                pos, fmt_chunk, data, fact_chunk = 12, None, None, None
                 while pos + 8 <= len(payload):
                     cid = payload[pos : pos + 4]
                     (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -530,6 +534,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                         fmt_chunk = body
                     elif cid == b"data":
                         data = body
+                    elif cid == b"fact":
+                        fact_chunk = body
                     pos += 8 + length + (length & 1)  # chunks are word-aligned
                 if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
                     return None
@@ -575,7 +581,23 @@ def decode_media(df: DataFrame) -> DataFrame:
                         s += int(abs(v) * 32768.0)
                     return n_ch, n_samples // n_ch, s
                 if audio_fmt == 0x11 and bits == 4:
-                    return decode_ima_adpcm(data, n_ch, block_align)
+                    # ADVICE r7: a real-world IMA WAV's final block may be
+                    # partially filled — pad nibbles must not count as
+                    # frames. wSamplesPerBlock comes from the fmt
+                    # extension (cbSize >= 2); the fact chunk gives the
+                    # authoritative per-channel frame total. Absent both,
+                    # fall back to full-block capacity (the old reading).
+                    spb = None
+                    if len(fmt_chunk) >= 20:
+                        (cb,) = struct.unpack("<H", fmt_chunk[16:18])
+                        if cb >= 2:
+                            (spb,) = struct.unpack("<H", fmt_chunk[18:20])
+                    total = None
+                    if fact_chunk is not None and len(fact_chunk) >= 4:
+                        (total,) = struct.unpack("<I", fact_chunk[:4])
+                    return decode_ima_adpcm(
+                        data, n_ch, block_align, spb, total
+                    )
                 return None  # exotic codec: fallback tier
             except Exception:
                 return None
@@ -594,18 +616,33 @@ def decode_media(df: DataFrame) -> DataFrame:
         )
         IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
 
-        def decode_ima_adpcm(data: bytes, n_ch: int, block_align: int):
+        def decode_ima_adpcm(
+            data: bytes,
+            n_ch: int,
+            block_align: int,
+            samples_per_block: int | None = None,
+            total_frames: int | None = None,
+        ):
             """(n_ch, frames_per_channel, abs_sample_sum) for WAV
             IMA-ADPCM `data`, or None if malformed. Blocks are
             `block_align` bytes: a 4-byte header per channel (predictor
             int16 LE, step index u8, reserved), then nibble pairs — mono
             consumes bytes low-nibble-first; stereo interleaves 4-byte
-            (8-sample) groups per channel."""
+            (8-sample) groups per channel.
+
+            `samples_per_block` (fmt extension wSamplesPerBlock) and
+            `total_frames` (fact chunk) cap the decode: a partially
+            filled final block's pad nibbles are never counted as
+            frames nor folded into the sample sum (ADVICE r7)."""
             if block_align < 4 * n_ch or len(data) % block_align:
                 return None
             body_len = block_align - 4 * n_ch
             if n_ch > 1 and body_len % (4 * n_ch):
                 return None
+            capacity = 1 + (body_len if n_ch == 1 else body_len // n_ch) * 2
+            spb = capacity if samples_per_block is None else samples_per_block
+            if not 1 <= spb <= capacity:
+                return None  # inconsistent fmt extension: malformed
 
             def step(nib, pred, idx):
                 st = IMA_STEPS[idx]
@@ -624,7 +661,16 @@ def decode_media(df: DataFrame) -> DataFrame:
                 return pred, max(0, min(88, idx + IMA_INDEX[nib & 7]))
 
             s = frames = 0
-            for boff in range(0, len(data), block_align):
+            n_blocks = len(data) // block_align
+            for bi in range(n_blocks):
+                # frames this block may legally contribute per channel
+                valid = spb
+                if total_frames is not None:
+                    remaining = total_frames - bi * spb
+                    if remaining <= 0:
+                        break
+                    valid = min(valid, remaining)
+                boff = bi * block_align
                 block = data[boff : boff + block_align]
                 preds, idxs = [], []
                 for ch in range(n_ch):
@@ -638,23 +684,37 @@ def decode_media(df: DataFrame) -> DataFrame:
                     idxs.append(ix)
                     s += abs(p)
                 frames += 1  # the header predictor is frame 0
+                done = 1  # per-channel frames consumed so far this block
                 body = block[4 * n_ch :]
                 if n_ch == 1:
                     for byte in body:
+                        if done >= valid:
+                            break
                         for nib in (byte & 0xF, byte >> 4):
+                            if done >= valid:
+                                break
                             preds[0], idxs[0] = step(nib, preds[0], idxs[0])
                             s += abs(preds[0])
-                    frames += len(body) * 2
+                            done += 1
+                    frames += done - 1
                 else:
                     for g in range(0, len(body), 4 * n_ch):
+                        if done >= valid:
+                            break
+                        group_frames = min(8, valid - done)
                         for ch in range(n_ch):
+                            emitted = 0
                             for byte in body[g + 4 * ch : g + 4 * ch + 4]:
                                 for nib in (byte & 0xF, byte >> 4):
+                                    if emitted >= group_frames:
+                                        break
                                     preds[ch], idxs[ch] = step(
                                         nib, preds[ch], idxs[ch]
                                     )
                                     s += abs(preds[ch])
-                        frames += 8
+                                    emitted += 1
+                        done += group_frames
+                        frames += group_frames
             return n_ch, frames, s
 
         def decode_mp4(payload: bytes):

@@ -454,6 +454,20 @@ def ivf_topk(
         corpus_v.unpersist()
 
 
+def suggest_n_centroids(n_rows: int, target_cluster_size: int = 1024) -> int:
+    """The documented SemDeDup sizing heuristic (VERDICT r7 item 9):
+    k ~= n / target_cluster_size. semantic_dedup's pair screen is
+    quadratic WITHIN a cluster, so the work is bounded only if k grows
+    with the corpus — a fixed k at 1000x the rows means 1000x-bigger
+    clusters and 10^6x the pairs. target_cluster_size trades recall
+    (bigger clusters catch more cross-cluster near-dups) against the
+    per-cluster C(m,2) cost; ~1k vectors/cluster keeps each cluster's
+    pair block in one task's memory at embedding dims ~1e2-1e3."""
+    import math
+
+    return max(1, math.ceil(n_rows / max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -462,6 +476,7 @@ def semantic_dedup(
     lloyd_iters: int = 2,
     threshold: float = 0.95,
     dims: int | None = None,
+    cluster_size_warn_factor: float | None = 8.0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     cluster the embedding corpus, compare pairs ONLY within a cluster,
@@ -477,7 +492,17 @@ def semantic_dedup(
     exactly the bound SemDeDup's clustering buys (clusters ~n/k). Both
     pair sides carry vectors, so neither may broadcast (the sf10
     lesson): the join is pinned shuffle_hash. The verdict-per-vector
-    result is localCheckpointed while the corpus cache is hot."""
+    result is localCheckpointed while the corpus cache is hot.
+
+    n_centroids must scale with the corpus (size with
+    `suggest_n_centroids(n, target_cluster_size)`); the quadratic stays
+    bounded only while clusters stay ~n/k. Guard: when
+    `cluster_size_warn_factor` is set (default 8), cluster sizes are
+    checked off the pinned assignment (one k-row aggregate) and a
+    RuntimeWarning fires if any cluster exceeds factor * n/k — the
+    signal that k is undersized (or the embedding space has collapsed)
+    and the pair screen is heading for a C(m,2) blowup. Pass None to
+    skip the check."""
     corpus_v = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -489,6 +514,32 @@ def semantic_dedup(
         from ..cache import pin
 
         assign = pin(assign)
+        if cluster_size_warn_factor is not None:
+            # bounded driver state: <= n_centroids (cent_id, count) rows
+            sizes = [
+                r["n"]
+                for r in assign.groupBy("cent_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            if sizes:
+                n_total, biggest = sum(sizes), max(sizes)
+                bound = cluster_size_warn_factor * max(
+                    1.0, n_total / max(1, n_centroids)
+                )
+                if biggest > bound:
+                    import warnings
+
+                    warnings.warn(
+                        f"semantic_dedup: largest cluster has {biggest} of "
+                        f"{n_total} vectors (> {cluster_size_warn_factor}x "
+                        f"the n/k mean {n_total / max(1, n_centroids):.0f}); "
+                        "the in-cluster pair screen is quadratic in cluster "
+                        "size - raise n_centroids (see suggest_n_centroids) "
+                        "or check the embedding space for collapse",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         a = assign.select(
             "cent_id", F.col(id_col).alias("id_a"), F.col("v").alias("va")
         ).hint("shuffle_hash")

@@ -365,11 +365,29 @@ def linear_score(
     summation order (a float-weight fold diverged from DuckDB's
     list_sum in the last ulp on ~60% of rows when this was built).
     Zero shuffle; pure whole-stage-codegen row work. Pair with
-    hashing_tf for end-to-end text -> keep/drop scoring."""
-    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weight_numerators])
-    prod = F.zip_with(
-        F.col(vec_col).cast("array<bigint>"), warr, lambda a, b: a * b
+    hashing_tf for end-to-end text -> keep/drop scoring.
+
+    Dimension drift fails LOUDLY (ADVICE r7): zip_with pads the shorter
+    side with NULL, so a feature vector whose length differs from the
+    weight vector would otherwise silently yield a NULL logit (and a
+    NULL keep verdict downstream). A size guard raises instead — the
+    ragged-vector stance the IVF path takes."""
+    n_w = len(weight_numerators)
+    vec = F.when(
+        F.size(F.col(vec_col)) == n_w, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    "linear_score: feature vector length %s != "
+                    f"{n_w} weights (dimension drift)"
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
     )
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weight_numerators])
+    prod = F.zip_with(vec.cast("array<bigint>"), warr, lambda a, b: a * b)
     z = F.aggregate(prod, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return df.withColumn(
         out_col,

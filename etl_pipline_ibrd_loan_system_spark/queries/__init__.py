@@ -276,6 +276,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dc2_substring_decontaminate",
         # registered r8 (earliest non-full window):
         "b18_sink_decimal_narrowing",
+        "m25_date_hierarchy_drill",
     ),
 }
 

@@ -87,3 +87,16 @@ def test_extract_video_frames_skips_non_avi(spark):
         _decode(spark, [b"not a container", _avi([_jpeg(8, 8)])])
     ).collect()
     assert len(rows) == 1 and rows[0].media_id == 1
+
+
+def test_extract_video_frames_rejects_nonpositive_every(spark):
+    """ADVICE r7: every=0 must raise a clear ValueError on the DRIVER,
+    not a ZeroDivisionError task failure inside the executor kernel."""
+    import pytest
+
+    from etl_pipline_ibrd_loan_system_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id bigint, data binary")
+    for bad in (0, -3, 2.5):
+        with pytest.raises(ValueError, match="every must be an int >= 1"):
+            multimodal.extract_video_frames(df, every=bad)

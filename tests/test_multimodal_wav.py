@@ -283,3 +283,79 @@ def test_non_riff_payload_keeps_byte_stats(spark):
     payload = b"definitely not audio"
     got = _decode(spark, [payload])[0]
     assert got.byte_sum == sum(payload)
+
+
+def _adpcm_wav_with_fact(samples, block_align, spb=None, fact_total=None):
+    """Mono IMA payload whose fmt carries the wSamplesPerBlock extension
+    and whose fact chunk declares the true per-channel frame count —
+    the real-world layout (ADVICE r7): expected sums EXCLUDE pad
+    nibbles in the final block."""
+    body_len = block_align - 4
+    capacity = 1 + body_len * 2
+    spb = capacity if spb is None else spb
+    fact_total = len(samples) if fact_total is None else fact_total
+    blocks, abs_sum = [], 0
+    pos = 0
+    while pos < len(samples):
+        take = min(spb, len(samples) - pos)
+        seg = samples[pos : pos + take]
+        pred, idx = seg[0], 30
+        abs_sum += abs(pred)
+        nibs, decoded = _ima_encode_block(seg[1:], pred, idx)
+        abs_sum += sum(abs(v) for v in decoded)
+        nibs += [0] * (body_len * 2 - len(nibs))  # pads: NOT counted
+        body = bytearray()
+        for k in range(0, len(nibs), 2):
+            body.append(nibs[k] | (nibs[k + 1] << 4))
+        blocks.append(struct.pack("<hBB", pred, 30, 0) + bytes(body))
+        pos += take
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, block_align, 4)
+    fmt += struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+    fact = struct.pack("<I", fact_total)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return payload, abs_sum
+
+
+def test_ima_adpcm_partial_final_block_not_padded(spark):
+    """ADVICE r7: a final block holding fewer samples than
+    wSamplesPerBlock must contribute only its REAL frames — pad nibbles
+    are neither counted in height nor folded into byte_sum."""
+    import math
+
+    samples = [int(7000 * math.sin(i / 4)) for i in range(10)]
+    # block_align=20 -> capacity 33 frames; 10 real -> 23 pad frames
+    payload, abs_sum = _adpcm_wav_with_fact(samples, block_align=20)
+    got = _decode(spark, [payload])[0]
+    assert (got.width, got.height) == (1, 10)
+    assert got.byte_sum == abs_sum
+
+
+def test_ima_adpcm_fact_caps_multiblock_tail(spark):
+    """Two blocks, fact says 40 of 66 capacity frames: the second
+    block's decode stops at frame 40."""
+    import math
+
+    samples = [int(5000 * math.cos(i / 6)) for i in range(40)]
+    payload, abs_sum = _adpcm_wav_with_fact(samples, block_align=20, spb=33)
+    got = _decode(spark, [payload])[0]
+    assert (got.width, got.height) == (1, 40)
+    assert got.byte_sum == abs_sum
+
+
+def test_ima_adpcm_inconsistent_spb_falls_back(spark):
+    """wSamplesPerBlock exceeding block capacity is malformed — the
+    payload drops to the byte-stats tier instead of mis-decoding."""
+    import math
+
+    samples = [int(4000 * math.sin(i / 3)) for i in range(10)]
+    payload, _ = _adpcm_wav_with_fact(samples, block_align=20, spb=99)
+    got = _decode(spark, [payload])[0]
+    assert got.byte_sum == sum(payload)  # raw byte-stats, not a decode

@@ -189,3 +189,41 @@ def test_random_projection_plan_is_pure_projection(spark, sf_dir):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_cluster_size_guard(spark):
+    """VERDICT r7 item 9: semantic_dedup's in-cluster pair screen is
+    quadratic, so an undersized k must fail LOUDLY, not silently run
+    C(m,2). A skewed assignment (k=1 forces one giant cluster... use a
+    corpus whose vectors all collapse to one centroid with k=4) fires
+    the RuntimeWarning; a balanced one stays quiet; the heuristic maps
+    n->k as documented."""
+    import warnings
+
+    from etl_pipline_ibrd_loan_system_spark.operators.similarity import (
+        semantic_dedup,
+        suggest_n_centroids,
+    )
+
+    assert suggest_n_centroids(1_000_000, target_cluster_size=1024) == 977
+    assert suggest_n_centroids(10, target_cluster_size=1024) == 1
+    assert suggest_n_centroids(0) == 1
+
+    # 64 identical vectors collapse into one cluster: with k=16
+    # biggest == n = 64 > 8 * (n/k) = 32 -> the guard must fire
+    rows = [(i, [1.0, 0.0, 0.5]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        semantic_dedup(df, "vec_id", "embedding", n_centroids=16).count()
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("quadratic in cluster size" in m for m in msgs), msgs
+
+    # guard off -> silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        semantic_dedup(
+            df, "vec_id", "embedding", n_centroids=16,
+            cluster_size_warn_factor=None,
+        ).count()
+    assert not [w for w in caught if w.category is RuntimeWarning]
