@@ -94,6 +94,22 @@ def main() -> None:
     from etl_pipline_ibrd_loan_system_spark.session import get_session
 
     spark = get_session("bench")
+    # Silence WindowExec's "No Partition Defined" WARN for this bench
+    # session (VERDICT r7 item 6): every unpartitioned window left in
+    # the headline plans is a BOUNDED post-aggregate window (bucket
+    # carry in window_ops.py, rank-over-agg in analytics_queries.py,
+    # allocation ranks in sampling.py — agg-grain, audited r7), and the
+    # repeated warning buries the one that would matter. Plans are
+    # unchanged — the plan-regression gates, which assert every
+    # corpus-grain window stays partitioned, remain the real tripwire.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API unavailable: noisy but harmless
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
