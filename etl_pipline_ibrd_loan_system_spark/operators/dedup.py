@@ -134,7 +134,14 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join: ids sharing any band bucket become a
     candidate pair (id_a < id_b). Shuffle key (band, bucket) is uniform by
-    hash construction."""
+    hash construction.
+
+    PRODUCTION NOTE (r7 sf10 decade): pair output is quadratic in
+    exact-copy mass — m identical docs all share every bucket and emit
+    C(m,2) pairs. The production entry point is the collapse twin
+    (exact_collapse first, near-dup on distinct texts, rejoin copy
+    counts — the dd3b/dd7b/dd8b pattern, FLAT at sf10); call the raw
+    form only when per-pair output over copies is itself the product."""
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
     # corpus-grain x corpus-grain: NEVER broadcast a side. At sf10 the
     # bucket table's on-disk estimate slips under autoBroadcastJoinThreshold

@@ -72,3 +72,36 @@ def test_rotation_plan_covers_and_window_is_current():
 
     entrymod.queries()  # ensure registry populated
     assert rotation_lint() == []
+
+
+def test_rotation_lint_counts_only_green_rows(tmp_path):
+    """VERDICT r7 item 2: a red driver row must never retire a query
+    from the schedule. Synthesize a repo root whose CORRECTNESS file
+    covers every registered query: with one ROTATION_PLAN[9] query
+    un-rowed the lint demands the window advance past round 8; adding
+    a RED row for a round-8 query must pull the pending window back to
+    8 (red != covered), making the current DRIVER_PRIORITY correct."""
+    import json
+
+    from etl_pipline_ibrd_loan_system_spark.queries import (
+        DRIVER_PRIORITY,
+        ROTATION_PLAN,
+        rotation_lint,
+    )
+
+    qs = entrymod.queries()
+    green = {n: {"rows_match": True, "schema_match": True, "hash_match": True}
+             for n in qs}
+    hole = ROTATION_PLAN[9][0]
+    del green[hole]  # round 9 still owed one row
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
+    problems = rotation_lint(repo_root=str(tmp_path))
+    assert any("stale" in p and "ROTATION_PLAN[9]" in p for p in problems), problems
+
+    # one round-8 query goes RED: round 8 is pending again, and the
+    # active window (ROTATION_PLAN[8] == DRIVER_PRIORITY) is current
+    green[DRIVER_PRIORITY[0]] = {
+        "rows_match": True, "schema_match": True, "hash_match": False
+    }
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
+    assert rotation_lint(repo_root=str(tmp_path)) == []
