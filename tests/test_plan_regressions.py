@@ -931,3 +931,25 @@ def test_pipeline_snaptable_dim_build_is_window_free(spark, tmp_path):
     plan = _plan(dim0)
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_b18_narrowing_is_shuffle_free_projection(spark, sf_dir, registry):
+    """b18 is the fact-sink cast: Scan -> Project, no Exchange, no
+    Window — the narrowing must never add a stage to the fact build."""
+    plan = _plan(registry["b18_sink_decimal_narrowing"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_m25_drill_is_single_expand_aggregate(spark, sf_dir, registry):
+    """m25's Year>Quarter>Month drill must stay ONE Expand + hash
+    aggregate over one scan — a regression to per-level scans would
+    show multiple parquet scans or a Union."""
+    import re
+
+    plan = _plan(registry["m25_date_hierarchy_drill"](spark, sf_dir))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 1, f"orders scanned {len(scans)} times"
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "Window" not in plan
