@@ -294,20 +294,26 @@ def prefix_filtered_jaccard_pairs(
     # prefix length: |S| - ceil(t*|S|) + 1 (ceil via -floor(-x))
     sz = F.size("hs")
     plen = sz + F.floor(-sz * F.lit(float(threshold))).cast("int") + 1
-    sides = pin(shingled.select(
-        "id", "blk", "sh", F.size("sh").alias("nsh"),
+    pinned = pin(shingled)
+    # the exploded prefix streams carry IDS + sizes ONLY: hanging the
+    # full shingle arrays on every exploded row multiplied both the
+    # cached footprint and the candidate-join shuffle by ~|prefix| per
+    # doc (measured 386 MB -> single-digit MB at sf0.1, r8 shuffle
+    # audit); the arrays rejoin once per surviving candidate id below
+    sides = pinned.select(
+        "id", "blk", F.size("sh").alias("nsh"),
         F.explode(F.slice("hs", 1, plen)).alias("ph"),
-    ))
+    )
     a = sides.select(
         F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
-        F.col("sh").alias("sh_a"), F.col("nsh").alias("na"), "ph",
+        F.col("nsh").alias("na"), "ph",
     )
     b = sides.select(
         F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-        F.col("sh").alias("sh_b"), F.col("nsh").alias("nb"), "ph",
+        F.col("nsh").alias("nb"), "ph",
     )
     t = float(threshold)
-    cands = (
+    cand_ids = (
         a.join(b, ["ph"], "inner")
         .where(
             (F.col("blk_a") == F.col("blk_b"))
@@ -317,10 +323,16 @@ def prefix_filtered_jaccard_pairs(
             & (F.col("nb") >= F.col("na") * t)
         )
         # a pair sharing k prefix shingles appears k times; dedupe on the
-        # ids alone (sh_a/sh_b are functionally dependent on them) so the
-        # distinct never hashes the shingle arrays
+        # ids alone before the arrays ever enter the plan
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
+    )
+    cands = cand_ids.join(
+        pinned.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        pinned.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     # |A ∪ B| = |A| + |B| - |A ∩ B|: one array op instead of two
@@ -1115,17 +1127,21 @@ def prefix_filtered_containment_pairs(
     sz = F.size("hs")
     plen = sz + F.floor(-sz * F.lit(t)).cast("int") + 1
     pinned = pin(shingled)
+    # the exploded candidate streams carry IDS + sizes ONLY — hanging the
+    # full shingle arrays on every exploded row multiplied the shuffle by
+    # ~|shingles| per doc (measured 154 MB -> ~2 MB at sf0.1, r8 shuffle
+    # audit); the arrays rejoin once per surviving candidate id below
     a = pinned.select(
         F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
-        F.col("sh").alias("sh_a"), F.size("sh").alias("na"),
+        F.size("sh").alias("na"),
         F.explode(F.slice("hs", 1, plen)).alias("ph"),
     )
     b = pinned.select(
         F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-        F.col("sh").alias("sh_b"), F.size("sh").alias("nb"),
+        F.size("sh").alias("nb"),
         F.explode("hs").alias("ph"),
     )
-    cands = (
+    cand_ids = (
         a.join(b, ["ph"], "inner")
         .where(
             (F.col("blk_a") == F.col("blk_b"))
@@ -1134,7 +1150,14 @@ def prefix_filtered_containment_pairs(
             & (F.col("nb") * F.lit(1.0) >= F.col("na") * t)
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
+    )
+    cands = cand_ids.join(
+        pinned.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        pinned.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     c = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         "sh_a"
