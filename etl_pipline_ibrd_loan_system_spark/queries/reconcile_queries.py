@@ -545,29 +545,36 @@ def dq12_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segment vocabulary collapse, null storm) BEFORE c7's row-level
     diff is even computed — profile first, diff only if profiles move.
 
-    Scale: each profile is ONE aggregate pass per table (count +
-    conditional sum + distinct per column — Catalyst plans the
-    multi-distinct via Expand, the dq2 shape); the drift join is
+    Scale: each profile is ONE aggregate pass per table — a single
+    .agg() carrying every column's conditional null-sum and
+    countDistinct (Catalyst plans the multi-distinct via Expand, the
+    dq2 shape), unpivoted to per-column rows with stack() AFTER the
+    aggregate. One columnar scan per table (the r8 rewrite: the
+    previous agg-per-column union scanned customer 12 times — invisible
+    at sf0.01, 12x the IO at 100 TB); the drift join is
     column-cardinality. No row-level shuffle at all."""
     cust = load_table(spark, sf_dir, "customer")
     newsnap = _c7_new_snapshot(cust)
 
     def profile(df: DataFrame, cols: list[str]) -> DataFrame:
-        parts = []
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
         for c in cols:
-            parts.append(
-                df.agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.sum(
-                        F.when(F.col(c).isNull(), 1).otherwise(0)
-                    ).cast("bigint").alias("n_nulls"),
-                    F.countDistinct(F.col(c)).alias("n_distinct"),
-                ).select(F.lit(c).alias("col"), "*")
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__nulls_{c}")
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        one = df.agg(*aggs)
+        stacked = ", ".join(
+            f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+        )
+        return one.select(
+            F.expr(
+                f"stack({len(cols)}, {stacked}) AS (col, n_nulls, n_distinct)"
+            ),
+            "n_rows",
+        ).select("col", "n_rows", "n_nulls", "n_distinct")
 
     old_p = profile(cust, _DQ12_COLS)
     new_p = profile(newsnap, _DQ12_COLS).select(
