@@ -278,6 +278,12 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "b18_sink_decimal_narrowing",
         "m25_date_hierarchy_drill",
     ),
+    # overflow window: round-10 hit its 50-slot cap; late-r8
+    # registrations go here (the lint keeps it <= 50 like any window)
+    11: (
+        "dd2b_jaccard_after_collapse",
+        "dd15b_containment_after_collapse",
+    ),
 }
 
 

@@ -821,3 +821,93 @@ def dd15_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_filtered_containment_pairs(
         docs, "text", "doc_id", block_col="lang", n=3, threshold=0.8
     )
+
+
+_REPS_CTE = """
+    reps AS (
+      SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+      FROM documents GROUP BY text
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+            FROM reps)
+      WHERE len(toks) >= 3
+    )
+"""
+
+
+def _collapse_reps(docs: DataFrame) -> DataFrame:
+    """exact_collapse (stage zero) keeping the representative's lang for
+    block-scoped twins: min-struct = arg_min by doc_id, the same winner
+    the oracle's min(doc_id)/arg_min(lang, doc_id) picks."""
+    r = F.min(F.struct("doc_id", "text", "lang")).alias("r")
+    return (
+        docs.groupBy(F.xxhash64("text").alias("__h"))
+        .agg(r)
+        .select(
+            F.col("r.doc_id").alias("doc_id"),
+            F.col("r.text").alias("text"),
+            F.col("r.lang").alias("lang"),
+        )
+    )
+
+
+@query(
+    "dd2b_jaccard_after_collapse",
+    sql=f"""
+    WITH {_REPS_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        AND len(a.s) * 2 >= len(b.s) AND len(b.s) * 2 >= len(a.s)
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dd2b_jaccard_after_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd2's PRODUCTION twin (the dd3b pattern applied to the EXACT
+    Jaccard form): collapse identical texts to their min-id
+    representative first (one hash-grouped shuffle), then the
+    prefix-filtered exact Jaccard join over distinct content only.
+    Every cross-copy pair dd2 additionally emits is jaccard=1.0 between
+    identical texts — recoverable from dd1's copy groups — so the twin
+    carries all the information at a pair mass that scales with
+    DISTINCT content, flat under copy replication where dd2 is
+    C(m,2)-bound (SCALE.md r8 sf10 boundary). Oracle: brute-force
+    Jaccard over the SQL-computed representatives (recall-1.0 theorem
+    unchanged by the collapse)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filtered_jaccard_pairs(
+        _collapse_reps(docs), "text", "doc_id",
+        block_col="lang", n=3, threshold=0.5,
+    )
+
+
+@query(
+    "dd15b_containment_after_collapse",
+    sql=f"""
+    WITH {_REPS_CTE}
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id != b.doc_id
+        AND len(b.s) * 1.0 >= len(a.s) * 0.8
+    ) WHERE containment >= 0.8
+    """,
+)
+def dd15b_containment_after_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd15's PRODUCTION twin: exact-collapse stage zero, then the
+    prefix-filtered containment join over distinct content (the
+    short-doc-inside-long-doc test). Copy replication multiplies dd15's
+    pair output by m_a * m_b per duplicated pair; the twin's output is
+    replication-invariant. Oracle: brute-force containment over the
+    SQL representatives."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_filtered_containment_pairs(
+        _collapse_reps(docs), "text", "doc_id",
+        block_col="lang", n=3, threshold=0.8,
+    )
