@@ -237,3 +237,54 @@ def test_exact_collapse_picks_min_id_and_counts(spark):
     assert (got["aaa"].doc_id, got["aaa"].n_copies) == (1, 3)
     assert (got["bbb"].doc_id, got["bbb"].n_copies) == (5, 1)
     assert (got["ccc"].doc_id, got["ccc"].n_copies) == (2, 2)
+
+
+def test_collapse_twins_replication_invariant(spark):
+    """dd2b/dd15b contract: duplicating every document k times changes
+    NEITHER twin's output (pair mass scales with distinct content), while
+    the raw prefix-filter forms grow by construction."""
+    import pyspark.sql.functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.queries.dedup_queries import (
+        _collapse_reps,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy cat", "en"),
+        (3, "completely different text about spark engines here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    # 3 copies of every doc with distinct ids; min-id rep = original
+    copies = docs
+    for k in (1, 2):
+        copies = copies.unionByName(
+            docs.select(
+                (F.col("doc_id") + 100 * k).alias("doc_id"), "text", "lang"
+            )
+        )
+
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    def twin(df):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in prefix_filtered_jaccard_pairs(
+                _collapse_reps(df), "text", "doc_id",
+                block_col="lang", n=3, threshold=0.5,
+            ).collect()
+        )
+
+    base, replicated = twin(docs), twin(copies)
+    assert base == replicated
+    assert base  # the near-dup pair (1, 2) must be found
+    assert base[0][:2] == (1, 2)
+
+    # the raw form DOES grow under replication (3x3 copies per pair + 
+    # jaccard-1.0 cross-copy pairs) - the boundary the twin removes
+    raw = prefix_filtered_jaccard_pairs(
+        copies, "text", "doc_id", block_col="lang", n=3, threshold=0.5
+    ).count()
+    assert raw > len(base)
