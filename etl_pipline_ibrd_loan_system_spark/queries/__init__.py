@@ -49,7 +49,8 @@ ROWS_ONLY: frozenset[str] = frozenset()
 #
 # ROTATION_PLAN is the recorded schedule for the remainder (r9: sampling/
 # mixing/feature + the metrics mart; r10: the e-series analytics tail,
-# sketches, graph/linkage remainder + displacements). The staleness lint
+# sketches, graph/linkage remainder + displacements; r11: overflow for
+# late-r8 registrations past r10's 50-slot cap). The staleness lint
 # (tools/selfcheck.py and tests/test_entry.py) fails the suite if
 # any registered query is neither GREEN-driver-checked nor scheduled, or
 # if the current window deviates from the plan — the registry can no
