@@ -47,12 +47,18 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src).cast("bigint").alias("src"), F.col(dst).cast("bigint").alias("dst")
     ).localCheckpoint(eager=True)
+    # nodes/deg are NODE-sized derivations of the EDGE-sized checkpoint:
+    # materialize them once, or every iteration's plan re-runs the
+    # 2x|E|-row distinct and the degree aggregate per reference (the r8
+    # sf10 wall: four 100M-row distincts inside one mega-plan OOM'd a
+    # 24g JVM; node-sized checkpoints make each iteration's memory the
+    # one edges-join, the same discipline bfs_hops already applies)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=True)
     n = nodes.count()  # driver-side scalar, like the IVF centroid count
     base = ((100 - damping_pct) * SCALE) // (100 * n)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("bigint").alias("rank"))
@@ -67,13 +73,15 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        # per-iteration cut (node-sized), as in bfs_hops: without it the
+        # final action executes every iteration's joins inside one plan
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
                 F.lit(base).cast("bigint")
                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
             ).alias("rank"),
-        )
+        ).localCheckpoint(eager=False)
     return ranks.select("node", F.col("rank").alias("rank_units"))
 
 
@@ -313,14 +321,18 @@ def personalized_pagerank_fixed_point(
         F.col("src").cast("bigint").alias("src"),
         F.col("dst").cast("bigint").alias("dst"),
     ).localCheckpoint(eager=True)
+    # node-sized checkpoints for the same reason as pagerank_fixed_point:
+    # every iteration references nodes/deg, and without the cut each
+    # reference replays the 2x|E|-row distinct / degree aggregate
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint(eager=True)
     s = seeds.select(F.col("node").cast("bigint").alias("node")).distinct()
     ns = s.count()  # driver-side scalar, bounded by the seed set
     if ns == 0:
