@@ -776,6 +776,188 @@ def verbatim_overlap_pairs(
     )
 
 
+def duplicate_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 16,
+    max_df: int = 50,
+) -> DataFrame:
+    """MAXIMAL verbatim duplicated spans per document pair — the actual
+    output shape of suffix-array ExactSubstr dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): not
+    just "these two docs share k windows" (verbatim_overlap_pairs) but
+    WHERE the copied passage sits and HOW LONG it runs, i.e. the byte
+    ranges a training pipeline would actually strip.
+
+    Method: position-preserving w-token window hashes (the same 60-bit
+    shared-md5 grid as verbatim_overlap_pairs), document-frequency cap
+    [2, max_df] to exclude boilerplate fanout, gram-keyed pair join
+    keeping (pos_a, pos_b), then the islands trick per DIAGONAL: two
+    matched windows belong to the same maximal span iff they sit on the
+    same pair diagonal (pos_a - pos_b) at consecutive pos_a, so
+    grouping by (pair, diagonal, pos_a - row_number) merges every run
+    of overlapping matched windows into one maximal span of
+    `run_len + w - 1` tokens. This is exactly the suffix-array result
+    for non-periodic text; periodic text (token cycles shorter than w)
+    can emit overlapping spans on adjacent diagonals, which
+    duplicate_token_mass re-merges per document.
+
+    Scale shape: one shuffle keyed by gram hash for the document-
+    frequency cap and pair join (8-byte keys, never gram text), then
+    one shuffle keyed by (id_a, id_b) for the diagonal windows — pair-
+    grain partitions, no global window. The df cap bounds per-gram
+    fanout at max_df^2 exactly as in verbatim_overlap_pairs.
+
+    Returns (id_a, id_b, start_a, start_b, len_tokens), positions
+    0-based token offsets.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= w)
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - w),
+        lambda i: shared_hash60(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(w)
+                ],
+            )
+        ),
+    )
+    g = base.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(grams).alias("pos", "g"),
+    ).select("doc", F.col("pos").cast("bigint").alias("pos"), "g")
+    # positional grams can repeat within a doc, so document frequency
+    # needs the distinct-doc count (verbatim_overlap_pairs gets this for
+    # free from its per-doc array_distinct)
+    keep = (
+        g.groupBy("g")
+        .agg(F.countDistinct("doc").alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= max_df))
+        .select("g")
+    )
+    gk = g.join(keep, "g")
+    a = gk.select(
+        "g", F.col("doc").alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = gk.select(
+        "g", F.col("doc").alias("id_b"), F.col("pos").alias("pb")
+    )
+    hits = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", "pb")
+    )
+    runs = hits.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+        ),
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(w - 1)).alias("len_tokens"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "len_tokens")
+    )
+
+
+def duplicate_token_mass(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int = 16,
+    max_df: int = 50,
+) -> DataFrame:
+    """Per-document duplicated-token mass: the fraction of a document's
+    tokens covered by at least one verbatim duplicated span — the
+    strip-or-drop signal an ExactSubstr pass feeds a training pipeline
+    ("remove docs >X% duplicated", "cut the duplicated ranges").
+
+    Each duplicate_span_pairs row contributes the interval
+    [start, start+len) on BOTH endpoints' token axes; intervals are
+    union-merged per document with the running-max islands pass (the
+    e18 interval-compaction shape: a new island starts where the span
+    start exceeds the max end seen so far), so overlapping spans from
+    different partners (or periodic-text diagonal twins) are counted
+    once. Output (doc_id, dup_tokens, n_tokens, dup_fraction) for every
+    document with at least one duplicated span; dup_fraction is the
+    single final float division (exact cross-engine).
+
+    Scale: spans are pair-grain (bounded by the df cap); the merge
+    windows partition per doc_id — never global; the token-length join
+    is doc-grain against the corpus scan.
+    """
+    from pyspark.sql.window import Window
+
+    spans = duplicate_span_pairs(df, text_col, id_col, w=w, max_df=max_df)
+    # DISTINCT before the merge windows: identical intervals from
+    # different partners are redundant for a union, and distinctness
+    # makes (s, e) a TOTAL order per doc — a running-frame window over
+    # tied sort keys is exactly where parallel window execution goes
+    # nondeterministic (observed in DuckDB 1.0: the same interval set
+    # intermittently split islands under ties; Spark's sort is stable
+    # but the oracle must replay bit-for-bit, so both sides dedupe).
+    iv = (
+        spans.select(
+            F.col("id_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("len_tokens")).alias("e"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("id_b").alias("doc_id"),
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("len_tokens")).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    ordered = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = (
+        F.max("e")
+        .over(ordered.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    isl = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("new_island").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = isl.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    mass = merged.groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms")).alias("dup_tokens")
+    )
+    lens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return mass.join(lens, "doc_id").select(
+        "doc_id",
+        "dup_tokens",
+        "n_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
 LAST_CC_ROUNDS: int = 0
 
 

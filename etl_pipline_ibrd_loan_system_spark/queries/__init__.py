@@ -284,6 +284,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
     11: (
         "dd2b_jaccard_after_collapse",
         "dd15b_containment_after_collapse",
+        "dd16_duplicate_spans",
+        "dd17_duplicate_token_mass",
     ),
 }
 

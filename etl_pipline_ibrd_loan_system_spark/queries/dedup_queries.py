@@ -911,3 +911,160 @@ def dd15b_containment_after_collapse(spark: SparkSession, sf_dir: str) -> DataFr
         _collapse_reps(docs), "text", "doc_id",
         block_col="lang", n=3, threshold=0.8,
     )
+
+
+# --- dd16/dd17: maximal duplicated spans + per-doc duplicated mass --------
+#
+# Taint for a non-trivial span workload: every 13th document gets a
+# 33-token boilerplate passage PREPENDED — three fixed 10-word blocks,
+# each followed by a per-group marker token grp<doc_id // 130> (so ten
+# tainted docs share each marker at every SF). The marker spacing (one
+# every 11 tokens) guarantees EVERY 16-token window inside the passage
+# contains a marker, so all in-passage grams are group-specific: doc
+# frequency is exactly the group size (~10, inside the [2, 50] cap at
+# every SF) and no gram is shared across groups. Ten docs sharing one
+# 33-token prefix must each emit one maximal diagonal-0 span of exactly
+# 33 tokens (18 consecutive matched windows) per partner — the oracle
+# replays taint, 60-bit gram grid, df cap, diagonal islands, and the
+# interval-union mass.
+
+_SPAN_B1 = "the parties acknowledge that all obligations arising under this agreement"
+_SPAN_B2 = "shall remain binding upon their respective successors and permitted assigns"
+_SPAN_B3 = "until such time as every outstanding balance has been discharged"
+
+
+def _span_tainted(docs: DataFrame) -> DataFrame:
+    gtok = F.concat(F.lit("grp"), F.expr("doc_id div 130").cast("string"))
+    passage = F.concat_ws(
+        " ",
+        F.lit(_SPAN_B1), gtok, F.lit(_SPAN_B2), gtok, F.lit(_SPAN_B3), gtok,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(passage, F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SPAN_TAINT_SQL = f"""
+    tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN
+               '{_SPAN_B1} grp' || CAST(doc_id // 130 AS VARCHAR)
+               || ' {_SPAN_B2} grp' || CAST(doc_id // 130 AS VARCHAR)
+               || ' {_SPAN_B3} grp' || CAST(doc_id // 130 AS VARCHAR)
+               || ' ' || text
+             ELSE text END AS text
+      FROM documents
+    )"""
+
+_SPAN_RUNS_SQL = f"""
+    t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM tainted
+    ), gp AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 16 + 2)) AS i
+      FROM t WHERE len(toks) >= 16
+    ), g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             {_DD12_HASH60.format(
+               x="array_to_string(list_slice(toks, i, i + 15), ' ')")} AS g
+      FROM gp
+    ), keep AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT doc_id) AS d FROM g GROUP BY g
+      ) WHERE d BETWEEN 2 AND 50
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      JOIN keep k ON k.g = a.g
+    ), runs AS (
+      SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+             pa - ROW_NUMBER()
+               OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS grp
+      FROM p
+    )"""
+
+
+@query(
+    "dd16_duplicate_spans",
+    sql=f"""
+    WITH {_SPAN_TAINT_SQL}, {_SPAN_RUNS_SQL}
+    SELECT id_a, id_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + 15 AS BIGINT) AS len_tokens
+    FROM runs GROUP BY id_a, id_b, diag, grp
+    """,
+)
+def dd16_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal verbatim duplicated spans per doc pair
+    (dedup.duplicate_span_pairs) — the suffix-array ExactSubstr output
+    shape (which passage, where, how long) rather than dd12's shared-
+    window counts. Ten-doc taint groups each share a 33-token prefix,
+    so every in-group pair must merge its 18 consecutive matched
+    windows into ONE span of len_tokens=33 at start 0/0 — the oracle
+    replays the gram grid and the diagonal-islands merge and would
+    catch a span split anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_span_pairs(
+        _span_tainted(docs), "text", "doc_id", w=16, max_df=50
+    )
+
+
+@query(
+    "dd17_duplicate_token_mass",
+    sql=f"""
+    WITH {_SPAN_TAINT_SQL}, {_SPAN_RUNS_SQL}, spans AS (
+      SELECT id_a, id_b, MIN(pa) AS sa, MIN(pb) AS sb,
+             COUNT(*) + 15 AS lt
+      FROM runs GROUP BY id_a, id_b, diag, grp
+    ), iv AS (
+      -- UNION (not ALL): distinct intervals make (s, e) a total order
+      -- per doc, keeping the running-frame windows deterministic under
+      -- parallel execution (ties split islands intermittently otherwise)
+      SELECT id_a AS doc_id, sa AS s, sa + lt AS e FROM spans
+      UNION
+      SELECT id_b AS doc_id, sb AS s, sb + lt AS e FROM spans
+    ), m AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv
+    ), fl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+      FROM m
+    ), gi AS (
+      SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM fl
+    ), mg AS (
+      SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+      FROM gi GROUP BY doc_id, isl
+    ), mass AS (
+      SELECT doc_id, CAST(SUM(me - ms) AS BIGINT) AS dup_tokens
+      FROM mg GROUP BY doc_id
+    )
+    SELECT mass.doc_id, mass.dup_tokens,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           mass.dup_tokens::DOUBLE / len(t.toks) AS dup_fraction
+    FROM mass JOIN t ON t.doc_id = mass.doc_id
+    """,
+)
+def dd17_duplicate_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token mass over the same taint
+    (dedup.duplicate_token_mass): union-merge every duplicated span
+    interval per doc (running-max islands, the e18 interval-compaction
+    shape), then dup_tokens / n_tokens as the strip-or-drop fraction a
+    training pipeline filters on. Tainted docs carry the same 33-token
+    prefix span from up to 9 partners — the merge must count it ONCE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_token_mass(
+        _span_tainted(docs), "text", "doc_id", w=16, max_df=50
+    )

@@ -288,3 +288,58 @@ def test_collapse_twins_replication_invariant(spark):
         copies, "text", "doc_id", block_col="lang", n=3, threshold=0.5
     ).count()
     assert raw > len(base)
+
+
+def test_duplicate_spans_merge_maximal_and_positions(spark):
+    """Matched windows on one diagonal merge into ONE maximal span with
+    exact start offsets and token length; two separate shared passages
+    yield two spans."""
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shared2 = "north south east west upper lower inner outer front back"
+    rows = [
+        # doc 1: shared at token offset 0, shared2 at offset 13
+        (1, shared + " one two three " + shared2),
+        # doc 2: shared at token offset 2, shared2 at offset 15
+        (2, "pre pad " + shared + " four five six " + shared2),
+        (3, "completely unrelated filler text with no overlap at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.len_tokens)
+        for r in dedup.duplicate_span_pairs(
+            df, "text", "doc_id", w=5, max_df=10
+        ).collect()
+    )
+    # 10-token passage at w=5 -> 6 consecutive windows -> one span of 10
+    assert out == [
+        (1, 2, 0, 2, 10),   # `shared`
+        (1, 2, 13, 15, 10),  # `shared2`
+    ]
+
+
+def test_duplicate_token_mass_counts_overlap_once(spark):
+    """A doc sharing the same passage with two partners counts the
+    passage ONCE; fraction = dup/len exactly."""
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, shared + " tail one only"),
+        (2, shared + " different tail here"),
+        (3, shared + " third ending words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.dup_tokens, r.n_tokens, r.dup_fraction)
+        for r in dedup.duplicate_token_mass(
+            df, "text", "doc_id", w=5, max_df=10
+        ).collect()
+    }
+    # each doc: the 10 shared tokens counted once despite 2 partners
+    assert set(out) == {1, 2, 3}
+    for doc_id, (dup, n, frac) in out.items():
+        assert dup == 10
+        assert n == 13
+        assert frac == 10 / 13
