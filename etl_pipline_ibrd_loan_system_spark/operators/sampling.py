@@ -23,6 +23,8 @@ sum is an independent window — 1000 buckets = 1000 parallel packers.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -818,3 +820,134 @@ def negative_sample(
         .withColumn("label", F.lit(0))
     )
     return pos.withColumn("label", F.lit(1)).unionByName(negs)
+
+
+def _dsir_qround(x: float, what: str) -> int:
+    """Round a scaled log-ratio to an integer, REFUSING values too close
+    to the .5 rounding boundary. The DSIR weights are the only place a
+    transcendental (ln) enters an oracle-compared output: Spark-side
+    weights are computed here on the driver (CPython math.log -> the
+    platform libm) and the oracle recomputes them with the SQL engine's
+    ln — the same libm on this platform, but last-ulp behavior is not
+    contractual across libms (the textprep winnowing note). A 1-ulp
+    divergence can only flip the OUTPUT if the scaled value sits within
+    ~1e-9 of a rounding boundary, so refusing a 1e-7 neighborhood makes
+    the quantization deterministic-by-verification: either every weight
+    is safely away from its boundary (and both engines agree exactly),
+    or the call fails loudly asking for a different scale."""
+    frac = x - math.floor(x)
+    if abs(frac - 0.5) < 1e-7:
+        raise ValueError(
+            f"dsir_importance: {what} = {x!r} is within 1e-7 of a "
+            "rounding boundary; bump `scale` to requantize"
+        )
+    return int(round(x))
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log likelihood ratio of a TARGET-domain hashed n-gram bag
+    model over the RAW-corpus model, so resampling by weight shifts the
+    corpus toward the target distribution. Features are unigrams +
+    adjacent bigrams hashed into `n_buckets` buckets (the paper's
+    hashed n-gram parameterization); both models are Laplace-smoothed
+    bucket multinomials.
+
+    score(doc) = sum_f  log( p_target(bucket(f)) / p_raw(bucket(f)) )
+               = sum_f [log(t_b/r_b)] + |feats| * log(R/T)
+
+    Exactness: per-bucket log-ratios are quantized to integer
+    micro-nats ON THE DRIVER (bounded state: n_buckets ints, the IVF-
+    centroid pattern) with a rounding-boundary guard (_dsir_qround), so
+    the per-doc score is an exact INTEGER sum both engines reproduce
+    bit-for-bit; the single final division by `scale` is the only float
+    op (the linear_score/fv4 fixed-point discipline).
+
+    Plan shape at 100 TB: one scan + one bucket-keyed shuffle of
+    map-side-combined partial counts (2*n_buckets longs per partition)
+    to fit the models; the scoring pass is a second scan with the
+    weight table folded in as a LITERAL array — per-row integer
+    aggregate work inside whole-stage codegen, ZERO shuffle, nothing
+    broadcast. Returns (id, n_feats, score_micro, dsir_score) for every
+    document with at least one token.
+    """
+    from .dedup import tokenize
+
+    toks = F.filter(tokenize(F.col(text_col)), lambda t: t != "")
+    t = F.col("__toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(t, bigrams)
+    bucket = (
+        shared_hash60(F.concat(F.lit(salt), F.col("__f"))) % n_buckets
+    ).alias("b")
+
+    base = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("__t"),
+            toks.alias("__toks"),
+        )
+        .where(F.size("__toks") >= 1)
+        .withColumn("__feats", feats)
+    )
+
+    counts = (
+        base.select("__t", F.explode("__feats").alias("__f"))
+        .select("__t", bucket)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("t_raw"),
+            F.count(F.lit(1)).alias("r_raw"),
+        )
+        .collect()
+    )
+    t_cnt = {int(r["b"]): int(r["t_raw"]) for r in counts}
+    r_cnt = {int(r["b"]): int(r["r_raw"]) for r in counts}
+    tf = [1 + t_cnt.get(b, 0) for b in range(n_buckets)]
+    rf = [1 + r_cnt.get(b, 0) for b in range(n_buckets)]
+    big_t, big_r = sum(tf), sum(rf)
+    weights = [
+        _dsir_qround(scale * math.log(tf[b] / rf[b]), f"weight[{b}]")
+        for b in range(n_buckets)
+    ]
+    const = _dsir_qround(scale * math.log(big_r / big_t), "norm const")
+
+    warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
+    score = F.aggregate(
+        F.transform(
+            F.col("__feats"),
+            lambda f: F.element_at(
+                warr,
+                (
+                    shared_hash60(F.concat(F.lit(salt), f)) % n_buckets + 1
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ) + F.size("__feats").cast("bigint") * F.lit(int(const))
+    return base.select(
+        F.col(id_col),
+        F.size("__feats").cast("bigint").alias("n_feats"),
+        score.alias("score_micro"),
+        (score.cast("double") / F.lit(float(scale))).alias("dsir_score"),
+    )

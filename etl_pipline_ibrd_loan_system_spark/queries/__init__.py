@@ -286,6 +286,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd15b_containment_after_collapse",
         "dd16_duplicate_spans",
         "dd17_duplicate_token_mass",
+        "fv5_dsir_importance",
     ),
 }
 

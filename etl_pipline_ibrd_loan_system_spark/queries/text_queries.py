@@ -1419,3 +1419,74 @@ def tx26_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("non_ascii_frac"),
         ((n_repl == 0) & (n_ctrl == 0)).alias("clean"),
     )
+
+
+# --- fv5: DSIR importance weights ----------------------------------------
+
+_DSIR_HASH = "CAST('0x' || substr(md5('dsir:' || f), 1, 15) AS BIGINT)"
+
+
+@query(
+    "fv5_dsir_importance",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang = 'en' AS is_t, {_TOKS} AS toks FROM documents
+    ), tb AS (
+      SELECT doc_id, is_t,
+             list_concat(toks, list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS feats
+      FROM t WHERE len(toks) >= 1
+    ), tok AS (
+      SELECT doc_id, is_t,
+             unnest(list_transform(feats, f -> {_DSIR_HASH} % 256)) AS b
+      FROM tb
+    ), cnt AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS traw,
+             CAST(COUNT(*) AS BIGINT) AS rraw
+      FROM tok GROUP BY b
+    ), spine AS (
+      SELECT unnest(range(0, 256)) AS b
+    ), sm AS (
+      SELECT spine.b,
+             1 + COALESCE(traw, 0) AS tfb,
+             1 + COALESCE(rraw, 0) AS rfb
+      FROM spine LEFT JOIN cnt ON cnt.b = spine.b
+    ), w AS (
+      SELECT b,
+             CAST(round(1000000 * ln(tfb::DOUBLE / rfb::DOUBLE)) AS BIGINT)
+               AS wgt
+      FROM sm
+    ), tot AS (
+      SELECT CAST(round(1000000 * ln(SUM(rfb)::DOUBLE / SUM(tfb)::DOUBLE))
+               AS BIGINT) AS c
+      FROM sm
+    ), sc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(wgt) AS BIGINT) AS sw
+      FROM tok JOIN w ON w.b = tok.b
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats,
+           sw + n_feats * (SELECT c FROM tot) AS score_micro,
+           (sw + n_feats * (SELECT c FROM tot))::DOUBLE / 1000000.0
+             AS dsir_score
+    FROM sc
+    """,
+)
+def fv5_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_importance): hashed
+    unigram+bigram bag models of the TARGET domain (lang='en') vs the
+    RAW corpus, per-doc log likelihood ratio in exact integer
+    micro-nats. The oracle refits both Laplace-smoothed bucket models
+    and replays the guarded fixed-point quantization, so the gate
+    value-checks model fitting AND scoring end to end."""
+    from ..operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.dsir_importance(
+        docs, "text", "doc_id",
+        is_target=F.col("lang") == "en",
+        n_buckets=256, scale=1_000_000,
+    )

@@ -953,3 +953,23 @@ def test_m25_drill_is_single_expand_aggregate(spark, sf_dir, registry):
     assert "Expand" in plan
     assert "Union" not in plan
     assert "Window" not in plan
+
+
+def test_fv5_dsir_scoring_pass_is_shuffle_free(spark, sf_dir, registry):
+    """DSIR's model fit is a bounded driver-state job (2*n_buckets
+    longs); the SCORING pass it returns must be a pure scan+project
+    with the weight table folded in as literals — no Exchange, no
+    Window, no broadcast."""
+    plan = _plan(registry["fv5_dsir_importance"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Broadcast" not in plan
+
+
+def test_dd16_span_merge_windows_are_pair_grain(spark, sf_dir, registry):
+    """dd16's islands window must partition by (id_a, id_b, diag) —
+    a global (empty-partition) window over the matched-gram stream
+    would serialize the merge at corpus scale."""
+    plan = _plan(registry["dd16_duplicate_spans"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

@@ -739,3 +739,40 @@ def test_apportion_budget_guards_and_zero_weight_safety(spark):
            sampling.apportion_budget(df, "source", "w", budget=7).collect()}
     assert out["a"]["alloc"] == 0
     assert sum(r["alloc"] for r in out.values()) == 7
+
+
+def test_dsir_importance_shifts_toward_target_vocab(spark):
+    """Docs written in the target domain's vocabulary must score higher
+    than off-domain docs; scores are exact integers over scale."""
+    import pytest
+
+    from etl_pipline_ibrd_loan_system_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    target_text = "loan credit repay balance interest principal term rate"
+    other_text = "volcano glacier nebula quasar tundra basalt magma comet"
+    rows = (
+        [(i, target_text, True) for i in range(8)]
+        + [(100 + i, other_text, False) for i in range(8)]
+        # held-out docs, one per vocabulary, NOT in the target set
+        + [(200, target_text, False), (201, other_text, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r.doc_id: (r.score_micro, r.dsir_score)
+        for r in sampling.dsir_importance(
+            df, "text", "doc_id", is_target=F.col("tgt"), n_buckets=64
+        ).collect()
+    }
+    # the held-out target-vocab doc outranks the off-domain one
+    assert out[200][0] > out[201][0]
+    # identical text => identical exact integer score
+    assert out[200][0] == out[0][0]
+    # dsir_score is exactly score_micro / scale
+    for micro, score in out.values():
+        assert score == micro / 1_000_000
+
+    # the rounding-boundary guard refuses half-integer quantizations
+    with pytest.raises(ValueError, match="rounding boundary"):
+        sampling._dsir_qround(2.5, "weight[test]")
+    assert sampling._dsir_qround(2.4999, "w") == 2
