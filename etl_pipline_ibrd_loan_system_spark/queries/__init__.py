@@ -287,6 +287,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd16_duplicate_spans",
         "dd17_duplicate_token_mass",
         "fv5_dsir_importance",
+        "iv6_rrf_fusion",
     ),
 }
 

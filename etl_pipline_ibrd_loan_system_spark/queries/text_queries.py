@@ -397,6 +397,18 @@ def iv2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring joins the posting lists — this fixed-term form is the
     index-free scan twin."""
     docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf_<term>..., score) for every doc matching at least
+    one _BM25_TERMS term — the shared scoring stage of iv2 (which tops
+    it at 10) and iv6 (which fuses its ranking with a vector ranking).
+    Expression shapes are pinned by iv2's oracle and plan gate."""
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
 
     def tf_col(term: str) -> F.Column:
@@ -454,8 +466,6 @@ def iv2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"tf_{t}" for t in _BM25_TERMS],
             total.alias("score"),
         )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(10)
     )
 
 
@@ -1489,4 +1499,228 @@ def fv5_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id",
         is_target=F.col("lang") == "en",
         n_buckets=256, scale=1_000_000,
+    )
+
+
+# --- iv6: reciprocal rank fusion (hybrid retrieval) -----------------------
+
+_RRF_K = 60
+_RRF_N = 50
+
+
+def _query_tf_buckets(dim: int = 64) -> dict[int, int]:
+    """Hashed-TF vector of the fixed query, computed with CPython's md5
+    — bit-identical to both engines' md5, so the query-side constants
+    can be baked into the plan and the oracle as literals."""
+    import hashlib
+
+    counts: dict[int, int] = {}
+    for t in _BM25_TERMS:
+        b = int(hashlib.md5(("htf:" + t).encode()).hexdigest()[:15], 16) % dim
+        counts[b] = counts.get(b, 0) + 1
+    return dict(sorted(counts.items()))
+
+
+def _iv6_sql() -> str:
+    qb = _query_tf_buckets()
+    nq = sum(c * c for c in qb.values())
+    dot = " + ".join(f"tf[{b + 1}] * {c}" for b, c in qb.items())
+    # the lexical CTE restates iv2's arithmetic verbatim (same shared
+    # fragments) with the top-10 swapped for a rank<=50 QUALIFY
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({_TOKS}, t -> t = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in _BM25_TERMS
+    )
+
+    def score(t: str) -> str:
+        idf = f"(CAST(n AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5)"
+        dl_norm = f"(1.0 - {_BM25_B} + {_BM25_B} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))"
+        return (
+            f"({idf}) * (CAST(tf_{t} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+            f" / (CAST(tf_{t} AS DOUBLE) + {_BM25_K1} * {dl_norm})"
+        )
+
+    total = " + ".join(f"({score(t)})" for t in _BM25_TERMS)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS dl,
+             {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sum_dl,
+             {df_cols}
+      FROM base
+    ), lexall AS (
+      SELECT doc_id, {total} AS score
+      FROM base, stats
+      WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ), lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS rank_lex
+      FROM lexall
+      QUALIFY rank_lex <= {_RRF_N}
+    ), t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(toks, t -> {_HTF_HASH} % 64) AS buckets
+      FROM t
+    ), v AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               j -> CAST(len(list_filter(buckets, x -> x = j)) AS BIGINT))
+               AS tf
+      FROM b
+    ), s AS (
+      SELECT doc_id, {dot} AS dot,
+             list_sum(list_transform(tf, x -> x * x)) AS nd
+      FROM v
+    ), semall AS (
+      SELECT doc_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nd AS DOUBLE)) * sqrt({nq}.0)) AS cos
+      FROM s WHERE dot > 0
+    ), sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+               AS BIGINT) AS rank_sem
+      FROM semall
+      QUALIFY rank_sem <= {_RRF_N}
+    ), f AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             rank_lex, rank_sem
+      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(rank_lex, 0) AS rank_lex,
+           COALESCE(rank_sem, 0) AS rank_sem,
+           (CASE WHEN rank_lex IS NOT NULL
+                 THEN 1.0 / ({_RRF_K} + rank_lex) ELSE 0.0 END)
+         + (CASE WHEN rank_sem IS NOT NULL
+                 THEN 1.0 / ({_RRF_K} + rank_sem) ELSE 0.0 END)
+             AS rrf_score
+    FROM f
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
+
+@query("iv6_rrf_fusion", sql=_iv6_sql())
+def iv6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: fuse the LEXICAL ranking (iv2's BM25
+    stage, shared via _bm25_scored) with a VECTOR ranking (cosine of
+    64-dim hashed-TF doc vectors against the query's own hashed-TF
+    vector) as sum of 1/(k + rank) over the two top-50 lists.
+
+    Exactness: ranks are integers (score-then-id total order on both
+    sides); each contribution is one IEEE division; the fused score
+    adds the two terms in pinned lexical-then-vector order — no
+    transcendentals beyond correctly-rounded sqrt.
+
+    Scale shape: each arm ends in TakeOrderedAndProject (per-partition
+    heaps) and the rank window runs over the already-bounded 50-row
+    slice — never over the corpus; the fusion join is a 50x50 full
+    outer join, driver-trivial. The per-doc vector norm is one in-array
+    fold; nothing vector-sized shuffles."""
+    import math as _math
+
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    qb = _query_tf_buckets()
+    nq = sum(c * c for c in qb.values())
+
+    lex = (
+        _bm25_scored(docs)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_N)
+        .withColumn(
+            "rank_lex",
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+
+    vecs = textstats.hashing_tf(docs, "text", "doc_id", dim=64)
+    dot = None
+    for b, c in qb.items():
+        term = F.element_at("tf_vec", b + 1) * F.lit(int(c))
+        dot = term if dot is None else dot + term
+    nd = F.aggregate(
+        F.transform(F.col("tf_vec"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sem = (
+        vecs.select(
+            "doc_id", dot.alias("dot"), nd.alias("nd")
+        )
+        .where(F.col("dot") > 0)
+        .select(
+            "doc_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nd").cast("double"))
+                    * F.sqrt(F.lit(float(nq)))
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_N)
+        .withColumn(
+            "rank_sem",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "rank_sem")
+    )
+
+    # full-outer by union+max: Spark cannot broadcast a FULL OUTER join
+    # (it would plan a sort-merge even for two 50-row sides); one hash
+    # aggregate over <=2N rank rows expresses the same fusion
+    fused = (
+        lex.select(
+            "doc_id",
+            F.col("rank_lex"),
+            F.lit(None).cast("bigint").alias("rank_sem"),
+        )
+        .unionByName(
+            sem.select(
+                "doc_id",
+                F.lit(None).cast("bigint").alias("rank_lex"),
+                F.col("rank_sem"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rank_lex").alias("rank_lex"),
+            F.max("rank_sem").alias("rank_sem"),
+        )
+    )
+    contrib_l = F.when(
+        F.col("rank_lex").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+    ).otherwise(F.lit(0.0))
+    contrib_s = F.when(
+        F.col("rank_sem").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")),
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).alias("rank_sem"),
+            (contrib_l + contrib_s).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
     )

@@ -973,3 +973,13 @@ def test_dd16_span_merge_windows_are_pair_grain(spark, sf_dir, registry):
     plan = _plan(registry["dd16_duplicate_spans"](spark, sf_dir))
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_iv6_rrf_arms_use_distributed_topk(spark, sf_dir, registry):
+    """Both fusion arms must bound their ranking with
+    TakeOrderedAndProject (per-partition heaps) BEFORE any rank window;
+    a corpus-wide row_number would serialize retrieval at scale. The
+    only single-partition work allowed is over the two 50-row slices."""
+    plan = _plan(registry["iv6_rrf_fusion"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in plan  # stats + fusion joins stay small

@@ -93,3 +93,20 @@ def test_kneser_ney_counts_hand_example(spark):
     assert rows["hotel"]["pcont"] == 0.5
     assert rows["san"]["continuation_types"] == 0
     assert all(r["discount"] == 1.0 for r in rows.values())
+
+
+def test_rrf_fusion_rewards_presence_in_both_lists(spark, sf_dir):
+    """A doc ranked in both arms must outscore a doc holding the same
+    rank in only one arm; scores follow 1/(60+r) exactly."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["iv6_rrf_fusion"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = (1 / (60 + r.rank_lex) if r.rank_lex else 0.0) + (
+            1 / (60 + r.rank_sem) if r.rank_sem else 0.0
+        )
+        assert r.rrf_score == expect
+    # descending fused order with doc_id tiebreak
+    scores = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert scores == sorted(scores)
