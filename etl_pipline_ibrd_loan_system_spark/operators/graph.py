@@ -415,3 +415,97 @@ def ppr_oracle_ctes(iters: int = 3, damping_pct: int = 85) -> str:
         prev = f"ppr{k}"
     parts.append(f"pprfinal AS (SELECT node, rank AS rank_units FROM {prev})")
     return ",\n    ".join(parts)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-CORE of an undirected graph (edges given symmetric, as for
+    pagerank): the maximal subgraph where every node keeps degree >= k,
+    computed by iterative peeling — drop sub-k nodes, recount degrees
+    among survivors, repeat to fixpoint. Core membership is a standard
+    graph-quality gate (spam rings and isolated tendrils fall out of
+    low cores; the dense collaboration/trade structure survives).
+
+    Returns (node, core_degree) with core_degree the node's degree
+    WITHIN the core. Deterministic: peeling has a unique fixpoint
+    regardless of removal order, and every step is integer counting.
+
+    Scale shape: per round, ONE edges join against the (node-sized,
+    eagerly checkpointed) survivor set on each endpoint and a map-side-
+    combinable degree count — the edge table itself is checkpointed
+    once and never recomputed (the pagerank/bfs lineage discipline).
+    Rounds are data-bounded: the loop exits as soon as a round removes
+    nothing (each round's survivor count is already on the driver), and
+    RAISES if `max_rounds` passes without convergence, so a truncated
+    peel can never silently masquerade as the core — `max_rounds` is an
+    oracle-parity bound (the unrolled SQL replays the same rounds;
+    post-fixpoint rounds are no-ops on both engines), not an
+    approximation knob.
+    """
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).localCheckpoint(eager=True)
+    surv = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = surv.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.join(surv.withColumnRenamed("node", "__a"), e.src == F.col("__a"))
+            .join(surv.withColumnRenamed("node", "__b"), e.dst == F.col("__b"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        kept = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        n_now = kept.count()
+        surv = kept.select("node")
+        if n_now == n_prev:
+            return kept.select("node", "core_degree")
+        n_prev = n_now
+        if n_now == 0:
+            return kept.select("node", "core_degree")
+    raise ValueError(
+        f"kcore: peeling did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (the oracle unrolls the same bound)"
+    )
+
+
+def kcore_oracle_ctes(k: int, rounds: int = 8) -> str:
+    """DuckDB CTE chain replaying `rounds` peeling rounds verbatim
+    (pagerank_oracle_ctes pattern). Expects `edges(src, dst)`; emits
+    `kcfinal(node, core_degree)`. Post-fixpoint rounds recompute the
+    same survivor set, so any rounds >= the true peel depth yield the
+    exact k-core — matching the Spark loop's early-exit semantics."""
+    # every kcs CTE is referenced TWICE by the next round's degree
+    # count: without AS MATERIALIZED the inliner doubles the plan per
+    # round (2^rounds copies of the whole chain — measured: sf0.1 at
+    # rounds=8 ran minutes instead of seconds). kcedges pins the edge
+    # list once for the same reason.
+    parts = [
+        "kcedges AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "kcs0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM kcedges)",
+    ]
+    prev = "kcs0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"kcd{r} AS (SELECT e.src AS node, COUNT(*) AS core_degree"
+            f" FROM kcedges e JOIN {prev} a ON e.src = a.node"
+            f" JOIN {prev} b ON e.dst = b.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"kcs{r} AS MATERIALIZED (SELECT node, core_degree FROM kcd{r}"
+            f" WHERE core_degree >= {k})"
+        )
+        prev = f"kcs{r}"
+    parts.append(
+        f"kcfinal AS (SELECT node, core_degree FROM {prev})"
+    )
+    return ",\n    ".join(parts)

@@ -288,6 +288,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd17_duplicate_token_mass",
         "fv5_dsir_importance",
         "iv6_rrf_fusion",
+        "g15_kcore_trade_graph",
+        "zo2_hilbert_layout",
     ),
 }
 

@@ -2226,3 +2226,60 @@ def m24_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ltv_per_customer"),
     )
     return out
+
+
+@query(
+    "g15_kcore_trade_graph",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    {_graph.kcore_oracle_ctes(k=14, rounds=8)}
+    SELECT node, core_degree FROM kcfinal
+    """,
+)
+def g15_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-core of the symmetric customer<->supplier trade graph
+    (graph.kcore): iterative peeling to the unique fixpoint, each
+    round one survivor-filtered degree count. k=14 exercises both
+    regimes across the SF decade — at sf0.001 the whole graph cascades
+    away within 3 rounds (every removal drops neighbors below k), at
+    sf0.01/0.1 a dense core survives minus the tendrils. The oracle
+    unrolls the same peeling rounds (kcore_oracle_ctes, the
+    pagerank-CTE pattern); post-fixpoint rounds are no-ops on both
+    engines so the bound is parity, not approximation."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph.kcore(edges, k=14, max_rounds=8)
+
+
+@query(
+    "zo2_hilbert_layout",
+    sql=zorder.hilbert_layout_oracle_sql(
+        "events", "user_id", "(epoch_us(ts) // 1000000)"
+    ),
+)
+def zo2_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout statistics for events clustered on
+    (user_id, event second) — zo1's twin on the curve lakehouse
+    engines offer as the Z-order upgrade: consecutive Hilbert keys are
+    always grid-adjacent (verified against the classic xy2d walk in
+    tests), so equal key ranges pin tighter per-file rectangles for
+    two-filter pruning. Keys are BIGINT-exact through 8 unrolled
+    integer stages; the oracle chains the identical generated stage
+    expressions (operators/zorder.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return zorder.hilbert_layout(
+        ev, "user_id", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"
+    )

@@ -250,3 +250,50 @@ def test_skyline_matches_bruteforce(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_hilbert_walk_matches_reference_and_is_adjacent(spark):
+    """The generated stage expressions reproduce the classic xy2d
+    Hilbert walk on the full 16x16 grid: bijective onto 0..255 and
+    every consecutive key pair is grid-adjacent (the locality property
+    Morton order lacks)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators import zorder
+
+    def xy2d_ref(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "gx long, gy long"
+    )
+    cur = grid.withColumn("hx", F.col("gx")).withColumn(
+        "hy", F.col("gy")
+    ).withColumn("hd", F.lit(0).cast("bigint"))
+    for p in range(3, -1, -1):
+        xe, ye, de = zorder._hilbert_stage_exprs(1 << p)
+        cur = cur.select(
+            "gx", "gy",
+            F.expr(xe).alias("hx"),
+            F.expr(ye).alias("hy"),
+            F.expr(de).alias("hd"),
+        )
+    rows = cur.collect()
+    assert all(r.hd == xy2d_ref(16, r.gx, r.gy) for r in rows)
+    keys = sorted(r.hd for r in rows)
+    assert keys == list(range(256))
+    pos = {r.hd: (r.gx, r.gy) for r in rows}
+    assert all(
+        abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
+        for i in range(255)
+    )

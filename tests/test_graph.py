@@ -129,3 +129,26 @@ def test_bellman_ford_pinned_edge_layout_parity_and_reuse(spark):
     live = plan.split("InMemoryRelation", 1)[0]
     assert live.count("Exchange hashpartitioning") == 1, plan
     release_pinned()
+
+
+def test_kcore_peels_tendrils_keeps_clique(spark):
+    """K5 clique + pendant chain at k=3: the chain peels away, the
+    clique survives with exact within-core degrees; an insufficient
+    max_rounds raises instead of returning a truncated peel."""
+    import pytest
+
+    from etl_pipline_ibrd_loan_system_spark.operators import graph
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    chain = [(5, 6), (6, 5), (6, 7), (7, 6)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    out = {r.node: r.core_degree for r in graph.kcore(edges, k=3).collect()}
+    assert out == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+    # k above the clique degree cascades everything away
+    assert graph.kcore(edges, k=5).count() == 0
+
+    # the guard: peeling needs 2 rounds here (drop 7+6, then recount)
+    with pytest.raises(ValueError, match="did not converge"):
+        graph.kcore(edges, k=3, max_rounds=1)

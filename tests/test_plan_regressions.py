@@ -983,3 +983,16 @@ def test_iv6_rrf_arms_use_distributed_topk(spark, sf_dir, registry):
     plan = _plan(registry["iv6_rrf_fusion"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "SortMergeJoin" not in plan  # stats + fusion joins stay small
+
+
+def test_zo2_hilbert_key_is_pure_projection(spark, sf_dir, registry):
+    """The 8 unrolled Hilbert stages must collapse into projection work
+    before ONE bucket aggregate — exactly zo1's shape (scan + 1-row
+    stats broadcast + hash aggregate): same scan and exchange counts,
+    no Window, no sort-merge join."""
+    plan = _plan(registry["zo2_hilbert_layout"](spark, sf_dir))
+    ref = _plan(registry["zo1_zorder_layout"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == ref.count("Scan parquet")
+    assert plan.count("Exchange") == ref.count("Exchange")
