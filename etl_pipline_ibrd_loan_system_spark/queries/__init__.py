@@ -290,6 +290,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "iv6_rrf_fusion",
         "g15_kcore_trade_graph",
         "zo2_hilbert_layout",
+        "sm8_ann_recall",
     ),
 }
 

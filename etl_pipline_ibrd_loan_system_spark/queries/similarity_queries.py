@@ -450,3 +450,91 @@ def sm7_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, "vec_id", "embedding", n_centroids=8, lloyd_iters=2,
         threshold=0.95, dims=64,
     )
+
+
+@query(
+    "sm8_ann_recall",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY {_cos('qv', 'cv')} DESC, c.vec_id ASC
+               ) AS rank
+        FROM q CROSS JOIN c
+      ) WHERE rank <= 5
+    ),
+    {_LLOYD_CTES},
+    centroids AS (SELECT cent_id, cw FROM {_LLOYD_FINAL}),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT c.vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {similarity.nan_guard_sql(_cos('cv', 'cw'))} DESC, cent_id ASC
+               ) AS rn
+        FROM c CROSS JOIN centroids
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT query_id, qv, cent_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {similarity.nan_guard_sql(_cos('qv', 'cw'))} DESC, cent_id ASC
+               ) AS prn
+        FROM q CROSS JOIN centroids
+      ) WHERE prn <= 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_cos('p.qv', 'c.cv')} DESC, a.vec_id ASC
+               ) AS rank
+        FROM probes p JOIN assign a USING (cent_id) JOIN c ON c.vec_id = a.vec_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(ap.hit) AS BIGINT) AS n_hits,
+           COUNT(ap.hit)::DOUBLE / COUNT(*) AS recall
+    FROM exact e LEFT JOIN approx ap
+      ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sm8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@5 of the IVF index (sm2's exact
+    configuration) against the brute-force cosine ground truth (sm1),
+    per query point — the accept/reject gate an embedding pipeline
+    runs before trusting an index at corpus scale. Recall is the only
+    new arithmetic (one integer count ratio, single final division);
+    the oracle replays BOTH retrieval pipelines CTE-by-CTE, so a drift
+    in either arm or in the overlap join shows as a value mismatch.
+
+    Scale shape: ground truth is the one genuinely quadratic piece —
+    evaluate on a SAMPLED query set (here the 10 held-out vectors, the
+    sm1/sm2 contract), never the full corpus; the overlap join is
+    query-grain bounded (k rows per query per side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(
+        corpus, queries, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=5, n_centroids=8,
+        nprobe=2, lloyd_iters=2, dims=64,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__hit").alias("n_hits"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1))).alias(
+            "recall"
+        ),
+    )

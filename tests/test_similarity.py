@@ -227,3 +227,16 @@ def test_semdedup_cluster_size_guard(spark):
             cluster_size_warn_factor=None,
         ).count()
     assert not [w for w in caught if w.category is RuntimeWarning]
+
+
+def test_sm8_recall_bounds_and_grain(spark, sf_dir):
+    """Recall@5 is n_hits/n_exact per query, bounded [0,1], one row per
+    held-out query vector; hits can never exceed the exact list."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["sm8_ann_recall"](spark, sf_dir).collect()
+    assert len(rows) == 10  # the 10 held-out query vectors
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall == r.n_hits / r.n_exact
