@@ -291,6 +291,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g15_kcore_trade_graph",
         "zo2_hilbert_layout",
         "sm8_ann_recall",
+        "sm9_mutual_top1_alignment",
+        "sm10_hard_negatives",
     ),
 }
 

@@ -538,3 +538,128 @@ def sm8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@query(
+    "sm9_mutual_top1_alignment",
+    sql=f"""
+    WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE label = 1),
+    atop AS (
+      SELECT aid, bid, cos_ab FROM (
+        SELECT aid, bid, {_cos('av', 'bv')} AS cos_ab,
+               row_number() OVER (
+                 PARTITION BY aid ORDER BY {_cos('av', 'bv')} DESC, bid ASC
+               ) AS rn
+        FROM a CROSS JOIN b
+      ) WHERE rn = 1
+    ),
+    btop AS (
+      SELECT bid, aid FROM (
+        SELECT bid, aid,
+               row_number() OVER (
+                 PARTITION BY bid ORDER BY {_cos('av', 'bv')} DESC, aid ASC
+               ) AS rn
+        FROM b CROSS JOIN a
+      ) WHERE rn = 1
+    )
+    SELECT atop.aid AS src_id, atop.bid AS dst_id, atop.cos_ab AS cos_sim
+    FROM atop JOIN btop ON btop.bid = atop.bid AND btop.aid = atop.aid
+    """,
+)
+def sm9_mutual_top1_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-1 embedding alignment between two populations (label
+    0 vs label 1) — the bitext-mining shape (LASER/CCMatrix): keep a
+    candidate pair only when each side is the OTHER side's nearest
+    neighbor, the standard precision filter before margin scoring.
+    Composed from two cosine_topk(k=1) passes joined on agreement;
+    the oracle replays both directions and the handshake.
+
+    Scale shape: each direction is the sm1 broadcast-probe pattern
+    (queries broadcast against the corpus scan, per-query top-1 heap
+    via rank window on query-grain partitions); the handshake join is
+    top1-grain (|A| + |B| rows). At corpus scale the cross pass swaps
+    in IVF/LSH blocking (sm2/dd7) — this exact form is the oracle-
+    checkable ground-truth twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where(F.col("label") == 0)
+    b = emb.where(F.col("label") == 1)
+    atop = similarity.cosine_topk(b, a, "vec_id", "embedding", k=1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("dst_id"),
+        F.col("cos_sim"),
+    )
+    btop = similarity.cosine_topk(a, b, "vec_id", "embedding", k=1).select(
+        F.col("query_id").alias("dst_id2"),
+        F.col("neighbor_id").alias("src_id2"),
+    )
+    return atop.join(
+        btop,
+        (F.col("src_id") == F.col("src_id2"))
+        & (F.col("dst_id") == F.col("dst_id2")),
+    ).select("src_id", "dst_id", "cos_sim")
+
+
+@query(
+    "sm10_hard_negatives",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS anchor_label, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, label AS neg_label, embedding AS cv
+          FROM embeddings WHERE vec_id >= 50)
+    SELECT query_id, anchor_label, neighbor_id, neg_label, cos_sim,
+           rank::INT AS rank
+    FROM (
+      SELECT query_id, anchor_label, neighbor_id, neg_label,
+             {_cos('qv', 'cv')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY {_cos('qv', 'cv')} DESC, neighbor_id ASC
+             ) AS rank
+      FROM q CROSS JOIN c
+      WHERE anchor_label != neg_label
+    ) WHERE rank <= 3
+    """,
+)
+def sm10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor (the
+    50 held-out vectors), the 3 highest-cosine vectors of a DIFFERENT
+    label — the semantically-confusable negatives a contrastive batch
+    builder pairs with each anchor (the complement of sp7's hash-uniform
+    random negatives). Label filter BEFORE ranking, so rank counts only
+    eligible negatives; oracle replays filter, scores and window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 50).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    from pyspark.sql import Window as _W
+
+    scored = (
+        corpus.join(F.broadcast(anchors))
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neg_label",
+            similarity.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id", "anchor_label", "neighbor_id", "neg_label",
+            "cos_sim", F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -240,3 +240,49 @@ def test_sm8_recall_bounds_and_grain(spark, sf_dir):
         assert r.n_exact == 5
         assert 0 <= r.n_hits <= r.n_exact
         assert r.recall == r.n_hits / r.n_exact
+
+
+def test_sm9_pairs_are_mutual_top1(spark, sf_dir):
+    """Every aligned pair must be each side's top-1 of the other
+    population, re-derived independently via cosine_topk(k=1)."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import similarity
+
+    out = entry.queries()["sm9_mutual_top1_alignment"](spark, sf_dir).collect()
+    assert out  # the corpus aligns at least one pair at every SF
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.where(F.col("label") == 0), emb.where(F.col("label") == 1)
+    a2b = {
+        r.query_id: r.neighbor_id
+        for r in similarity.cosine_topk(b, a, "vec_id", "embedding", k=1).collect()
+    }
+    b2a = {
+        r.query_id: r.neighbor_id
+        for r in similarity.cosine_topk(a, b, "vec_id", "embedding", k=1).collect()
+    }
+    for r in out:
+        assert a2b[r.src_id] == r.dst_id
+        assert b2a[r.dst_id] == r.src_id
+    # completeness: every mutual handshake is in the output
+    mutual = {(s, d) for s, d in a2b.items() if b2a.get(d) == s}
+    assert {(r.src_id, r.dst_id) for r in out} == mutual
+
+
+def test_sm10_negatives_cross_label_and_ranked(spark, sf_dir):
+    """Hard negatives never share the anchor's label; ranks are 1..3
+    with non-increasing cosine per anchor."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["sm10_hard_negatives"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r.anchor_label != r.neg_label
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        sims = [x[1] for x in rs]
+        assert all(sims[i] >= sims[i + 1] for i in range(len(sims) - 1))
