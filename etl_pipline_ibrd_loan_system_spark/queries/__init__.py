@@ -293,6 +293,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "sm8_ann_recall",
         "sm9_mutual_top1_alignment",
         "sm10_hard_negatives",
+        "m26_holt_forecast",
     ),
 }
 

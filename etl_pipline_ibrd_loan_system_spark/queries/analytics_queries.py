@@ -2283,3 +2283,123 @@ def zo2_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder.hilbert_layout(
         ev, "user_id", "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"
     )
+
+
+# --- m26: Holt linear-trend forecast (exact fixed-point) ------------------
+
+_HOLT_S = 1_000_000  # micro-units
+
+
+def _holt_trunc2_sql(a: str) -> str:
+    """Truncating halve valid in both dialects for signed BIGINT: both
+    Spark `div`-style and DuckDB `//` truncate toward zero, and % takes
+    the dividend's sign in both, so (a - a%2)/2 is the shared form."""
+    return f"(({a}) - (({a}) % 2)) // 2"
+
+
+def _holt_fold_sql() -> str:
+    """DuckDB list_reduce over a LIST accumulator [level, trend, t].
+    A STRUCT accumulator is unusable here: DuckDB 1.0 evaluates the
+    result struct's fields sequentially and REBINDS acc's same-named
+    fields as they complete (acc.l inside the 'b' expression saw the
+    new level — found by a 2x-off trend in the prototype); list index
+    references are evaluated against the incoming accumulator."""
+    nl = _holt_trunc2_sql("e[1] + acc[1] + acc[2]")
+    nb = _holt_trunc2_sql(f"({nl}) - acc[1] + acc[2]")
+    return f"""list_reduce(
+      list_prepend([0, 0, 0]::BIGINT[],
+        list_transform(xs, x -> [x, 0, -1]::BIGINT[])),
+      (acc, e) -> CASE WHEN acc[3] = 0 THEN [e[1], 0, 1]
+        ELSE [{nl}, {nb}, acc[3] + 1] END
+    )"""
+
+
+@query(
+    "m26_holt_forecast",
+    sql=f"""
+    WITH monthly AS (
+      SELECT c_mktsegment AS segment,
+             year(o_orderdate) * 100 + month(o_orderdate) AS mkey,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), series AS (
+      SELECT segment, list(x * {_HOLT_S} ORDER BY mkey) AS xs
+      FROM monthly GROUP BY segment
+    ), folded AS (
+      SELECT segment, {_holt_fold_sql()} AS st FROM series
+    )
+    SELECT segment, h,
+           st[1] AS level_units, st[2] AS trend_units,
+           st[1] + h * st[2] AS forecast_units,
+           (st[1] + h * st[2])::DOUBLE / {_HOLT_S}.0 AS forecast
+    FROM folded, unnest([1, 2, 3]::BIGINT[]) AS t(h)
+    """,
+)
+def m26_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of monthly order volume per market
+    segment, 1-3 months ahead, in EXACT fixed-point: alpha = beta = 1/2
+    make every smoothing step a truncating integer halve (micro-unit
+    scale), so the recursive fold is bit-identical on both engines —
+    the transcendental-free corner of exponential smoothing, same
+    discipline as pagerank's integer rank units. Series are bounded
+    (84 months), so the per-segment fold is one in-array aggregate;
+    the only shuffle is the monthly count and the segment-grain
+    collect. Forecast_h = level + h * trend; single final division."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "segment",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "mkey"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    series = monthly.groupBy("segment").agg(
+        F.array_sort(F.collect_list(F.struct("mkey", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda p: p["x"] * F.lit(_HOLT_S))
+
+    def trunc2(a):
+        return ((a - (a % F.lit(2))) / F.lit(2)).cast("bigint")
+
+    def step(acc, e):
+        xv = F.element_at(e, 1)
+        nl = trunc2(xv + F.element_at(acc, 1) + F.element_at(acc, 2))
+        nb = trunc2(nl - F.element_at(acc, 1) + F.element_at(acc, 2))
+        return F.when(
+            F.element_at(acc, 3) == 0,
+            F.array(xv, F.lit(0).cast("bigint"), F.lit(1).cast("bigint")),
+        ).otherwise(F.array(nl, nb, F.element_at(acc, 3) + 1))
+
+    folded = series.select(
+        "segment",
+        F.aggregate(
+            F.transform(xs, lambda x: F.array(
+                x, F.lit(0).cast("bigint"), F.lit(-1).cast("bigint")
+            )),
+            F.array(*[F.lit(0).cast("bigint")] * 3),
+            step,
+        ).alias("st"),
+    )
+    h = F.explode(F.array(*[F.lit(i).cast("bigint") for i in (1, 2, 3)]))
+    lvl = F.element_at("st", 1)
+    trd = F.element_at("st", 2)
+    return folded.select("segment", h.alias("h"), lvl.alias("level_units"),
+                         trd.alias("trend_units")).select(
+        "segment", "h", "level_units", "trend_units",
+        (F.col("level_units") + F.col("h") * F.col("trend_units")).alias(
+            "forecast_units"
+        ),
+        (
+            (F.col("level_units") + F.col("h") * F.col("trend_units"))
+            .cast("double") / F.lit(float(_HOLT_S))
+        ).alias("forecast"),
+    )

@@ -110,3 +110,52 @@ def test_rrf_fusion_rewards_presence_in_both_lists(spark, sf_dir):
     # descending fused order with doc_id tiebreak
     scores = [(-r.rrf_score, r.doc_id) for r in rows]
     assert scores == sorted(scores)
+
+
+def test_holt_fold_matches_hand_recursion(spark, sf_dir):
+    """m26's fixed-point Holt fold reproduces the hand recursion
+    (alpha=beta=1/2, truncating halves) on the real per-segment series,
+    and forecast_h = level + h*trend exactly."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    out = entry.queries()["m26_holt_forecast"](spark, sf_dir).collect()
+    assert len(out) == 15  # 5 segments x 3 horizons
+    by_seg = {}
+    for r in out:
+        by_seg.setdefault(r.segment, {})[r.h] = r
+        assert r.forecast_units == r.level_units + r.h * r.trend_units
+        assert r.forecast == r.forecast_units / 1_000_000
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("m"),
+        )
+        .count()
+        .collect()
+    )
+    series = {}
+    for r in monthly:
+        series.setdefault(r.seg, []).append((r.m, r["count"]))
+
+    def trunc2(a):
+        return -((-a) // 2) if a < 0 else a // 2
+
+    for seg, pts in series.items():
+        xs = [x * 1_000_000 for _, x in sorted(pts)]
+        l = b = 0
+        for i, x in enumerate(xs):
+            if i == 0:
+                l, b = x, 0
+            else:
+                nl = trunc2(x + l + b)
+                b = trunc2(nl - l + b)
+                l = nl
+        assert by_seg[seg][1].level_units == l
+        assert by_seg[seg][1].trend_units == b
