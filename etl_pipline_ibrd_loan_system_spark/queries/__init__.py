@@ -294,6 +294,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "sm9_mutual_top1_alignment",
         "sm10_hard_negatives",
         "m26_holt_forecast",
+        "tx27_vocab_growth",
     ),
 }
 

@@ -1724,3 +1724,93 @@ def iv6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
+
+
+# --- tx27: vocabulary growth (Heaps-law) curve ----------------------------
+
+
+@query(
+    "tx27_vocab_growth",
+    sql=f"""
+    WITH mx AS (
+      SELECT MAX(doc_id) + 1 AS md FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS token
+      FROM documents
+    ), firstb AS (
+      SELECT token, (MIN(doc_id) * 100) // (SELECT md FROM mx) AS bucket
+      FROM tok GROUP BY token
+    ), newv AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM firstb GROUP BY bucket
+    ), occ AS (
+      SELECT (doc_id * 100) // (SELECT md FROM mx) AS bucket,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS tok_occurrences
+      FROM documents GROUP BY 1
+    )
+    SELECT o.bucket, COALESCE(n.new_tokens, 0) AS new_tokens,
+           o.tok_occurrences,
+           CAST(SUM(COALESCE(n.new_tokens, 0)) OVER (ORDER BY o.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab,
+           CAST(SUM(o.tok_occurrences) OVER (ORDER BY o.bucket
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM occ o LEFT JOIN newv n ON n.bucket = o.bucket
+    """,
+)
+def tx27_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve in 100 doc-id percentile
+    buckets: per bucket, the tokens FIRST seen there, plus cumulative
+    vocabulary vs cumulative token occurrences — the (N, V) pairs whose
+    sub-linear fit justifies every vocab-sized-shuffle scale argument
+    in this repo (tx20/tx22 notes). First-occurrence is an exact
+    min-doc_id aggregate per token (one vocab-keyed shuffle, map-side
+    combined); the cumulative windows run over the 100-row bucket
+    aggregate, never over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    md = docs.agg((F.max("doc_id") + 1).alias("md"))
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+        )
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("token"))
+    firstb = (
+        tok.groupBy("token")
+        .agg(F.min("doc_id").alias("fd"))
+        .join(F.broadcast(md))
+        .select(F.expr("(fd * 100) div md").alias("bucket"))
+    )
+    newv = firstb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    occ = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+            ).cast("bigint").alias("n"),
+        )
+        .join(F.broadcast(md))
+        .groupBy(F.expr("(doc_id * 100) div md").alias("bucket"))
+        .agg(F.sum("n").alias("tok_occurrences"))
+    )
+    w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, 0)
+    return (
+        occ.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+            "tok_occurrences",
+        )
+        .select(
+            "bucket",
+            "new_tokens",
+            "tok_occurrences",
+            F.sum("new_tokens").over(w).cast("bigint").alias("cum_vocab"),
+            F.sum("tok_occurrences").over(w).cast("bigint").alias(
+                "cum_tokens"
+            ),
+        )
+    )

@@ -159,3 +159,34 @@ def test_holt_fold_matches_hand_recursion(spark, sf_dir):
                 l = nl
         assert by_seg[seg][1].level_units == l
         assert by_seg[seg][1].trend_units == b
+
+
+def test_vocab_growth_partitions_vocabulary_exactly(spark, sf_dir):
+    """Every distinct corpus token is counted in exactly one bucket
+    (its first-occurrence bucket); cumulative columns are exact running
+    sums and the final cum_vocab equals the independent distinct-token
+    count."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    rows = sorted(
+        entry.queries()["tx27_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.explode(
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        )
+    )
+    n_vocab = docs.select(toks.alias("t")).distinct().count()
+    assert sum(r.new_tokens for r in rows) == n_vocab
+    assert rows[-1].cum_vocab == n_vocab
+    cv = ct = 0
+    for r in rows:
+        cv += r.new_tokens
+        ct += r.tok_occurrences
+        assert r.cum_vocab == cv
+        assert r.cum_tokens == ct
