@@ -295,6 +295,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "sm10_hard_negatives",
         "m26_holt_forecast",
         "tx27_vocab_growth",
+        "dq17_embedding_drift",
     ),
 }
 

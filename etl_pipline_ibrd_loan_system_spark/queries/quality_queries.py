@@ -1123,3 +1123,130 @@ def dq19_fixed_attr_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("staged_nationkey"),
         )
     )
+
+
+# --- dq17: embedding-distribution drift -----------------------------------
+
+_DQ17_S = 1_000_000
+
+
+@query(
+    "dq17_embedding_drift",
+    sql=f"""
+    WITH q AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * {_DQ17_S}) AS BIGINT))) AS qx,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    ), sums AS (
+      SELECT label, half, dim, CAST(SUM(qx) AS BIGINT) AS s,
+             CAST(SUM(qx * qx) AS BIGINT) AS s2
+      FROM q GROUP BY label, half, dim
+    ), vecs AS (
+      SELECT label, half, list(s::DOUBLE ORDER BY dim) AS v,
+             list(s2::DOUBLE ORDER BY dim) AS v2
+      FROM sums GROUP BY label, half
+    ), cnt AS (
+      SELECT label, vec_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label, vec_id % 2
+    )
+    SELECT a.label,
+           ca.n AS n_baseline, cb.n AS n_current,
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
+             AS mean_drift_cos,
+           list_sum(list_transform(range(1, 65), i -> a.v2[i] * b.v2[i]))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> a.v2[i] * a.v2[i])))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> b.v2[i] * b.v2[i]))))
+             AS var_drift_cos
+    FROM vecs a JOIN vecs b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    JOIN cnt ca ON ca.label = a.label AND ca.half = 0
+    JOIN cnt cb ON cb.label = a.label AND cb.half = 1
+    """,
+)
+def dq17_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift per label between two corpus
+    snapshots (even vs odd vec_id — the deterministic stand-in for
+    version N vs N+1), as cosines between the snapshots' FIRST- and
+    SECOND-moment vectors, computed from micro-unit-quantized integer
+    component sums so the reduction is order-independent and both
+    engines agree exactly (cosine is scale-invariant, so unnormalized
+    sums suffice). mean_drift_cos tracks centroid direction — noisy by
+    construction on a zero-mean population (this corpus: halves land
+    near-orthogonal, which is itself the "no mean structure" reading);
+    var_drift_cos tracks the per-dimension energy profile, the robust
+    stability signal (near 1 for same-population halves; a drop is the
+    retrain/re-index trigger a serving pipeline monitors).
+
+    Scale shape: one explode + (label, half, dim)-keyed integer sum
+    (map-side combined, 2 x labels x dims rows total), then label-grain
+    joins on the tiny aggregate — the corpus is scanned once and never
+    re-shuffled at vector grain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(_DQ17_S)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dim0", "qx"),
+    )
+    sums = q.groupBy("label", "half", (F.col("dim0") + 1).alias("dim")).agg(
+        F.sum("qx").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).alias("s2"),
+    )
+    vecs = sums.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda p: p["s"].cast("double"),
+        ).alias("v"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s2"))),
+            lambda p: p["s2"].cast("double"),
+        ).alias("v2"),
+    )
+    cnt = emb.groupBy(
+        "label", (F.col("vec_id") % 2).alias("half")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    a = vecs.where(F.col("half") == 0).select(
+        "label", F.col("v").alias("va"), F.col("v2").alias("va2")
+    )
+    b = vecs.where(F.col("half") == 1).select(
+        "label", F.col("v").alias("vb"), F.col("v2").alias("vb2")
+    )
+    ca = cnt.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_baseline")
+    )
+    cb = cnt.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_current")
+    )
+
+    def dot(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(u, w):
+        return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+
+    return (
+        a.join(b, "label")
+        .join(ca, "label")
+        .join(cb, "label")
+        .select(
+            "label",
+            "n_baseline",
+            "n_current",
+            cos(F.col("va"), F.col("vb")).alias("mean_drift_cos"),
+            cos(F.col("va2"), F.col("vb2")).alias("var_drift_cos"),
+        )
+    )

@@ -102,3 +102,27 @@ def test_l_diversity_catches_homogeneous_class(spark):
     }
     assert ld["100"] == (1, True)   # homogeneous: membership discloses
     assert ld["200"] == (3, False)
+
+
+def test_dq17_drift_is_scale_invariant_and_selfconsistent(spark, sf_dir):
+    """drift_cos is a true cosine: within [-1, 1]; identical halves
+    give exactly 1; counts partition each label's population."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    rows = entry.queries()["dq17_embedding_drift"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    totals = {
+        r.label: r.n for r in emb.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert len(rows) == len(totals)
+    for r in rows:
+        assert -1.0 <= r.mean_drift_cos <= 1.0
+        assert r.n_baseline + r.n_current == totals[r.label]
+        # same-population halves: second-moment profile is stable even
+        # though this corpus is zero-mean per label (mean cos ~ noise)
+        assert r.var_drift_cos > 0.8  # ~25 vecs/half at sf0.001
