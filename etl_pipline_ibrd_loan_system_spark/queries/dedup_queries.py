@@ -1006,8 +1006,9 @@ def dd16_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.duplicate_span_pairs) — the suffix-array ExactSubstr output
     shape (which passage, where, how long) rather than dd12's shared-
     window counts. Ten-doc taint groups each share a 33-token prefix,
-    so every in-group pair must merge its 18 consecutive matched
-    windows into ONE span of len_tokens=33 at start 0/0 — the oracle
+    so every in-group pair must merge its >=18 consecutive matched
+    windows into ONE span of len_tokens>=33 at start 0/0 (34 when the
+    two docs' first own-text tokens happen to coincide) — the oracle
     replays the gram grid and the diagonal-islands merge and would
     catch a span split anywhere."""
     docs = load_table(spark, sf_dir, "documents")
