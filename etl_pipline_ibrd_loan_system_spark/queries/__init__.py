@@ -296,6 +296,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "m26_holt_forecast",
         "tx27_vocab_growth",
         "dq17_embedding_drift",
+        "m27_amortization_schedule",
+        "fv6_woe_encoding",
     ),
 }
 

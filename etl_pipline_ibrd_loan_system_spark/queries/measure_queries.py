@@ -186,3 +186,89 @@ def m25_date_hierarchy_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("year", "quarter", "month", "gid", "loans",
                 "loan_amount", "repaid")
     )
+
+
+# --- m27: level-principal amortization schedule ---------------------------
+#
+# The reference IS a loan system: IBRD loans amortize with LEVEL
+# PRINCIPAL repayments (equal principal portions, interest on the
+# declining balance) — which makes the whole schedule CLOSED-FORM in
+# integer cents: no pow(), no recursion, one projection per (loan,
+# period). Rate fixed at 450 bp annual -> 375 micro-units monthly;
+# interest truncates to the cent exactly like a ledger.
+
+_M27_RATE_MICRO = 3750      # 0.375% per period, in 1e-6 units
+_M27_PERIODS = 12
+
+
+@query(
+    "m27_amortization_schedule",
+    sql=f"""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS principal_cents
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT loan_id, period,
+           CASE WHEN period < {_M27_PERIODS}
+                THEN principal_cents // {_M27_PERIODS}
+                ELSE principal_cents
+                     - {_M27_PERIODS - 1} * (principal_cents // {_M27_PERIODS})
+           END AS principal_due_cents,
+           ((principal_cents - (period - 1) * (principal_cents // {_M27_PERIODS}))
+             * {_M27_RATE_MICRO}) // 1000000 AS interest_cents,
+           CASE WHEN period < {_M27_PERIODS}
+                THEN principal_cents // {_M27_PERIODS}
+                ELSE principal_cents
+                     - {_M27_PERIODS - 1} * (principal_cents // {_M27_PERIODS})
+           END
+           + ((principal_cents - (period - 1) * (principal_cents // {_M27_PERIODS}))
+              * {_M27_RATE_MICRO}) // 1000000 AS payment_cents,
+           CASE WHEN period < {_M27_PERIODS}
+                THEN principal_cents - period * (principal_cents // {_M27_PERIODS})
+                ELSE 0 END AS balance_after_cents
+    FROM loans, unnest(range(1, {_M27_PERIODS + 1})) AS t(period)
+    """,
+)
+def m27_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-principal amortization schedule (the IBRD repayment form:
+    equal principal portions, interest on the declining balance) for a
+    1% sample of orders standing in as loans. All arithmetic is integer
+    cents with ledger truncation — the declining balance is closed-form
+    (P - (t-1) * P div 12), so the 12-row schedule is a pure projection
+    per loan: no recursion, no window, no shuffle beyond the scan. The
+    double -> DECIMAL(12,2) cast is the dq3 cent-quantization contract,
+    identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    n, r = _M27_PERIODS, _M27_RATE_MICRO
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("loan_id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+    )
+    sched = loans.select(
+        "loan_id",
+        "p",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.lit(n).cast("bigint"))).alias("period"),
+    )
+    base = F.expr(f"p div {n}")
+    prev_bal = F.col("p") - (F.col("period") - 1) * base
+    prin = F.when(F.col("period") < n, base).otherwise(
+        F.col("p") - F.lit(n - 1) * base
+    )
+    interest = F.expr(
+        f"((p - (period - 1) * (p div {n})) * {r}) div 1000000"
+    )
+    bal_after = F.when(
+        F.col("period") < n, F.col("p") - F.col("period") * base
+    ).otherwise(F.lit(0).cast("bigint"))
+    return sched.select(
+        "loan_id",
+        "period",
+        prin.alias("principal_due_cents"),
+        interest.alias("interest_cents"),
+        (prin + interest).alias("payment_cents"),
+        bal_after.alias("balance_after_cents"),
+    )

@@ -1365,3 +1365,90 @@ def sp12_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pick_rank") <= F.col("n_min"))
         .select("doc_id", "lang", "pick_rank")
     )
+
+
+# --- fv6: weight-of-evidence / information-value encoding -----------------
+
+
+@query(
+    "fv6_woe_encoding",
+    sql="""
+    WITH c AS (
+      SELECT o_orderpriority AS category,
+             CAST(SUM(CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_good,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_bad
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+             CAST(SUM(n_bad) AS BIGINT) AS b
+      FROM c
+    )
+    SELECT category, n_good, n_bad,
+           CAST(round(1000000 * ln((n_good * b)::DOUBLE
+             / (n_bad * g)::DOUBLE)) AS BIGINT) AS woe_micro,
+           CAST(round(1000000 * ln((n_good * b)::DOUBLE
+             / (n_bad * g)::DOUBLE)) AS BIGINT)::DOUBLE / 1000000.0 AS woe,
+           (n_good::DOUBLE / g - n_bad::DOUBLE / b)
+             * (CAST(round(1000000 * ln((n_good * b)::DOUBLE
+                 / (n_bad * g)::DOUBLE)) AS BIGINT)::DOUBLE / 1000000.0)
+             AS iv_contrib
+    FROM c, t
+    """,
+)
+def fv6_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + per-category information value of
+    order priority against the 'F' order status — the classic credit-
+    scorecard feature transform (the reference's loan domain). WOE =
+    ln(good-share / bad-share) is the one transcendental; it is
+    quantized to integer micro-nats on the DRIVER from the collected
+    category counts (bounded state: one row per category) through the
+    same rounding-boundary guard as the DSIR weights
+    (sampling._dsir_qround), so woe_micro is an exact integer on both
+    engines, and the iv_contrib float arithmetic is a pinned-order
+    chain of IEEE ops over exact integers. One aggregate scan; the
+    result is category-grain."""
+    import math as _math
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)
+            ).cast("bigint").alias("n_good"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("bigint").alias("n_bad"),
+        )
+    )
+    rows = counts.collect()
+    g = sum(r["n_good"] for r in rows)
+    b = sum(r["n_bad"] for r in rows)
+    woe = {
+        r["category"]: sampling._dsir_qround(
+            1_000_000 * _math.log((r["n_good"] * b) / (r["n_bad"] * g)),
+            f"woe[{r['category']}]",
+        )
+        for r in rows
+    }
+    wmap = F.create_map(
+        *[F.lit(x) for kv in woe.items() for x in kv]
+    )
+    woe_micro = wmap[F.col("category")].cast("bigint")
+    woe_d = woe_micro.cast("double") / F.lit(1_000_000.0)
+    return counts.select(
+        "category",
+        "n_good",
+        "n_bad",
+        woe_micro.alias("woe_micro"),
+        woe_d.alias("woe"),
+        (
+            (
+                F.col("n_good").cast("double") / F.lit(float(g))
+                - F.col("n_bad").cast("double") / F.lit(float(b))
+            )
+            * woe_d
+        ).alias("iv_contrib"),
+    )

@@ -70,3 +70,27 @@ def test_churn_mass_equals_user_episodes(spark, sf_dir, mart):
         .count()
     )
     assert total_churned == n_streaks
+
+
+def test_amortization_schedule_ledger_invariants(spark, sf_dir):
+    """Per loan: principal portions sum EXACTLY to the principal, the
+    balance reaches zero, interest strictly follows the declining
+    balance (non-increasing), and payment = principal + interest."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["m27_amortization_schedule"](spark, sf_dir).collect()
+    by_loan = {}
+    for r in rows:
+        by_loan.setdefault(r.loan_id, []).append(r)
+    assert by_loan
+    for loan_id, sched in by_loan.items():
+        sched.sort(key=lambda r: r.period)
+        assert [r.period for r in sched] == list(range(1, 13))
+        principal = sum(r.principal_due_cents for r in sched)
+        # closed form: balance after period 1 = P - P div 12
+        assert sched[0].balance_after_cents == principal - principal // 12
+        assert sched[-1].balance_after_cents == 0
+        ints = [r.interest_cents for r in sched]
+        assert all(a >= b for a, b in zip(ints, ints[1:]))
+        for r in sched:
+            assert r.payment_cents == r.principal_due_cents + r.interest_cents

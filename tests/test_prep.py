@@ -776,3 +776,26 @@ def test_dsir_importance_shifts_toward_target_vocab(spark):
     with pytest.raises(ValueError, match="rounding boundary"):
         sampling._dsir_qround(2.5, "weight[test]")
     assert sampling._dsir_qround(2.4999, "w") == 2
+
+
+def test_woe_encoding_sign_and_iv_nonnegative(spark, sf_dir):
+    """WOE sign tracks the good-share vs bad-share direction, so every
+    IV contribution is non-negative (both factors share sign); counts
+    partition the order population."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+
+    rows = entry.queries()["fv6_woe_encoding"](spark, sf_dir).collect()
+    assert len(rows) == 5  # the five order priorities
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_good + r.n_bad for r in rows) == orders.count()
+    g = sum(r.n_good for r in rows)
+    b = sum(r.n_bad for r in rows)
+    for r in rows:
+        share_gap = r.n_good / g - r.n_bad / b
+        if abs(r.woe_micro) > 1:  # away from rounding noise
+            assert (r.woe_micro > 0) == (share_gap > 0)
+        assert r.iv_contrib >= -1e-12
+        assert r.woe == r.woe_micro / 1_000_000
