@@ -822,7 +822,7 @@ def negative_sample(
     return pos.withColumn("label", F.lit(1)).unionByName(negs)
 
 
-def _dsir_qround(x: float, what: str) -> int:
+def guarded_log_qround(x: float, what: str) -> int:
     """Round a scaled log-ratio to an integer, REFUSING values too close
     to the .5 rounding boundary. The DSIR weights are the only place a
     transcendental (ln) enters an oracle-compared output: Spark-side
@@ -838,7 +838,7 @@ def _dsir_qround(x: float, what: str) -> int:
     frac = x - math.floor(x)
     if abs(frac - 0.5) < 1e-7:
         raise ValueError(
-            f"dsir_importance: {what} = {x!r} is within 1e-7 of a "
+            f"guarded_log_qround: {what} = {x!r} is within 1e-7 of a "
             "rounding boundary; bump `scale` to requantize"
         )
     return int(round(x))
@@ -867,7 +867,7 @@ def dsir_importance(
 
     Exactness: per-bucket log-ratios are quantized to integer
     micro-nats ON THE DRIVER (bounded state: n_buckets ints, the IVF-
-    centroid pattern) with a rounding-boundary guard (_dsir_qround), so
+    centroid pattern) with a rounding-boundary guard (guarded_log_qround), so
     the per-doc score is an exact INTEGER sum both engines reproduce
     bit-for-bit; the single final division by `scale` is the only float
     op (the linear_score/fv4 fixed-point discipline).
@@ -926,10 +926,10 @@ def dsir_importance(
     rf = [1 + r_cnt.get(b, 0) for b in range(n_buckets)]
     big_t, big_r = sum(tf), sum(rf)
     weights = [
-        _dsir_qround(scale * math.log(tf[b] / rf[b]), f"weight[{b}]")
+        guarded_log_qround(scale * math.log(tf[b] / rf[b]), f"weight[{b}]")
         for b in range(n_buckets)
     ]
-    const = _dsir_qround(scale * math.log(big_r / big_t), "norm const")
+    const = guarded_log_qround(scale * math.log(big_r / big_t), "norm const")
 
     warr = F.array(*[F.lit(int(w)).cast("bigint") for w in weights])
     score = F.aggregate(

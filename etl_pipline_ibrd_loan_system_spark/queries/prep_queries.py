@@ -1405,7 +1405,7 @@ def fv6_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized to integer micro-nats on the DRIVER from the collected
     category counts (bounded state: one row per category) through the
     same rounding-boundary guard as the DSIR weights
-    (sampling._dsir_qround), so woe_micro is an exact integer on both
+    (sampling.guarded_log_qround), so woe_micro is an exact integer on both
     engines, and the iv_contrib float arithmetic is a pinned-order
     chain of IEEE ops over exact integers. One aggregate scan; the
     result is category-grain."""
@@ -1427,7 +1427,7 @@ def fv6_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = sum(r["n_good"] for r in rows)
     b = sum(r["n_bad"] for r in rows)
     woe = {
-        r["category"]: sampling._dsir_qround(
+        r["category"]: sampling.guarded_log_qround(
             1_000_000 * _math.log((r["n_good"] * b) / (r["n_bad"] * g)),
             f"woe[{r['category']}]",
         )

@@ -774,8 +774,8 @@ def test_dsir_importance_shifts_toward_target_vocab(spark):
 
     # the rounding-boundary guard refuses half-integer quantizations
     with pytest.raises(ValueError, match="rounding boundary"):
-        sampling._dsir_qround(2.5, "weight[test]")
-    assert sampling._dsir_qround(2.4999, "w") == 2
+        sampling.guarded_log_qround(2.5, "weight[test]")
+    assert sampling.guarded_log_qround(2.4999, "w") == 2
 
 
 def test_woe_encoding_sign_and_iv_nonnegative(spark, sf_dir):
