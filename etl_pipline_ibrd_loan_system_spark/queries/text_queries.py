@@ -1626,8 +1626,6 @@ def iv6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — never over the corpus; the fusion join is a 50x50 full
     outer join, driver-trivial. The per-doc vector norm is one in-array
     fold; nothing vector-sized shuffles."""
-    import math as _math
-
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
