@@ -509,3 +509,90 @@ def kcore_oracle_ctes(k: int, rounds: int = 8) -> str:
         f"kcfinal AS (SELECT node, core_degree FROM {prev})"
     )
     return ",\n    ".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (edges
+    given symmetric, as for pagerank/kcore): every node starts in its
+    own community (label = node id); each round it adopts the most
+    frequent label among its neighbors PLUS its own current label (the
+    self-vote), ties broken by the smallest label. Runs EXACTLY
+    `rounds` rounds — LPA has no convergence guarantee (synchronous
+    updates on a bipartite graph oscillate without the self-vote, and
+    can cycle even with it), so fixed-round output is the only
+    deterministic contract; both engines replay the same rounds, and
+    GraphFrames' labelPropagation(maxIter) ships the same semantics.
+    All state is integer labels and counts — no floats anywhere.
+
+    Returns (node, community) after `rounds` rounds.
+
+    Scale shape: per round, ONE edges-with-labels hash join on src (the
+    edge table is localCheckpoint'ed once; the label table is
+    node-sized and re-checkpointed each round so lineage stays flat —
+    the pagerank/kcore discipline), one map-side-combinable
+    (node, label) count, and a node-partitioned argmax window whose
+    per-partition row count is bounded by the node's distinct
+    neighbor-label count, never the corpus."""
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        neigh = e.join(
+            labels.withColumnRenamed("node", "__s"), e.src == F.col("__s")
+        ).select(F.col("dst").alias("node"), "label")
+        votes = neigh.unionByName(labels)  # self-vote
+        freq = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_ctes(rounds: int = 4) -> str:
+    """DuckDB CTE chain replaying label_propagation verbatim
+    (pagerank/kcore oracle pattern). Expects `edges(src, dst)`; emits
+    `lpfinal(node, community)`. Every lp{r} is referenced twice by the
+    next round (neighbor join + self-vote), so AS MATERIALIZED pins
+    each round once — without it the inliner doubles the plan per
+    round (the kcore 2^rounds lesson)."""
+    parts = [
+        "lpedges AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "lp0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label"
+        " FROM lpedges)",
+    ]
+    prev = "lp0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"lpv{r} AS (SELECT e.dst AS node, l.label"
+            f" FROM lpedges e JOIN {prev} l ON e.src = l.node"
+            f" UNION ALL SELECT node, label FROM {prev})"
+        )
+        parts.append(
+            f"lp{r} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY COUNT(*) DESC, label ASC) AS rn"
+            f" FROM lpv{r} GROUP BY node, label) WHERE rn = 1)"
+        )
+        prev = f"lp{r}"
+    parts.append(f"lpfinal AS (SELECT node, label AS community FROM {prev})")
+    return ",\n    ".join(parts)

@@ -298,6 +298,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dq17_embedding_drift",
         "m27_amortization_schedule",
         "fv6_woe_encoding",
+        "g16_label_propagation",
     ),
 }
 

@@ -2265,6 +2265,43 @@ def g15_kcore_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g16_label_propagation",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    {_graph.lpa_oracle_ctes(rounds=4)}
+    SELECT node, community FROM lpfinal
+    """,
+)
+def g16_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the symmetric customer<->supplier trade
+    graph via synchronous label propagation (graph.label_propagation):
+    4 fixed rounds of adopt-the-most-frequent-neighbor-label with a
+    self-vote (which damps the bipartite two-coloring oscillation sync
+    LPA is known for) and smallest-label tie-break — all-integer state,
+    so the round-4 snapshot is bit-identical across engines and
+    partitionings. The oracle unrolls the same rounds
+    (lpa_oracle_ctes, the pagerank/kcore CTE pattern). Completes the
+    graph family's community axis next to dd8's connected components
+    (which LPA refines: components bound communities from above)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph.label_propagation(edges, rounds=4)
+
+
+@query(
     "zo2_hilbert_layout",
     sql=zorder.hilbert_layout_oracle_sql(
         "events", "user_id", "(epoch_us(ts) // 1000000)"

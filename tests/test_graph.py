@@ -152,3 +152,74 @@ def test_kcore_peels_tendrils_keeps_clique(spark):
     # the guard: peeling needs 2 rounds here (drop 7+6, then recount)
     with pytest.raises(ValueError, match="did not converge"):
         graph.kcore(edges, k=3, max_rounds=1)
+
+
+def _lpa_reference(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Independent synchronous LPA replay (self-vote, min-label ties)."""
+    from collections import Counter, defaultdict
+
+    neigh = defaultdict(list)
+    for s, d in edges:
+        neigh[d].append(s)
+    labels = {n: n for n in {s for s, _ in edges}}
+    for _ in range(rounds):
+        nxt = {}
+        for node in labels:
+            votes = Counter(labels[s] for s in neigh[node])
+            votes[labels[node]] += 1  # self-vote
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[node] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge: each triangle collapses onto
+    its smallest member's label; the bridge alone can't flip either
+    side (1 neighbor vote vs 2 triangle votes + self-vote). Matches an
+    independent Python replay exactly, at any partitioning."""
+    from etl_pipline_ibrd_loan_system_spark.operators import graph
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    sym = [(a, b) for a, b in tri1 + tri2 + bridge] + [
+        (b, a) for a, b in tri1 + tri2 + bridge
+    ]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    got = {
+        r.node: r.community
+        for r in graph.label_propagation(edges, rounds=4).collect()
+    }
+    assert got == _lpa_reference(sym, rounds=4)
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[4], got[5], got[6]} == {4}
+
+    # partition-count invariance (integer state: bit-identical)
+    got12 = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            edges.repartition(12), rounds=4
+        ).collect()
+    }
+    assert got12 == got
+
+
+def test_label_propagation_matches_reference_on_bipartite(spark):
+    """Synchronous LPA's hard case — a complete bipartite K2,3 — must
+    still match the independent replay round-for-round (the self-vote
+    damps, but whatever the dynamics do, both implementations do it
+    together; fixed-round output is the contract, not convergence)."""
+    from etl_pipline_ibrd_loan_system_spark.operators import graph
+
+    left, right = [1, 2], [10, 11, 12]
+    sym = [(a, b) for a in left for b in right]
+    sym += [(b, a) for a, b in sym]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = {
+            r.node: r.community
+            for r in graph.label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == _lpa_reference(sym, rounds=rounds), rounds
