@@ -299,6 +299,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "m27_amortization_schedule",
         "fv6_woe_encoding",
         "g16_label_propagation",
+        "fv7_tfidf_terms",
     ),
 }
 

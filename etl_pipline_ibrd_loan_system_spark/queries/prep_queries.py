@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dsum, sql_dsum
-from ..operators import rangejoin, sampling, textprep
+from ..operators import rangejoin, sampling, textprep, textstats
 from . import query
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
@@ -1452,3 +1452,40 @@ def fv6_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             * woe_d
         ).alias("iv_contrib"),
     )
+
+
+# --- fv7: tf-idf characteristic terms (exact linear idf) -------------------
+
+
+@query(
+    "fv7_tfidf_terms",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score_scaled, rank FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             (t.tf * ((n.n_docs * 1000000) // d.df))::BIGINT AS score_scaled,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ((n.n_docs * 1000000) // d.df) DESC,
+                        t.term ASC
+             )::INT AS rank
+      FROM tf t JOIN dfq d USING (term), n
+    ) WHERE rank <= 3
+    """,
+)
+def fv7_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by fixed-point tf-idf
+    (textstats.tfidf_top_terms): score = tf * ((N * 1e6) div df), the
+    LINEAR-idf family member — monotone decreasing in df like ln-idf,
+    but exact integer end-to-end (the iv2/BM25 rational-idf
+    discipline), so the ranking is bit-identical across engines. The
+    feature-extraction complement of tx16's chi2 terms (which are
+    class-conditional; these are corpus-conditional)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, "text", "doc_id", k=3)

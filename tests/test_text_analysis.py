@@ -190,3 +190,38 @@ def test_vocab_growth_partitions_vocabulary_exactly(spark, sf_dir):
         ct += r.tok_occurrences
         assert r.cum_vocab == cv
         assert r.cum_tokens == ct
+
+
+def test_tfidf_top_terms_hand_example(spark):
+    """3-doc corpus: the exact integer formula tf * ((N*1e6) div df),
+    rank ordering, tie-break on term, and the rank<=k cut all match a
+    hand computation."""
+    from etl_pipline_ibrd_loan_system_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(docs, "text", "doc_id", k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+
+    # df: apple 1, banana 2, cherry 2, common 3, date 1; N = 3
+    def score(tf, df):
+        return tf * ((3 * 1_000_000) // df)
+
+    # doc 1: apple tf=2 df=1 -> 6e6; banana 1,2 -> 1.5e6; common 1,3 -> 1e6
+    assert rows[(1, 1)].term == "apple" and rows[(1, 1)].score_scaled == score(2, 1)
+    assert rows[(1, 2)].term == "banana" and rows[(1, 2)].score_scaled == score(1, 2)
+    # doc 2: banana and cherry tie at score(1,2) -> term asc: banana first
+    assert rows[(2, 1)].term == "banana"
+    assert rows[(2, 2)].term == "cherry"
+    # doc 3: date tf=1 df=1 -> 3e6 beats cherry tf=2 df=2 -> 3e6? equal:
+    # score(1,1) = 3e6 == score(2,2) = 3e6 -> tie, cherry < date wins rank 1
+    assert rows[(3, 1)].term == "cherry" and rows[(3, 1)].tf == 2
+    assert rows[(3, 2)].term == "date"
+    # k=2 cut: exactly 2 rows per doc
+    assert out.count() == 6
