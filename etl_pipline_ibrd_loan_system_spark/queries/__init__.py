@@ -300,6 +300,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "fv6_woe_encoding",
         "g16_label_propagation",
         "fv7_tfidf_terms",
+        "m28_loan_npv",
     ),
 }
 

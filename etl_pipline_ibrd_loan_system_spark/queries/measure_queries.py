@@ -272,3 +272,99 @@ def m27_amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prin + interest).alias("payment_cents"),
         bal_after.alias("balance_after_cents"),
     )
+
+
+# --- m28: NPV of the amortization schedule (exact integer discounting) ----
+#
+# Discount at 0.5% per period: (1+r) = 201/200, so the period-t
+# discount factor is the RATIONAL (200/201)^t. Quantized once to
+# DISC[t] = floor(1e9 * 200^t / 201^t) in unbounded-integer Python at
+# import time — zero transcendentals, zero floats, zero driver state
+# (data-independent literals baked into both plans). Per-term PV
+# truncates to the cent like a ledger: pv_t = (payment_t * DISC[t])
+# div 1e9. Overflow headroom: payment <= ~5e7 cents, DISC < 1e9 ->
+# products < 5e16 << 2^63.
+
+_M28_DISC_SCALE = 10**9
+_M28_DISC = [
+    (_M28_DISC_SCALE * 200**t) // (201**t) for t in range(1, _M27_PERIODS + 1)
+]
+
+
+def _m28_payment_sql(t: str) -> str:
+    """payment_cents at period `t` — m27's closed form, shared text."""
+    n, r = _M27_PERIODS, _M27_RATE_MICRO
+    prin = (
+        f"CASE WHEN {t} < {n} THEN principal_cents // {n} "
+        f"ELSE principal_cents - {n - 1} * (principal_cents // {n}) END"
+    )
+    interest = (
+        f"((principal_cents - ({t} - 1) * (principal_cents // {n}))"
+        f" * {r}) // 1000000"
+    )
+    return f"({prin} + {interest})"
+
+
+@query(
+    "m28_loan_npv",
+    sql=f"""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS principal_cents
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), sched AS (
+      SELECT loan_id, principal_cents, period,
+             {_m28_payment_sql('period')} AS payment_cents,
+             ([{', '.join(str(d) for d in _M28_DISC)}])[period]
+               AS disc
+      FROM loans, unnest(range(1, {_M27_PERIODS + 1})) AS t(period)
+    )
+    SELECT loan_id,
+           MIN(principal_cents) AS principal_cents,
+           CAST(SUM(payment_cents) AS BIGINT) AS total_payment_cents,
+           CAST(SUM((payment_cents * disc) // {_M28_DISC_SCALE}) AS BIGINT)
+             AS npv_cents,
+           CAST(SUM(payment_cents)
+                - SUM((payment_cents * disc) // {_M28_DISC_SCALE})
+             AS BIGINT) AS discount_loss_cents
+    FROM sched GROUP BY loan_id
+    """,
+)
+def m28_loan_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Present value of each loan's level-principal repayment stream
+    (m27's schedule) at 0.5%/period, entirely in integer cents: the
+    discount factors floor(1e9 * (200/201)^t) are exact rationals
+    quantized in unbounded-integer arithmetic at IMPORT time (no
+    float, no ln/pow, nothing data-dependent), and each period's PV
+    truncates to the cent like a ledger. The whole query is ONE
+    projection per loan — the 12-term sum folds inside the row via
+    F.aggregate over sequence(1,12), so there is NO explode and NO
+    shuffle beyond the scan (plan twin of fv4's fixed-point fold);
+    the oracle unrolls the identical terms through unnest + SUM,
+    which integer arithmetic makes equal."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = _M27_PERIODS
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("loan_id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("principal_cents"),
+    )
+    disc = "array({})".format(", ".join(f"{d}L" for d in _M28_DISC))
+    pay = _m28_payment_sql("t").replace("//", " div ")
+    total = F.expr(
+        f"aggregate(sequence(1L, {n}L), 0L, (acc, t) -> acc + {pay})"
+    )
+    npv = F.expr(
+        f"aggregate(sequence(1L, {n}L), 0L, (acc, t) -> "
+        f"acc + (({pay} * element_at({disc}, CAST(t AS INT)))"
+        f" div {_M28_DISC_SCALE}))"
+    )
+    return loans.select(
+        "loan_id",
+        "principal_cents",
+        total.alias("total_payment_cents"),
+        npv.alias("npv_cents"),
+        (total - npv).alias("discount_loss_cents"),
+    )

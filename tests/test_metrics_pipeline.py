@@ -94,3 +94,29 @@ def test_amortization_schedule_ledger_invariants(spark, sf_dir):
         assert all(a >= b for a, b in zip(ints, ints[1:]))
         for r in sched:
             assert r.payment_cents == r.principal_due_cents + r.interest_cents
+
+
+def test_loan_npv_consistent_with_schedule_and_python_replay(spark, sf_dir):
+    """m28 invariants: total_payment equals m27's per-loan payment sum
+    (the two queries share one closed form), NPV < total payment
+    (positive rate), discount_loss is their exact difference, and an
+    independent Python integer replay reproduces every NPV bit-for-bit."""
+    import __spark_entry__ as entry
+
+    sched = entry.queries()["m27_amortization_schedule"](spark, sf_dir).collect()
+    pay = {}
+    for r in sched:
+        pay.setdefault(r.loan_id, {})[r.period] = r.payment_cents
+
+    disc = [(10**9 * 200**t) // (201**t) for t in range(1, 13)]
+    rows = entry.queries()["m28_loan_npv"](spark, sf_dir).collect()
+    assert rows and len(rows) == len(pay)
+    for r in rows:
+        per = pay[r.loan_id]
+        assert r.total_payment_cents == sum(per.values())
+        expect_npv = sum(
+            (per[t] * disc[t - 1]) // 10**9 for t in range(1, 13)
+        )
+        assert r.npv_cents == expect_npv
+        assert r.npv_cents < r.total_payment_cents
+        assert r.discount_loss_cents == r.total_payment_cents - r.npv_cents

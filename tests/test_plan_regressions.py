@@ -996,3 +996,13 @@ def test_zo2_hilbert_key_is_pure_projection(spark, sf_dir, registry):
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == ref.count("Scan parquet")
     assert plan.count("Exchange") == ref.count("Exchange")
+
+
+def test_m28_npv_is_shuffle_free_projection(spark, sf_dir, registry):
+    """m28: the 12-term NPV folds inside the row (aggregate over
+    sequence) — an Exchange or generator (Explode) in the plan means
+    the per-loan projection regressed to an explode+groupBy."""
+    plan = _plan(registry["m28_loan_npv"](spark, sf_dir))
+    assert "Exchange" not in plan, "m28 grew a shuffle"
+    assert "Generate" not in plan, "m28 grew an explode"
+    assert "Join" not in plan, "m28 grew a join"
