@@ -79,3 +79,47 @@ def score_pairs(
     return pairs.withColumn("score", score).withColumn(
         "classification", decision
     )
+
+
+def fit_fs_weights(
+    field_counts: dict[str, tuple[int, int]],
+    n_true: int,
+    n_false: int,
+    scale: int = 1_000_000,
+) -> dict[str, tuple[int, int]]:
+    """Fit Fellegi–Sunter agreement/disagreement weights from labeled
+    candidate-pair counts — the EM-free special case where ground
+    truth is known (a clerically-reviewed sample in production; the
+    planted-defect extract here). For each field with
+    (n_agree_in_true_pairs, n_agree_in_false_pairs):
+
+        m = P(agree | match)     = (at + 1) / (n_true + 2)
+        u = P(agree | non-match) = (af + 1) / (n_false + 2)
+        w_agree    = ln(m / u),      w_disagree = ln((1-m) / (1-u))
+
+    (add-one smoothing so a perfectly-separating field can't yield
+    ln(0)). Both logs are quantized to integer micro-nats through
+    sampling.guarded_log_qround — the fv5/fv6 discipline: the ln
+    argument is a RATIO OF INTEGER PRODUCTS both engines form
+    identically, driver-side rounding refuses values within 1e-7 of a
+    boundary, so the fitted weights (and every pair score summed from
+    them) are exact integers cross-engine. Driver state: 2 ints per
+    field + 2 totals — bounded by the comparison vector, never the
+    data."""
+    import math
+
+    from .sampling import guarded_log_qround
+
+    nt2, nf2 = n_true + 2, n_false + 2
+    out: dict[str, tuple[int, int]] = {}
+    for f, (at, af) in field_counts.items():
+        w_a = guarded_log_qround(
+            scale * math.log(((at + 1) * nf2) / (nt2 * (af + 1))),
+            f"w_agree[{f}]",
+        )
+        w_d = guarded_log_qround(
+            scale * math.log(((n_true - at + 1) * nf2) / (nt2 * (n_false - af + 1))),
+            f"w_disagree[{f}]",
+        )
+        out[f] = (w_a, w_d)
+    return out

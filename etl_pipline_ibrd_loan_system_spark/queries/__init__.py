@@ -301,6 +301,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g16_label_propagation",
         "fv7_tfidf_terms",
         "m28_loan_npv",
+        "er2_fellegi_sunter_fit",
     ),
 }
 

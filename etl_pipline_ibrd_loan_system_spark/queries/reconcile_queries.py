@@ -379,12 +379,9 @@ _ER1_DIRTY_SQL = """
       FROM customer WHERE c_custkey % 10 IN (3, 7)
 """
 
-
-@query(
-    "er1_linkage_confusion",
-    sql=f"""
-    WITH dirty AS ({_ER1_DIRTY_SQL}),
-    cand AS (
+# Two blocking passes over the dirty extract (er1's recall argument);
+# shared verbatim by er1's confusion matrix and er2's weight fit.
+_ER1_CAND_SQL = """
       SELECT DISTINCT d_custkey, c_custkey FROM (
         SELECT d.d_custkey, c.c_custkey
         FROM dirty d JOIN customer c
@@ -399,7 +396,56 @@ _ER1_DIRTY_SQL = """
              = CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
                // 100000
       )
-    ), scored AS (
+"""
+
+
+def _er1_universe(spark: SparkSession, sf_dir: str):
+    """Shared ER universe (er1/er2): the dirty 20% re-extract, the
+    two-pass blocked candidate set joined back to both payloads, and
+    the cent-quantization helper. Returns (cust, dirty, pairs, cents)."""
+    from ..operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
+    dirty = cust.where(mod10.isin(3, 7)).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.when(mod20 == 13, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mktsegment"),
+    )
+
+    def cents(c: F.Column) -> F.Column:
+        return (c.cast("decimal(12,2)") * 100).cast("bigint")
+
+    dirty_b = dirty.withColumn("d_band", F.expr(
+        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    clean_b = cust.withColumn("c_band", F.expr(
+        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    cand = linkage.multi_pass_candidates(
+        dirty_b, clean_b, "d_custkey", "c_custkey",
+        passes=[
+            [("d_nationkey", "c_nationkey"), ("d_mktsegment", "c_mktsegment")],
+            [("d_nationkey", "c_nationkey"), ("d_band", "c_band")],
+        ],
+    )
+    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    return cust, dirty, pairs, cents
+
+
+@query(
+    "er1_linkage_confusion",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS ({_ER1_CAND_SQL}), scored AS (
       SELECT cand.d_custkey, cand.c_custkey,
              CAST(CASE WHEN d.d_name = c.c_name THEN 35 ELSE -10 END
                 + CASE WHEN d.d_mktsegment = c.c_mktsegment
@@ -437,39 +483,7 @@ def er1_linkage_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     its weights against."""
     from ..operators import linkage
 
-    cust = load_table(spark, sf_dir, "customer")
-    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
-    dirty = cust.where(mod10.isin(3, 7)).select(
-        F.col("c_custkey").alias("d_custkey"),
-        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
-        .otherwise(F.col("c_name"))
-        .alias("d_name"),
-        F.col("c_nationkey").alias("d_nationkey"),
-        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
-        .otherwise(F.col("c_acctbal"))
-        .alias("d_acctbal"),
-        F.when(mod20 == 13, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("d_mktsegment"),
-    )
-
-    def cents(c: F.Column) -> F.Column:
-        return (c.cast("decimal(12,2)") * 100).cast("bigint")
-
-    dirty_b = dirty.withColumn("d_band", F.expr(
-        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
-    ))
-    clean_b = cust.withColumn("c_band", F.expr(
-        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
-    ))
-    cand = linkage.multi_pass_candidates(
-        dirty_b, clean_b, "d_custkey", "c_custkey",
-        passes=[
-            [("d_nationkey", "c_nationkey"), ("d_mktsegment", "c_mktsegment")],
-            [("d_nationkey", "c_nationkey"), ("d_band", "c_band")],
-        ],
-    )
-    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    cust, dirty, pairs, cents = _er1_universe(spark, sf_dir)
     scored = linkage.score_pairs(
         pairs,
         comparisons=[
@@ -722,6 +736,138 @@ def er1b_linkage_tight_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         "classification",
         (F.col("d_custkey") == F.col("c_custkey")).alias("is_true_pair"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+# --- er2: Fellegi–Sunter weights FITTED from labeled pairs ----------------
+
+_ER2_MATCH_T = 2_000_000   # >= 2 nats of log-likelihood ratio
+_ER2_POSSIBLE_T = 0
+
+_ER2_CENTS_D = "CAST(CAST(d.d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+_ER2_CENTS_C = "CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+_ER2_FIELDS = ("name", "seg", "bal")
+
+
+def _er2_weight_sql() -> str:
+    """One fitted-weight column pair per field — the same smoothed
+    integer-product ratios linkage.fit_fs_weights quantizes driver-side
+    (round-to-micro-nat agrees cross-engine thanks to the boundary
+    guard; see fit_fs_weights)."""
+    cols = []
+    for f in _ER2_FIELDS:
+        cols.append(
+            f"CAST(round(1000000 * ln(((at_{f} + 1) * (nf + 2))::DOUBLE"
+            f" / (((nt + 2) * (af_{f} + 1))::DOUBLE))) AS BIGINT) AS wa_{f}"
+        )
+        cols.append(
+            f"CAST(round(1000000 * ln(((nt - at_{f} + 1) * (nf + 2))::DOUBLE"
+            f" / (((nt + 2) * (nf - af_{f} + 1))::DOUBLE))) AS BIGINT) AS wd_{f}"
+        )
+    return ",\n             ".join(cols)
+
+
+@query(
+    "er2_fellegi_sunter_fit",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS ({_ER1_CAND_SQL}),
+    feat AS (
+      SELECT cand.d_custkey, cand.c_custkey,
+             (d.d_name = c.c_name) AS ag_name,
+             (d.d_mktsegment = c.c_mktsegment) AS ag_seg,
+             (abs({_ER2_CENTS_D} - {_ER2_CENTS_C}) <= 1000) AS ag_bal,
+             (cand.d_custkey = cand.c_custkey) AS is_true_pair
+      FROM cand
+      JOIN dirty d ON d.d_custkey = cand.d_custkey
+      JOIN customer c ON c.c_custkey = cand.c_custkey
+    ), cnt AS (
+      SELECT
+        CAST(SUM(CASE WHEN is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(SUM(CASE WHEN NOT is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        {", ".join(
+            f"CAST(SUM(CASE WHEN ag_{f} AND is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS at_{f}, "
+            f"CAST(SUM(CASE WHEN ag_{f} AND NOT is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS af_{f}"
+            for f in _ER2_FIELDS
+        )}
+      FROM feat
+    ), w AS (
+      SELECT {_er2_weight_sql()}
+      FROM cnt
+    ), scored AS (
+      SELECT f.is_true_pair,
+             CAST({" + ".join(f"CASE WHEN ag_{f} THEN wa_{f} ELSE wd_{f} END" for f in _ER2_FIELDS)}
+               AS BIGINT) AS score
+      FROM feat f, w
+    )
+    SELECT CASE WHEN score >= {_ER2_MATCH_T} THEN 'match'
+                WHEN score >= {_ER2_POSSIBLE_T} THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           is_true_pair,
+           COUNT(*)::BIGINT AS n_pairs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def er2_fellegi_sunter_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er1's linkage with the weights FITTED instead of hand-set: per
+    field, m/u agreement probabilities are estimated from the labeled
+    candidate universe (Laplace-smoothed counts — in production a
+    clerical sample; here the planted-defect ground truth), converted
+    to integer micro-nat log-likelihood weights on the driver
+    (linkage.fit_fs_weights — 8 ints of driver state, guarded
+    rounding), then every pair is scored with the fitted weights and
+    cut at 2.0/0.0 nats. Output is er1's confusion-matrix shape, so
+    diffing er1 vs er2 measures what fitting buys over hand-tuning.
+    Plan shape: er1's blocked candidate joins + ONE extra counting
+    aggregate over the pair table (the fit), then the same
+    scoring projection — still never an all-pairs product."""
+    from ..operators import linkage
+
+    cust, dirty, pairs, cents = _er1_universe(spark, sf_dir)
+    agree = {
+        "name": F.col("d_name") == F.col("c_name"),
+        "seg": F.col("d_mktsegment") == F.col("c_mktsegment"),
+        "bal": F.abs(cents(F.col("d_acctbal")) - cents(F.col("c_acctbal")))
+        <= 1000,
+    }
+    is_true = F.col("d_custkey") == F.col("c_custkey")
+    aggs = [
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(~is_true, 1).otherwise(0)).cast("bigint").alias("nf"),
+    ]
+    for f, pred in agree.items():
+        aggs.append(
+            F.sum(F.when(pred & is_true, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"at_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(pred & ~is_true, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"af_{f}")
+        )
+    c = pairs.agg(*aggs).collect()[0]
+    weights = linkage.fit_fs_weights(
+        {f: (c[f"at_{f}"], c[f"af_{f}"]) for f in agree},
+        n_true=c["nt"],
+        n_false=c["nf"],
+    )
+    scored = linkage.score_pairs(
+        pairs,
+        comparisons=[
+            (agree[f], weights[f][0], weights[f][1]) for f in agree
+        ],
+        match_threshold=_ER2_MATCH_T,
+        possible_threshold=_ER2_POSSIBLE_T,
+    )
+    return scored.groupBy(
+        "classification", is_true.alias("is_true_pair")
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("score").alias("min_score"),

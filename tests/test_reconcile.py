@@ -174,3 +174,26 @@ def test_score_pairs_thresholds(spark):
     assert out[1]["score"] == 50 and out[1]["classification"] == "match"
     assert out[2]["score"] == 10 and out[2]["classification"] == "possible"
     assert out[3]["score"] == -30 and out[3]["classification"] == "non_match"
+
+
+def test_fit_fs_weights_matches_hand_math_and_signs():
+    """fit_fs_weights reproduces the smoothed log-likelihood weights to
+    the micro-nat on a hand example, and an informative field gets a
+    positive agreement / negative disagreement weight."""
+    import math
+
+    from etl_pipline_ibrd_loan_system_spark.operators import linkage
+
+    # 10 true pairs (9 agree on name), 100 false pairs (5 agree)
+    w = linkage.fit_fs_weights({"name": (9, 5)}, n_true=10, n_false=100)
+    wa, wd = w["name"]
+    m_num, m_den = (9 + 1) * (100 + 2), (10 + 2) * (5 + 1)
+    assert wa == round(1_000_000 * math.log(m_num / m_den))
+    d_num, d_den = (10 - 9 + 1) * (100 + 2), (10 + 2) * (100 - 5 + 1)
+    assert wd == round(1_000_000 * math.log(d_num / d_den))
+    assert wa > 0 > wd
+
+    # perfectly-separating field: smoothing keeps both logs finite
+    w2 = linkage.fit_fs_weights({"f": (10, 0)}, n_true=10, n_false=100)
+    assert w2["f"][0] > wa  # cleaner evidence -> bigger weight
+    assert math.isfinite(w2["f"][1])
