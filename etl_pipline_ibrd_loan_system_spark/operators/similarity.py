@@ -931,3 +931,406 @@ def mmr_topk(
         )
         .sortWithinPartitions("query_id", "rank")
     )
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark's `div` and
+    DuckDB's `//` semantics (Python's // floors, which differs on
+    negative numerators: -7 div 2 = -3, -7 // 2 = -4)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+# Knuth's multiplicative hash constant: spreads seed picks across the
+# id space (ids arrive cluster-correlated in real corpora — seeding by
+# raw id order collapsed recall on the clustered test fixture).
+_PQ_SEED_MULT = 2654435761
+_PQ_SEED_MOD = 2**32
+
+
+def pq_train_encode(
+    corpus8: DataFrame,
+    id_col: str,
+    m_sub: int,
+    n_codes: int,
+    sub: int,
+    lloyd_iters: int = 2,
+) -> tuple[list[list[list[int]]], DataFrame]:
+    """Train per-subspace PQ codebooks on int8 codes and encode the
+    corpus. `corpus8` must expose (id_col, v8: array<bigint> int8
+    codes). Codebooks seed from the `n_codes` corpus vectors whose
+    Knuth-hashed ids sort first (deterministic AND spread across an
+    id-clustered corpus), then `lloyd_iters` integer Lloyd passes:
+    assign every subvector to its min-L2² codeword (ties -> lowest
+    code), recompute codewords as the toward-zero-truncated integer
+    mean (empty cells keep their previous codeword). All state is
+    integer, so training is bit-reproducible across engines and
+    partitionings.
+
+    Returns (codebooks[m][k][j], encoded) where encoded is
+    (id_col, m, code) — m_sub rows per vector.
+
+    Scale shape: assignment is a PURE PROJECTION — the codebooks ride
+    in the plan as nested array literals and the argmin is a
+    least-of-structs expression in whole-stage codegen (no join, no
+    window, the JVM twin of IVF's Arrow kernel); each Lloyd recount is
+    one groupBy over (subspace, code) — at most m_sub*n_codes combined
+    rows; driver state is the m_sub*n_codes*sub codebook tensor and
+    nothing corpus-sized."""
+    seed_hash = (F.col(id_col) * F.lit(_PQ_SEED_MULT)) % F.lit(_PQ_SEED_MOD)
+    seed_rows = (
+        corpus8.orderBy(seed_hash.asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"pq: need >= {n_codes} corpus vectors to seed, "
+            f"got {len(seed_rows)}"
+        )
+    cb = [
+        [
+            [int(x) for x in r["v8"][m * sub : (m + 1) * sub]]
+            for r in seed_rows
+        ]
+        for m in range(m_sub)
+    ]
+
+    subrows = corpus8.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.slice("v8", m * sub + 1, sub) for m in range(m_sub)
+            ])
+        ).alias("m", "sv"),
+    )
+
+    def assign_expr(codebooks: list[list[list[int]]]):
+        cb_lit = F.array(*[
+            F.array(*[
+                F.array(*[F.lit(int(x)).cast("bigint") for x in cw])
+                for cw in codebooks[m]
+            ])
+            for m in range(m_sub)
+        ])
+        structs = []
+        for k in range(n_codes):
+            cw_k = F.element_at(
+                F.element_at(cb_lit, F.col("m").cast("int") + 1), k + 1
+            )
+            d2 = F.aggregate(
+                F.zip_with(F.col("sv"), cw_k, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d2.alias("d2"), F.lit(k).alias("code")))
+        return F.least(*structs).getField("code").cast("bigint")
+
+    # integer Lloyd passes: recount -> toward-zero-truncated means
+    for _ in range(lloyd_iters):
+        sums = (
+            subrows.withColumn("code", assign_expr(cb))
+            .groupBy("m", "code")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                *[
+                    F.sum(F.element_at("sv", j + 1)).alias(f"s{j}")
+                    for j in range(sub)
+                ],
+            )
+            .collect()
+        )
+        got = {(int(r["m"]), int(r["code"])): r for r in sums}
+        cb = [
+            [
+                (
+                    [
+                        _tdiv(int(got[m, k][f"s{j}"]), int(got[m, k]["c"]))
+                        for j in range(sub)
+                    ]
+                    if (m, k) in got
+                    else cb[m][k]
+                )
+                for k in range(n_codes)
+            ]
+            for m in range(m_sub)
+        ]
+    encoded = subrows.select(
+        F.col(id_col), "m", assign_expr(cb).alias("code")
+    )
+    return cb, encoded
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m_sub: int = 16,
+    n_codes: int = 16,
+    dims: int = 64,
+    lloyd_iters: int = 2,
+    shortlist: int = 0,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation —
+    the memory tier BELOW int8 (sm3): each vector stores m_sub
+    sub-codes (here 8 codes of 3 bits = 3 bytes vs 256 bytes float32),
+    and queries score candidates through per-subspace lookup tables
+    instead of touching vectors. Built on the package's int8
+    quantization (corpus-trained symmetric scale) so every downstream
+    step — codebook training, encoding, LUTs, scores — is INTEGER and
+    bit-replayable cross-engine; ranking approximates cosine exactly
+    like sm3, with PQ reconstruction error on top (recall is measured
+    against sm1 in tests, the sm2/sm3 discipline).
+
+    With `shortlist` > 0 the ADC ranking only PRUNES: the top
+    `shortlist` ADC candidates per query are re-ranked by EXACT cosine
+    on the original float vectors (the rp2_jl_rerank pattern, and how
+    production PQ is actually deployed — measured here: ADC@5 recall
+    0.50 raw vs 0.92 with a 50-deep rerank on the synthetic corpus,
+    where PQ has no cluster structure to exploit). Output is then
+    (query_id, neighbor_id, cos_sim, rank); without a shortlist it is
+    (query_id, neighbor_id, adc_score, rank).
+
+    Scale shape: train/encode per pq_train_encode (projection +
+    one tiny groupBy per Lloyd pass); the LUT is (n_queries * m_sub *
+    n_codes) rows built by broadcasting the codeword table against the
+    query subvectors; scoring joins the corpus code rows to the
+    broadcast LUT and map-side-combines the m_sub partial dots per
+    (query, vector) — the only corpus-sized shuffle, already reduced
+    to (n_queries x corpus) grain by the combine. The rerank joins the
+    (n_queries * shortlist)-row id set back to the corpus as a
+    BROADCAST semi-probe, so original vectors never shuffle. At
+    billions of vectors you IVF-prune first (sm2's probes) and
+    ADC-score within cells — this operator is that inner loop."""
+    if dims % m_sub != 0:
+        raise ValueError(f"pq: dims={dims} not divisible by m_sub={m_sub}")
+    sub = dims // m_sub
+    g = int8_quantize_stats(corpus, vec_col)
+    c8 = corpus.select(
+        F.col(id_col),
+        _int8_quantize_expr(F.col(vec_col), g).alias("v8"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cb, encoded = pq_train_encode(
+            c8, id_col, m_sub, n_codes, sub, lloyd_iters
+        )
+
+        cwdf = corpus.sparkSession.createDataFrame(
+            [
+                (m, kk, cb[m][kk])
+                for m in range(m_sub)
+                for kk in range(n_codes)
+            ],
+            "m int, code bigint, cw array<bigint>",
+        )
+        qsub = queries.select(
+            F.col(id_col).alias("query_id"),
+            _int8_quantize_expr(F.col(vec_col), g).alias("q8"),
+        ).select(
+            "query_id",
+            F.posexplode(
+                F.array(*[
+                    F.slice("q8", m * sub + 1, sub) for m in range(m_sub)
+                ])
+            ).alias("m", "qsv"),
+        )
+        lut = qsub.join(F.broadcast(cwdf), "m").select(
+            "query_id",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with(F.col("qsv"), F.col("cw"), lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("pdot"),
+        )
+        scored = (
+            encoded.join(F.broadcast(lut), ["m", "code"])
+            .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+            .agg(F.sum("pdot").alias("adc_score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("adc_score"), F.asc("neighbor_id")
+        )
+        if not shortlist:
+            result = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "adc_score", "rank")
+            )
+            return result.localCheckpoint(eager=True)
+
+        short = (
+            scored.withColumn("srank", F.row_number().over(w))
+            .where(F.col("srank") <= shortlist)
+            .select("query_id", "neighbor_id")
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        rr = (
+            cv.join(F.broadcast(short), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        result = (
+            rr.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        c8.unpersist()
+
+
+def pq_oracle_ctes(
+    m_sub: int = 16,
+    n_codes: int = 16,
+    sub: int = 4,
+    k: int = 5,
+    lloyd_iters: int = 2,
+    shortlist: int = 0,
+    cos_fn=None,
+) -> str:
+    """DuckDB CTE chain replaying pq_train_encode + pq_adc_topk
+    verbatim (lloyd_oracle_ctes pattern). Expects `qc(neighbor_id,
+    cq)` — corpus int8 codes — and `qq8(query_id, q8)` — query int8
+    codes at the corpus scale; with `shortlist` > 0 additionally
+    `craw(neighbor_id, cv)` / `qraw(query_id, qv)` raw float vectors
+    and a `cos_fn(a, b)` SQL generator for the exact rerank. Emits
+    `pqfinal(query_id, neighbor_id, adc_score|cos_sim, rank)`. The
+    argmin tie rule (lowest code) is the window twin of Spark's
+    least-of-structs; integer means use `//`, which truncates toward
+    zero in DuckDB exactly like Spark's `div` (and unlike Python's
+    flooring //, see _tdiv); the seed pick replays the Knuth-hash
+    spread ordering."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"j -> (s.sv[j] - cb.cw[j]) * (s.sv[j] - cb.cw[j])))"
+    )
+    sums = ", ".join(f"SUM(sv[{j + 1}])" for j in range(sub))
+    parts = [
+        f"""pqsub AS MATERIALIZED (
+      SELECT neighbor_id, m, list_slice(cq, m * {sub} + 1, m * {sub} + {sub}) AS sv
+      FROM qc, unnest(range(0, {m_sub})) t(m)
+    )""",
+        f"""pqcb0 AS MATERIALIZED (
+      SELECT m, rn - 1 AS code,
+             list_slice(cq, m * {sub} + 1, m * {sub} + {sub}) AS cw
+      FROM (SELECT cq, row_number() OVER (
+              ORDER BY (neighbor_id * {_PQ_SEED_MULT}) % {_PQ_SEED_MOD},
+                       neighbor_id) AS rn
+            FROM qc
+            ORDER BY (neighbor_id * {_PQ_SEED_MULT}) % {_PQ_SEED_MOD},
+                     neighbor_id
+            LIMIT {n_codes}),
+           unnest(range(0, {m_sub})) t(m)
+    )""",
+    ]
+    prev = "pqcb0"
+    for t in range(1, lloyd_iters + 1):
+        parts.append(f"""pqa{t} AS (
+      SELECT neighbor_id, m, code, sv FROM (
+        SELECT s.neighbor_id, s.m, cb.code, s.sv,
+               row_number() OVER (
+                 PARTITION BY s.neighbor_id, s.m
+                 ORDER BY {d2} ASC, cb.code ASC
+               ) AS rn
+        FROM pqsub s JOIN {prev} cb USING (m)
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""pqsums{t} AS (
+      SELECT m, code, COUNT(*) AS c, [{sums}] AS sm
+      FROM pqa{t} GROUP BY m, code
+    )""")
+        parts.append(f"""pqcb{t} AS MATERIALIZED (
+      SELECT sd.m, sd.code,
+             CASE WHEN su.c IS NULL THEN sd.cw
+                  ELSE list_transform(range(1, {sub + 1}),
+                                      j -> su.sm[j] // su.c)
+             END AS cw
+      FROM {prev} sd LEFT JOIN pqsums{t} su USING (m, code)
+    )""")
+        prev = f"pqcb{t}"
+    parts.append(f"""pqenc AS (
+      SELECT neighbor_id, m, code FROM (
+        SELECT s.neighbor_id, s.m, cb.code,
+               row_number() OVER (
+                 PARTITION BY s.neighbor_id, s.m
+                 ORDER BY {d2} ASC, cb.code ASC
+               ) AS rn
+        FROM pqsub s JOIN {prev} cb USING (m)
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""pqqsub AS (
+      SELECT query_id, m, list_slice(q8, m * {sub} + 1, m * {sub} + {sub}) AS qsv
+      FROM qq8, unnest(range(0, {m_sub})) t(m)
+    )""")
+    parts.append(f"""pqlut AS (
+      SELECT q.query_id, q.m, cb.code,
+             list_sum(list_transform(range(1, {sub + 1}),
+                                     j -> q.qsv[j] * cb.cw[j]))::BIGINT AS pdot
+      FROM pqqsub q JOIN {prev} cb USING (m)
+    )""")
+    parts.append("""pqscored AS (
+      SELECT l.query_id, e.neighbor_id, SUM(l.pdot)::BIGINT AS adc_score
+      FROM pqenc e JOIN pqlut l ON l.m = e.m AND l.code = e.code
+      GROUP BY 1, 2
+    )""")
+    if not shortlist:
+        parts.append(f"""pqfinal AS (
+      SELECT query_id, neighbor_id, adc_score, rank FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_score DESC, neighbor_id ASC
+               )::INT AS rank
+        FROM pqscored
+      ) WHERE rank <= {k}
+    )""")
+        return ",\n    ".join(parts)
+    parts.append(f"""pqshort AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY adc_score DESC, neighbor_id ASC
+               ) AS srank
+        FROM pqscored
+      ) WHERE srank <= {shortlist}
+    )""")
+    parts.append(f"""pqrr AS (
+      SELECT s.query_id, s.neighbor_id,
+             {cos_fn('q.qv', 'c.cv')} AS cos_sim
+      FROM pqshort s
+      JOIN qraw q USING (query_id)
+      JOIN craw c USING (neighbor_id)
+    )""")
+    parts.append(f"""pqfinal AS (
+      SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id ASC
+               )::INT AS rank
+        FROM pqrr
+      ) WHERE rank <= {k}
+    )""")
+    return ",\n    ".join(parts)

@@ -302,6 +302,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "fv7_tfidf_terms",
         "m28_loan_npv",
         "er2_fellegi_sunter_fit",
+        "sm11_pq_adc_topk",
     ),
 }
 

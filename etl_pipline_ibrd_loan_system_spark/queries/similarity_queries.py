@@ -663,3 +663,41 @@ def sm10_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim", F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "sm11_pq_adc_topk",
+    sql=f"""
+    WITH qn AS (SELECT vec_id AS query_id, {_NORM.format(v='embedding')} AS nv
+                FROM embeddings WHERE vec_id < 10),
+    cn AS (SELECT vec_id AS neighbor_id, {_NORM.format(v='embedding')} AS nv
+           FROM embeddings WHERE vec_id >= 10),
+    gs AS (SELECT MAX(list_max(list_transform(nv, x -> abs(x)))) AS g FROM cn),
+    qc AS (SELECT neighbor_id, {_CODE} AS cq FROM cn, gs),
+    qq8 AS (SELECT query_id, {_CODE} AS q8 FROM qn, gs),
+    craw AS (SELECT vec_id AS neighbor_id, embedding AS cv
+             FROM embeddings WHERE vec_id >= 10),
+    qraw AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 10),
+    {similarity.pq_oracle_ctes(m_sub=16, n_codes=16, sub=4, k=5,
+                               lloyd_iters=2, shortlist=50, cos_fn=_cos)}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM pqfinal
+    """,
+)
+def sm11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_adc_topk): 16 subspaces
+    x 16 integer codewords trained with two integer Lloyd passes on
+    the sm3 int8 codes (Knuth-hash-spread seeds), queries scored
+    through per-subspace ADC lookup tables, then the top-50 ADC
+    candidates re-ranked by exact cosine (the rp2 pattern — how PQ is
+    deployed: codes prune, floats decide; the inner loop of IVF-PQ
+    when composed with sm2's probes). Training/encoding/LUT/pruning
+    are integer and replay bit-for-bit in the oracle (pq_oracle_ctes);
+    the rerank reuses sm1's pinned-order cosine. Recall vs sm1 is
+    pinned in tests/test_similarity.py, the sm2/sm3 discipline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, m_sub=16, n_codes=16, dims=64,
+        lloyd_iters=2, shortlist=50,
+    )

@@ -286,3 +286,73 @@ def test_sm10_negatives_cross_label_and_ranked(spark, sf_dir):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         sims = [x[1] for x in rs]
         assert all(sims[i] >= sims[i + 1] for i in range(len(sims) - 1))
+
+
+def test_pq_codes_bounded_and_rerank_recall(spark, sf_dir):
+    """PQ codes stay in [0, n_codes) with m_sub rows per vector; the
+    ADC+exact-rerank pipeline recovers >= 0.85 of the exact top-5
+    (measured 0.92 on this corpus — random embeddings are PQ's worst
+    case, no cluster structure to exploit), and the rerank strictly
+    dominates raw ADC ranking."""
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+
+    g = similarity.int8_quantize_stats(corpus, "embedding")
+    c8 = corpus.select(
+        F.col("vec_id"),
+        similarity._int8_quantize_expr(F.col("embedding"), g).alias("v8"),
+    )
+    cb, encoded = similarity.pq_train_encode(
+        c8, "vec_id", m_sub=16, n_codes=16, sub=4, lloyd_iters=1
+    )
+    stats = encoded.agg(
+        F.min("code"), F.max("code"), F.min("m"), F.max("m"),
+        F.count(F.lit(1)),
+    ).first()
+    assert stats[0] >= 0 and stats[1] <= 15
+    assert stats[2] == 0 and stats[3] == 15
+    assert stats[4] == corpus.count() * 16
+    assert len(cb) == 16 and all(len(cws) == 16 for cws in cb)
+    assert all(len(cw) == 4 for cws in cb for cw in cws)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(
+            corpus, queries, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    rerank = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_adc_topk(
+            corpus, queries, "vec_id", "embedding", k=5,
+            m_sub=16, n_codes=16, dims=64, lloyd_iters=2, shortlist=50,
+        ).collect()
+    }
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_adc_topk(
+            corpus, queries, "vec_id", "embedding", k=5,
+            m_sub=16, n_codes=16, dims=64, lloyd_iters=2,
+        ).collect()
+    }
+    r_rr = len(exact & rerank) / len(exact)
+    r_raw = len(exact & raw) / len(exact)
+    assert r_rr >= 0.85, f"pq rerank recall collapsed: {r_rr}"
+    assert r_rr > r_raw, f"rerank did not help: {r_rr} vs {r_raw}"
+
+
+def test_pq_tdiv_truncates_toward_zero():
+    """_tdiv must match Spark's div / DuckDB's // (truncation), not
+    Python's flooring // — the Lloyd means diverge on negative sums
+    otherwise."""
+    from etl_pipline_ibrd_loan_system_spark.operators.similarity import _tdiv
+
+    assert _tdiv(-7, 2) == -3 != (-7) // 2
+    assert _tdiv(7, 2) == 3
+    assert _tdiv(-8, 2) == -4
+    assert _tdiv(7, -2) == -3
