@@ -224,3 +224,68 @@ def l_diversity(
         )
         .withColumn("violates_l", F.col("sensitive_values") < l)
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-closeness screen (Li, Li & Venkatasubramanian 2007) — the
+    privacy triad's third leg after k_anonymity / l_diversity: a class
+    can be large AND diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (skewness attack).
+    For a nominal sensitive attribute the prescribed distance is the
+    equal-ground EMD, i.e. total variation distance
+    (1/2) * sum_v |p_class(v) - p_table(v)|.
+
+    EXACT integer form: with class counts c_v (n = class size) and
+    global counts g_v (N = table size),
+        TVD = sum_v |c_v * N - g_v * n| / (2 * n * N)
+    so `emd_num` = the integer numerator sum, and the violation flag
+    compares t_num/t_den in cross-multiplied INTEGER arithmetic
+    (t > 1/5  <=>  5 * emd_num > 2 * n * N) — no float ever decides.
+    The reported `t_value` double is one pinned-order division for
+    human eyes only.
+
+    Scale shape: one (quasi, sensitive)-grain count, one
+    sensitive-grain global count (category-sized, broadcast), one
+    quasi-grain recombine; classes MISSING a sensitive value still
+    contribute |0 - g_v * n| via the class x category expansion —
+    bounded by |classes| * |categories|, never the row count.
+    """
+    cls = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c_v")
+    )
+    sizes = cls.groupBy(*quasi_cols).agg(F.sum("c_v").alias("n_rows"))
+    glob = cls.groupBy(sensitive_col).agg(F.sum("c_v").alias("g_v"))
+    tot = glob.agg(F.sum("g_v").alias("n_total"))
+    expanded = (
+        sizes.crossJoin(F.broadcast(glob.crossJoin(tot)))
+        .join(cls, [*quasi_cols, sensitive_col], "left")
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "n_total",
+            (
+                F.abs(
+                    F.coalesce(F.col("c_v"), F.lit(0)) * F.col("n_total")
+                    - F.col("g_v") * F.col("n_rows")
+                )
+            ).alias("term"),
+        )
+    )
+    return expanded.groupBy(*quasi_cols).agg(
+        F.min("n_rows").cast("bigint").alias("class_size"),
+        F.sum("term").cast("bigint").alias("emd_num"),
+        (
+            F.sum("term").cast("double")
+            / (F.lit(2.0) * F.min("n_rows") * F.min("n_total"))
+        ).alias("t_value"),
+        (
+            F.sum("term") * t_den
+            > F.lit(2) * F.min("n_rows") * F.min("n_total") * t_num
+        ).alias("violates_t"),
+    )

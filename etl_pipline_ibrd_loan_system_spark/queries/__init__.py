@@ -303,6 +303,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "m28_loan_npv",
         "er2_fellegi_sunter_fit",
         "sm11_pq_adc_topk",
+        "dq20_t_closeness",
+        "dq21_mutual_information",
     ),
 }
 

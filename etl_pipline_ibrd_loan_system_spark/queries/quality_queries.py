@@ -383,6 +383,53 @@ def dq7_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq20_t_closeness",
+    sql="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS c_v
+      FROM customer GROUP BY 1, 2
+    ), sizes AS (
+      SELECT c_nationkey, SUM(c_v)::BIGINT AS n_rows FROM cls GROUP BY 1
+    ), gcnt AS (
+      SELECT c_mktsegment, SUM(c_v)::BIGINT AS g_v FROM cls GROUP BY 1
+    ), tot AS (SELECT SUM(g_v)::BIGINT AS n_total FROM gcnt),
+    expanded AS (
+      SELECT s.c_nationkey, s.n_rows, t.n_total,
+             abs(COALESCE(c.c_v, 0) * t.n_total - g.g_v * s.n_rows) AS term
+      FROM sizes s CROSS JOIN gcnt g CROSS JOIN tot t
+      LEFT JOIN cls c
+        ON c.c_nationkey = s.c_nationkey
+       AND c.c_mktsegment = g.c_mktsegment
+    )
+    SELECT c_nationkey,
+           MIN(n_rows) AS class_size,
+           SUM(term)::BIGINT AS emd_num,
+           SUM(term)::DOUBLE / (2.0 * MIN(n_rows) * MIN(n_total)) AS t_value,
+           (SUM(term) * 5 > 2 * MIN(n_rows) * MIN(n_total) * 1) AS violates_t
+    FROM expanded GROUP BY c_nationkey
+    """,
+)
+def dq20_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness screen (t = 1/5) with nationkey as the quasi
+    identifier and market segment as the sensitive attribute — the
+    skewness-attack companion dq6/dq7 are missing: a nation bucket
+    whose segment mix diverges from the table's discloses segment
+    likelihood by membership even when large (k) and diverse (l). The
+    equal-ground EMD is computed as an EXACT integer numerator
+    (sum_v |c_v*N - g_v*n|) and the violation flag is a cross-
+    multiplied integer comparison; the only float is the reported
+    t_value division (operators/quality.py::t_closeness). Class x
+    category expansion keeps missing segments in the sum — 125 x 5
+    grain, never row grain."""
+    from ..operators.quality import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness(
+        cust, ["c_nationkey"], "c_mktsegment", t_num=1, t_den=5
+    )
+
+
+@query(
     "dq8_cusum_drift",
     sql="""
     WITH RECURSIVE counts AS (
@@ -1249,4 +1296,91 @@ def dq17_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos(F.col("va"), F.col("vb")).alias("mean_drift_cos"),
             cos(F.col("va2"), F.col("vb2")).alias("var_drift_cos"),
         )
+    )
+
+
+# --- dq21: mutual information between categorical columns -----------------
+
+
+@query(
+    "dq21_mutual_information",
+    sql="""
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             COUNT(*)::BIGINT AS n_xy
+      FROM orders GROUP BY 1, 2
+    ), mx AS (
+      SELECT priority, SUM(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1
+    ), my AS (
+      SELECT status, SUM(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1
+    ), tot AS (SELECT SUM(n_xy)::BIGINT AS n FROM cells)
+    SELECT c.priority, c.status, c.n_xy,
+           CAST(round(1000000 * ln((c.n_xy * t.n)::DOUBLE
+             / ((x.n_x * y.n_y))::DOUBLE)) AS BIGINT) AS pmi_micro,
+           (c.n_xy::DOUBLE / t.n::DOUBLE)
+             * (CAST(round(1000000 * ln((c.n_xy * t.n)::DOUBLE
+                  / ((x.n_x * y.n_y))::DOUBLE)) AS BIGINT)::DOUBLE
+                / 1000000.0) AS mi_contrib
+    FROM cells c
+    JOIN mx x USING (priority)
+    JOIN my y USING (status)
+    CROSS JOIN tot t
+    """,
+)
+def dq21_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise and total mutual information between order priority
+    and order status — the model-free dependence screen that ranks
+    candidate features / detects leaking columns (fv6's WOE is the
+    binary-target special case; MI is the general one). Per observed
+    joint cell: count, PMI in integer micro-nats (quantized on the
+    driver from the collected <= |X|*|Y| cell counts through
+    sampling.guarded_log_qround — fv6's bounded-state discipline), and
+    the MI contribution (p_xy * pmi) as a pinned-order IEEE product
+    over exact integers, so SUM(mi_contrib) is the table's MI. One
+    aggregate scan at category-product grain."""
+    import math as _math
+
+    from ..operators import sampling
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    rows = cells.collect()
+    n = sum(r["n_xy"] for r in rows)
+    n_x: dict[str, int] = {}
+    n_y: dict[str, int] = {}
+    for r in rows:
+        n_x[r["priority"]] = n_x.get(r["priority"], 0) + r["n_xy"]
+        n_y[r["status"]] = n_y.get(r["status"], 0) + r["n_xy"]
+    pmi = {
+        (r["priority"], r["status"]): sampling.guarded_log_qround(
+            1_000_000
+            * _math.log(
+                (r["n_xy"] * n) / (n_x[r["priority"]] * n_y[r["status"]])
+            ),
+            f"pmi[{r['priority']}|{r['status']}]",
+        )
+        for r in rows
+    }
+    pmi_map = F.create_map(
+        *[
+            x
+            for (p, s), v in pmi.items()
+            for x in (F.lit(f"{p}|{s}"), F.lit(int(v)))
+        ]
+    )
+    pmi_micro = pmi_map[
+        F.concat(F.col("priority"), F.lit("|"), F.col("status"))
+    ].cast("bigint")
+    return cells.select(
+        "priority",
+        "status",
+        "n_xy",
+        pmi_micro.alias("pmi_micro"),
+        (
+            (F.col("n_xy").cast("double") / F.lit(float(n)))
+            * (pmi_micro.cast("double") / F.lit(1_000_000.0))
+        ).alias("mi_contrib"),
     )

@@ -126,3 +126,55 @@ def test_dq17_drift_is_scale_invariant_and_selfconsistent(spark, sf_dir):
         # same-population halves: second-moment profile is stable even
         # though this corpus is zero-mean per label (mean cos ~ noise)
         assert r.var_drift_cos > 0.8  # ~25 vecs/half at sf0.001
+
+
+def test_t_closeness_exact_tvd_and_flags(spark):
+    """Hand universe: 2 classes over a 3-value sensitive attribute.
+    The integer EMD numerator, the t_value, and the cross-multiplied
+    violation flag all match a manual total-variation computation —
+    including a class MISSING one sensitive value entirely."""
+    from etl_pipline_ibrd_loan_system_spark.operators.quality import t_closeness
+
+    rows = (
+        [("a", "x")] * 4                              # class a: all x, no y/z
+        + [("b", "x")] * 5 + [("b", "y")] * 5 + [("b", "z")] * 2
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    out = {r.qi: r for r in t_closeness(df, ["qi"], "s", 1, 5).collect()}
+
+    # global: x=9, y=5, z=2, N=16
+    def num(cls_counts, n):
+        g = {"x": 9, "y": 5, "z": 2}
+        return sum(abs(cls_counts.get(v, 0) * 16 - g[v] * n) for v in g)
+
+    na = num({"x": 4}, 4)  # 56 -> t = 56/128 = 0.4375
+    assert out["a"].emd_num == na
+    assert out["a"].t_value == na / (2.0 * 4 * 16)
+    assert out["a"].violates_t == (na * 5 > 2 * 4 * 16)
+    nb = num({"x": 5, "y": 5, "z": 2}, 12)  # 56 -> t = 56/384 ~ 0.146
+    assert out["b"].emd_num == nb
+    assert out["b"].violates_t == (nb * 5 > 2 * 12 * 16)
+    # sanity: the skewed class violates, the representative one doesn't
+    assert out["a"].violates_t and not out["b"].violates_t
+
+
+def test_mutual_information_nonnegative_total_and_independence(spark, sf_dir):
+    """Total MI (sum of contributions) is >= 0 on real data, and an
+    independent hand universe yields ~zero MI (every PMI cell is 0
+    micro-nats when joint = product of marginals exactly)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["dq21_mutual_information"](spark, sf_dir).collect()
+    assert sum(r.mi_contrib for r in rows) >= 0.0
+    assert all(r.n_xy > 0 for r in rows)
+
+    # perfectly independent 2x2 with equal masses -> all PMI exactly 0
+    import math
+
+    from etl_pipline_ibrd_loan_system_spark.operators import sampling
+
+    for n_xy, n_x, n_y, n in [(25, 50, 50, 100), (10, 20, 50, 100)]:
+        v = sampling.guarded_log_qround(
+            1_000_000 * math.log((n_xy * n) / (n_x * n_y)), "t"
+        )
+        assert v == 0
