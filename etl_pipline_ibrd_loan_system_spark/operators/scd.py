@@ -766,3 +766,33 @@ def scd2_compact(
     return merged.select(
         sk_col, key, *attr_cols, start_col, end_col, current_col
     )
+
+
+def scd6_project(
+    dim: DataFrame,
+    key: str,
+    t2_cols: list[str],
+    current_col: str = "is_current",
+    prefix: str = "current_",
+) -> DataFrame:
+    """SCD Type 6 (hybrid 1+2+3) read view over a Type-2 dimension:
+    every HISTORICAL row additionally carries the key's CURRENT value
+    of each tracked attribute — the Kimball "type 6" pattern that lets
+    one fact join answer both "as it was" (the row's own columns) and
+    "as it is" (the current_ columns) without a second dimension
+    lookup. Derived, not stored: the projection is a key-partitioned
+    window MAX over the single is_current row per key (SCD2 invariant,
+    audited by dq16), so it stays correct after every merge with no
+    extra bookkeeping.
+
+    Scale shape: ONE hash exchange on the business key (the window),
+    no join, no new state; per-partition row count is the key's
+    version count."""
+    w = Window.partitionBy(key)
+    out = dim
+    for c in t2_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.max(F.when(F.col(current_col), F.col(c))).over(w),
+        )
+    return out

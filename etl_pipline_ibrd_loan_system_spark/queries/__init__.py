@@ -305,6 +305,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "sm11_pq_adc_topk",
         "dq20_t_closeness",
         "dq21_mutual_information",
+        "g17_scd6_hybrid",
     ),
 }
 

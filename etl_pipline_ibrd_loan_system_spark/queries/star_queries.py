@@ -479,6 +479,49 @@ def g9_scd3_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- G17: SCD Type 6 (hybrid 1+2+3) read view ------------------------------
+
+
+@query(
+    "g17_scd6_hybrid",
+    sql=f"""
+    {_DIM1_SQL}
+    SELECT sk, s_suppkey, s_name,
+           MAX(CASE WHEN is_current THEN s_name END)
+             OVER (PARTITION BY s_suppkey) AS current_s_name,
+           s_acctbal, s_nationkey,
+           CAST(start_date AS VARCHAR) AS start_date,
+           CAST(end_date AS VARCHAR) AS end_date, is_current
+    FROM dim1
+    """,
+)
+def g17_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 6 over g1's post-merge dimension
+    (operators/scd.py::scd6_project): each history row carries BOTH its
+    own as-of s_name and the key's current s_name — the hybrid view
+    that answers "report historical facts under today's labels" with
+    one lookup (the Kimball 1+2+3 pattern). Derived by a key-
+    partitioned window over the unique is_current row (the dq16-
+    audited SCD2 invariant), so it needs no stored Type-3 columns and
+    survives every merge; one hash exchange, no join."""
+    dim0, staging = scd_fixture(spark, sf_dir)
+    dim1 = scd2_apply(
+        dim0, staging, key="s_suppkey",
+        t1_cols=["s_acctbal"], t2_cols=["s_name"], fixed_cols=["s_nationkey"],
+        asof=ASOF1, sk_col="sk", sk_strategy="dense",
+    )
+    from ..operators.scd import scd6_project
+
+    out = scd6_project(dim1, key="s_suppkey", t2_cols=["s_name"])
+    return out.select(
+        "sk", "s_suppkey", "s_name", "current_s_name", "s_acctbal",
+        "s_nationkey",
+        F.col("start_date").cast("string").alias("start_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "is_current",
+    )
+
+
 # --- C12: bitemporal dimension (valid time x transaction time) -----------
 
 _C12_SQL = f"""

@@ -566,3 +566,29 @@ def test_compaction_is_idempotent_and_keeps_true_boundaries(spark, dims):
     # b3's T2 boundary (gamma -> gamma_renamed) must survive: 2 versions
     b3 = [r for r in rows1 if r[1] == "b3"]
     assert len(b3) == 2
+
+
+def test_scd6_project_current_on_every_version(spark):
+    """SCD6: every historical row of a key carries the key's current
+    tracked value; rows of keys with one version see their own value;
+    the projection adds no rows and no join."""
+    from etl_pipline_ibrd_loan_system_spark.operators.scd import scd6_project
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10, "alpha_v1", "2024-01-01", "2024-06-01", False),
+            (2, 10, "alpha_v2", "2024-06-01", None, True),
+            (3, 20, "beta", "2024-01-01", None, True),
+        ],
+        "sk long, k long, name string, start_date string, "
+        "end_date string, is_current boolean",
+    )
+    out = scd6_project(dim, key="k", t2_cols=["name"])
+    rows = {r.sk: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1].current_name == "alpha_v2"  # history row, current label
+    assert rows[2].current_name == "alpha_v2"
+    assert rows[3].current_name == "beta"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
