@@ -596,3 +596,176 @@ def lpa_oracle_ctes(rounds: int = 4) -> str:
         prev = f"lp{r}"
     parts.append(f"lpfinal AS (SELECT node, label AS community FROM {prev})")
     return ",\n    ".join(parts)
+
+
+def hyperball(
+    edges: DataFrame,
+    rounds: int = 3,
+    b: int = 9,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the per-node neighborhood
+    function — |ball(v, r)| for r = 0..rounds — via mergeable HLL
+    sketches instead of per-node visited sets. THE web-scale
+    centrality algorithm: exact per-node balls need O(n) state per
+    node (all-pairs BFS); HyperBall keeps 2^b registers per node and
+    one register-wise MAX merge per round, so radius-r reach, and the
+    harmonic centrality derived from it, costs r joins total at ANY
+    graph size. Edges given symmetric, as for pagerank/kcore/LPA.
+
+    Determinism: registers are integer (shared 60-bit hash, rho
+    cascade, MAX merge — sketches.hll_registers), and each radius's
+    estimate is the house HLL estimator rounded to an integer, so the
+    result is partition- and engine-invariant; the oracle unrolls the
+    same rounds from the same generated expressions. harmonic_micro =
+    sum_r greatest(ball_r - ball_{r-1}, 0) * 1e6 div r — integer
+    arithmetic over the integer estimates (clamped: nested sketches
+    give monotone RAW estimates, but an estimator branch switch can
+    dip a delta by an epsilon).
+
+    Scale shape: registers are PACKED — one row per node carrying the
+    full 2^b register vector as an array column (Boldi & Vigna's
+    actual layout), so each round is ONE edges join on src whose
+    fanout is |E| ROWS (array payloads ride along), not |E| x 2^b
+    register rows, followed by a node-grain elementwise-MAX combine
+    (2^b max aggregates — map-side combinable like any agg). Measured
+    on the sf0.1 trade graph (1.2M edges, 16k nodes, saturated
+    sketches): the sparse row layout generated ~600M combine inputs
+    per round and ran 205 s; packed runs the identical math in 46 s
+    (the 512-aggregate codegen costs ~10 s of fixed compile time, so
+    tiny graphs pay a constant overhead the fanout savings dwarf at
+    any real size).
+    The register table is re-checkpointed per round (flat lineage),
+    the edge table once. Estimates are per-node array expressions —
+    no extra shuffle; the decimal register sum is order-free so
+    packing cannot change a single estimate."""
+    from .sketches import _alpha, hll_registers
+
+    m = 2 ** b
+    e = edges.select(
+        F.col(src).cast("bigint").alias("src"),
+        F.col(dst).cast("bigint").alias("dst"),
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    sparse = hll_registers(nodes.withColumn("v", F.col("node")), "v", ["node"], b)
+    pack = [
+        F.coalesce(
+            F.max(F.when(F.col("bucket") == i, F.col("m_reg"))), F.lit(0)
+        ).alias(f"r{i}")
+        for i in range(m)
+    ]
+    regs = (
+        sparse.groupBy("node")
+        .agg(*pack)
+        .select("node", F.array(*[f"r{i}" for i in range(m)]).alias("regs"))
+        .localCheckpoint(eager=True)
+    )
+
+    alpha_m2 = _alpha(m) * m * m
+    present = F.filter("regs", lambda x: x > 0)
+    z = (
+        (F.lit(m) - F.size(present)).cast("decimal(38,21)")
+        + F.aggregate(
+            present,
+            F.lit(0).cast("decimal(38,21)"),
+            # the re-cast is lossless: register values cap at RHO_CAP=20,
+            # and 2^-20 needs exactly 20 fractional digits — Spark types
+            # the raw sum (38,20), which still holds every partial exactly
+            lambda acc, x: (
+                acc + F.pow(F.lit(2.0), -x).cast("decimal(38,21)")
+            ).cast("decimal(38,21)"),
+        )
+    ).cast("double")
+    v = F.lit(m) - F.size(present)
+    raw = F.lit(alpha_m2) / z
+    est_expr = F.round(
+        F.when(
+            (raw <= 2.5 * m) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+        ).otherwise(raw)
+    ).cast("bigint")
+
+    elem_max = [
+        F.max(F.element_at("regs", i + 1)).alias(f"r{i}") for i in range(m)
+    ]
+    balls = regs.select("node", est_expr.alias("ball_r0"))
+    for t in range(1, rounds + 1):
+        contrib = e.join(
+            regs.withColumnRenamed("node", "__s"), e.src == F.col("__s")
+        ).select(F.col("dst").alias("node"), "regs")
+        regs = (
+            contrib.unionByName(regs.select("node", "regs"))
+            .groupBy("node")
+            .agg(*elem_max)
+            .select(
+                "node",
+                F.array(*[f"r{i}" for i in range(m)]).alias("regs"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        balls = balls.join(
+            regs.select("node", est_expr.alias(f"ball_r{t}")), "node"
+        )
+    harmonic = None
+    for t in range(1, rounds + 1):
+        delta = F.greatest(
+            F.col(f"ball_r{t}") - F.col(f"ball_r{t - 1}"), F.lit(0)
+        )
+        term = F.expr(f"__d{t} * 1000000 div {t}")
+        balls = balls.withColumn(f"__d{t}", delta)
+        harmonic = term if harmonic is None else harmonic + term
+    return balls.select(
+        "node",
+        *[f"ball_r{r}" for r in range(rounds + 1)],
+        harmonic.cast("bigint").alias("harmonic_micro"),
+    )
+
+
+def hyperball_oracle_ctes(rounds: int = 3, b: int = 9) -> str:
+    """DuckDB CTE chain replaying hyperball (pagerank/LPA oracle
+    pattern; register expressions generated by operators/sketches.py).
+    Expects `edges(src, dst)`; emits `hbfinal(node, ball_r0..,
+    harmonic_micro)`."""
+    from .sketches import RHO_CAP, _rho_sql, hll_estimate_sql
+
+    m = 2 ** b
+    h = "CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) AS BIGINT)"
+    rho = _rho_sql(f"h // {m}", RHO_CAP)
+    parts = [
+        "hbnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        f"""hbr0 AS MATERIALIZED (
+      SELECT node, h % {m} AS bucket, MAX({rho}) AS m_reg
+      FROM (SELECT node, {h} AS h FROM hbnodes) GROUP BY node, bucket
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f"""hbr{t} AS MATERIALIZED (
+      SELECT node, bucket, MAX(m_reg) AS m_reg FROM (
+        SELECT e.dst AS node, r.bucket, r.m_reg
+        FROM edges e JOIN hbr{t - 1} r ON e.src = r.node
+        UNION ALL SELECT node, bucket, m_reg FROM hbr{t - 1}
+      ) GROUP BY node, bucket
+    )""")
+    for t in range(rounds + 1):
+        parts.append(
+            f"hbe{t} AS ({hll_estimate_sql(f'hbr{t}', ['node'], b)})"
+        )
+    joins = " ".join(
+        f"JOIN hbe{t} USING (node)" for t in range(1, rounds + 1)
+    )
+    balls = ", ".join(
+        f"hbe{t}.est_distinct AS ball_r{t}" if t == 0
+        else f"hbe{t}.est_distinct AS ball_r{t}"
+        for t in range(rounds + 1)
+    )
+    harm = " + ".join(
+        f"(GREATEST(hbe{t}.est_distinct - hbe{t - 1}.est_distinct, 0)"
+        f" * 1000000 // {t})"
+        for t in range(1, rounds + 1)
+    )
+    return ",\n    ".join(parts) + f""",
+    hbfinal AS (
+      SELECT node, {balls}, CAST({harm} AS BIGINT) AS harmonic_micro
+      FROM hbe0 {joins}
+    )"""

@@ -667,3 +667,33 @@ def hll_sliding_oracle_sql(
              END) AS BIGINT) AS est_distinct
     FROM collapsed
     """
+
+
+def hll_estimate_sql(
+    regs_cte: str, group_by: Sequence[str], b: int = DEFAULT_B
+) -> str:
+    """DuckDB replay of hll_estimate over a PER-GROUP register CTE
+    `regs_cte(group..., bucket, m_reg)` — the grouped twin of
+    hll_collapse_sql, generated from the same literals as the Spark
+    expressions. Yields (group..., est_distinct) rows."""
+    m = 2 ** b
+    alpha_m2 = _alpha(m) * m * m
+    g = ", ".join(group_by)
+    raw = (
+        f"{alpha_m2!r} / CAST(CAST({m} - n_present AS DECIMAL(38,21))"
+        f" + z_present AS DOUBLE)"
+    )
+    return f"""
+    SELECT {g},
+           CAST(ROUND(
+             CASE WHEN ({raw}) <= {2.5 * m} AND ({m} - n_present) > 0
+                  THEN {float(m)!r} * LN({float(m)!r} / ({m} - n_present))
+                  ELSE {raw}
+             END) AS BIGINT) AS est_distinct
+    FROM (
+      SELECT {g},
+             SUM(CAST(POWER(2.0, -m_reg) AS DECIMAL(38,21))) AS z_present,
+             COUNT(*) AS n_present
+      FROM {regs_cte} GROUP BY {g}
+    )
+    """

@@ -306,6 +306,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dq20_t_closeness",
         "dq21_mutual_information",
         "g17_scd6_hybrid",
+        "g18_hyperball_centrality",
     ),
 }
 

@@ -2302,6 +2302,43 @@ def g16_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g18_hyperball_centrality",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    {_graph.hyperball_oracle_ctes(rounds=3)}
+    SELECT node, ball_r0, ball_r1, ball_r2, ball_r3, harmonic_micro
+    FROM hbfinal
+    """,
+)
+def g18_hyperball_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function + harmonic centrality over the
+    symmetric trade graph (graph.hyperball): per node, the HLL-
+    estimated ball size at radius 0..3 and the integer harmonic score
+    derived from the ball deltas. Exact all-pairs BFS is quadratic
+    state; HyperBall is 2^9 registers per node and one register-MAX
+    merge per radius (Boldi & Vigna 2013) — the centrality that still
+    runs at web scale, here sharing the sk-family's deterministic HLL
+    (60-bit shared hash, integer rho cascade, decimal register sum)
+    so every estimate replays bit-for-bit in the unrolled oracle."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph.hyperball(edges, rounds=3)
+
+
+@query(
     "zo2_hilbert_layout",
     sql=zorder.hilbert_layout_oracle_sql(
         "events", "user_id", "(epoch_us(ts) // 1000000)"

@@ -223,3 +223,64 @@ def test_label_propagation_matches_reference_on_bipartite(spark):
             for r in graph.label_propagation(edges, rounds=rounds).collect()
         }
         assert got == _lpa_reference(sym, rounds=rounds), rounds
+
+
+def test_hyperball_matches_independent_hll_replay(spark):
+    """Two triangles + bridge: ball estimates at every radius equal an
+    independent Python replay of the same HLL (md5-based shared hash,
+    rho cascade, decimal register sum, same estimator branches), and
+    balls are monotone with ball_r0 == 1 on a 512-register sketch."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from etl_pipline_ibrd_loan_system_spark.operators import graph
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    sym = tri1 + tri2 + [(3, 4)]
+    sym = sym + [(b, a) for a, b in sym]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    out = {r.node: r for r in graph.hyperball(edges, rounds=3).collect()}
+
+    B, CAP = 9, 20
+    m = 2 ** B
+
+    def h60(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    def rho(w: int) -> int:
+        for k in range(1, CAP):
+            if w % (2 ** k) == 2 ** (k - 1):
+                return k
+        return CAP
+
+    def estimate(members: set[int]) -> int:
+        regs: dict[int, int] = {}
+        for v in members:
+            h = h60(v)
+            b = h % m
+            regs[b] = max(regs.get(b, 0), rho(h >> B))
+        npres = len(regs)
+        z = (m - npres) + sum(2.0 ** -r for r in regs.values())
+        alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+        raw = alpha_m2 / z
+        if raw <= 2.5 * m and (m - npres) > 0:
+            return round(m * math.log(m / (m - npres)))
+        return round(raw)
+
+    neigh = defaultdict(set)
+    for a, b in sym:
+        neigh[a].add(b)
+    balls = {v: {v} for v in neigh}
+    for node in neigh:
+        assert out[node].ball_r0 == estimate({node}) == 1
+    for r in range(1, 4):
+        balls = {
+            v: balls[v] | set().union(*(balls[u] for u in neigh[v]))
+            for v in balls
+        }
+        for node in neigh:
+            got = out[node][f"ball_r{r}"]
+            assert got == estimate(balls[node]), (node, r)
+            assert got >= out[node][f"ball_r{r - 1}"]
