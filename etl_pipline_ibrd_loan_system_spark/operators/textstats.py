@@ -530,3 +530,93 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score_scaled", "rank")
     )
+
+
+def related_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_df: int = 2,
+    max_df_frac: float = 0.8,
+    lift_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k related terms per term by document co-occurrence LIFT —
+    the query-expansion / "users also searched" table a retrieval
+    stack materializes next to the inverted index (iv1). Lift
+    P(a,b)/(P(a)P(b)) is computed as the exact integer surrogate
+    lift_scaled = n_ab * N * scale div (n_a * n_b) — the same
+    monotone-integer stance as fv7's linear idf and dq21's PMI (lift
+    IS exp(PMI); ranking by the integer ratio ranks by PMI without a
+    transcendental per unbounded pair). Ties break on the related
+    term.
+
+    Scale shape: doc-grain distinct terms are banded by df FIRST
+    (iv1's min_df/max_df_frac band), so the within-doc self-join's
+    fanout is bounded by the banded per-doc vocabulary squared and a
+    stopword can never explode a pair list; pair counts are one
+    (a, b)-grain combine; df joins are vocab-grain (left to AQE, the
+    fv7 stance); the final window partitions per term."""
+    from pyspark.sql.window import Window
+
+    from ..cache import pin
+
+    posted = pin(
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.array_distinct(_toks(F.col(text_col)))).alias("token"),
+        )
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    band = (
+        posted.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= F.lit(max_df_frac) * F.col("__n"))
+        )
+        .select("token", "df")
+    )
+    pt = pin(posted.join(band, "token").select("__doc", "token", "df"))
+    a = pt.select(
+        "__doc", F.col("token").alias("term"), F.col("df").alias("df_a")
+    )
+    b = pt.select(
+        "__doc", F.col("token").alias("related"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "__doc")
+        .where(F.col("term") < F.col("related"))
+        .groupBy("term", "related")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.min("df_a").alias("df_a"),
+            F.min("df_b").alias("df_b"),
+        )
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("related").alias("term"),
+            F.col("term").alias("related"),
+            "n_ab",
+            F.col("df_b").alias("df_a"),
+            F.col("df_a").alias("df_b"),
+        )
+    )
+    scored = sym.join(F.broadcast(n_docs)).select(
+        "term",
+        "related",
+        "n_ab",
+        F.expr(f"(n_ab * __n * {lift_scale}) div (df_a * df_b)").alias(
+            "lift_scaled"
+        ),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("lift_scaled"), F.asc("related")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("term", "related", "n_ab", "lift_scaled", "rank")
+    )

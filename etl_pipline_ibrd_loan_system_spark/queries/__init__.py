@@ -307,6 +307,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dq21_mutual_information",
         "g17_scd6_hybrid",
         "g18_hyperball_centrality",
+        "iv7_related_terms",
     ),
 }
 

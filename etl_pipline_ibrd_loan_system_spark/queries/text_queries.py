@@ -1812,3 +1812,59 @@ def tx27_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- iv7: related terms by co-occurrence lift ------------------------------
+
+
+@query(
+    "iv7_related_terms",
+    sql=f"""
+    WITH posted AS (
+      SELECT doc_id AS d, unnest(list_distinct({_TOKS})) AS token
+      FROM documents
+    ), n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    band AS (
+      SELECT token, COUNT(*)::BIGINT AS df
+      FROM posted GROUP BY token
+      HAVING COUNT(*) >= 2
+         AND COUNT(*) <= 0.8 * (SELECT n_docs FROM n)
+    ), pt AS (
+      SELECT p.d, p.token, b.df FROM posted p JOIN band b USING (token)
+    ), pairs AS (
+      SELECT a.token AS term, b.token AS related,
+             COUNT(*)::BIGINT AS n_ab,
+             MIN(a.df) AS df_a, MIN(b.df) AS df_b
+      FROM pt a JOIN pt b ON a.d = b.d AND a.token < b.token
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT term, related, n_ab, df_a, df_b FROM pairs
+      UNION ALL
+      SELECT related, term, n_ab, df_b, df_a FROM pairs
+    ), scored AS (
+      SELECT term, related, n_ab,
+             (n_ab * (SELECT n_docs FROM n) * 1000000) // (df_a * df_b)
+               AS lift_scaled
+      FROM sym
+    )
+    SELECT term, related, n_ab, lift_scaled, rank FROM (
+      SELECT term, related, n_ab, lift_scaled,
+             row_number() OVER (
+               PARTITION BY term ORDER BY lift_scaled DESC, related ASC
+             )::INT AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def iv7_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 related terms per vocabulary term by document
+    co-occurrence lift (textstats.related_terms) — the
+    query-expansion table next to iv1's inverted index. Lift is the
+    exact integer surrogate n_ab * N * 1e6 div (n_a * n_b): lift is
+    exp(PMI), so the integer ratio ranks identically to dq21's PMI
+    with no transcendental per pair (pairs are unbounded; the driver-
+    quantization trick only fits category-bounded state). The df band
+    drops hapaxes and stopword-grade terms BEFORE the within-doc
+    self-join, bounding pair fanout by the banded per-doc vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.related_terms(docs, "text", "doc_id", k=3)

@@ -225,3 +225,37 @@ def test_tfidf_top_terms_hand_example(spark):
     assert rows[(3, 2)].term == "date"
     # k=2 cut: exactly 2 rows per doc
     assert out.count() == 6
+
+
+def test_related_terms_lift_hand_example(spark):
+    """4-doc corpus: the integer lift formula, symmetric emission, df
+    banding (hapax 'solo' excluded), and tie-breaks match hand math."""
+    from etl_pipline_ibrd_loan_system_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "coffee milk"),
+            (2, "coffee milk sugar"),
+            (3, "coffee sugar"),
+            (4, "tea solo sugar"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.related_terms(
+        docs, "text", "doc_id", k=2, min_df=2, max_df_frac=0.8
+    )
+    rows = {(r.term, r.related): r for r in out.collect()}
+
+    # df: coffee 3, milk 2, sugar 3; tea/solo df=1 -> banded out
+    # n_ab: (coffee,milk)=2, (coffee,sugar)=2, (milk,sugar)=1; N=4
+    def lift(n_ab, da, db):
+        return (n_ab * 4 * 1_000_000) // (da * db)
+
+    assert rows[("coffee", "milk")].lift_scaled == lift(2, 3, 2)
+    assert rows[("milk", "coffee")].lift_scaled == lift(2, 3, 2)
+    assert rows[("coffee", "sugar")].lift_scaled == lift(2, 3, 3)
+    # milk's best related is coffee (1333333) over sugar (666666)
+    assert rows[("milk", "coffee")].rank == 1
+    assert rows[("milk", "sugar")].rank == 2
+    # banded-out terms appear nowhere
+    assert not any("tea" in k or "solo" in k for k in rows)
