@@ -1208,6 +1208,7 @@ def pq_oracle_ctes(
     lloyd_iters: int = 2,
     shortlist: int = 0,
     cos_fn=None,
+    candidates_cte: str | None = None,
 ) -> str:
     """DuckDB CTE chain replaying pq_train_encode + pq_adc_topk
     verbatim (lloyd_oracle_ctes pattern). Expects `qc(neighbor_id,
@@ -1220,7 +1221,10 @@ def pq_oracle_ctes(
     least-of-structs; integer means use `//`, which truncates toward
     zero in DuckDB exactly like Spark's `div` (and unlike Python's
     flooring //, see _tdiv); the seed pick replays the Knuth-hash
-    spread ordering."""
+    spread ordering. `candidates_cte`, when given, names a
+    (query_id, neighbor_id) CTE restricting ADC scoring to those
+    pairs — the IVF-PQ composition hook (codebooks still train on the
+    FULL corpus, exactly like the Spark path)."""
     d2 = (
         f"list_sum(list_transform(range(1, {sub + 1}), "
         f"j -> (s.sv[j] - cb.cw[j]) * (s.sv[j] - cb.cw[j])))"
@@ -1289,9 +1293,15 @@ def pq_oracle_ctes(
                                      j -> q.qsv[j] * cb.cw[j]))::BIGINT AS pdot
       FROM pqqsub q JOIN {prev} cb USING (m)
     )""")
-    parts.append("""pqscored AS (
+    cand_join = (
+        f" JOIN {candidates_cte} cnd ON cnd.query_id = l.query_id"
+        f" AND cnd.neighbor_id = e.neighbor_id"
+        if candidates_cte
+        else ""
+    )
+    parts.append(f"""pqscored AS (
       SELECT l.query_id, e.neighbor_id, SUM(l.pdot)::BIGINT AS adc_score
-      FROM pqenc e JOIN pqlut l ON l.m = e.m AND l.code = e.code
+      FROM pqenc e JOIN pqlut l ON l.m = e.m AND l.code = e.code{cand_join}
       GROUP BY 1, 2
     )""")
     if not shortlist:
@@ -1334,3 +1344,154 @@ def pq_oracle_ctes(
       ) WHERE rank <= {k}
     )""")
     return ",\n    ".join(parts)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    ivf_lloyd_iters: int = 2,
+    m_sub: int = 16,
+    n_codes: int = 16,
+    dims: int = 64,
+    pq_lloyd_iters: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index, composed from the engine's
+    two halves exactly as their docstrings promise: sm2's IVF
+    (float centroids, Arrow-kernel cell assignment, nprobe cell
+    pruning) bounds WHICH candidates are scored; sm11's PQ (integer
+    codebooks, broadcast ADC lookup tables) bounds WHAT scoring a
+    candidate costs; the ADC top-`shortlist` is re-ranked by exact
+    cosine (codes prune, floats decide). At 100 TB this is the only
+    tractable shape: cells cut candidates ~nprobe/n_centroids,
+    codes cut per-candidate cost to m_sub table lookups over 4-byte
+    codes, and the original vectors are touched only for the
+    (n_queries x shortlist)-row rerank.
+
+    Codebooks train on the FULL corpus (not per cell — the classic
+    shared-codebook IVF-PQ variant), so the PQ stage is bit-identical
+    to sm11's and the oracle composes the two CTE chains verbatim.
+
+    Scale shape: IVF build/assign as sm2 (centroid-only driver state,
+    zero corpus shuffle); candidate set = assignment x broadcast
+    probes (corpus stays put); ADC joins the candidate pairs to the
+    code rows on the id (one hash exchange) and the broadcast LUT,
+    then combines m_sub partials per pair; rerank broadcasts the
+    shortlist ids into the corpus scan."""
+    if dims % m_sub != 0:
+        raise ValueError(f"ivfpq: dims={dims} not divisible by m_sub={m_sub}")
+    sub = dims // m_sub
+    corpus_v = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        cents, dims = _ivf_build(
+            corpus_v, id_col, n_centroids, ivf_lloyd_iters, dims
+        )
+        assign = _ivf_assign(corpus_v, id_col, cents, dims)
+        cent = corpus.sparkSession.createDataFrame(
+            cents, "cent_id bigint, cw array<double>"
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        qcos_guard = F.when(F.isnan("qcos"), F.lit(-1e308)).otherwise(
+            F.col("qcos")
+        )
+        qw = Window.partitionBy("query_id").orderBy(
+            F.desc(qcos_guard), F.asc("cent_id")
+        )
+        probes = (
+            q.join(F.broadcast(cent))
+            .select(
+                "query_id", "cent_id",
+                cosine(F.col("qv"), F.col("cw")).alias("qcos"),
+            )
+            .withColumn("prn", F.row_number().over(qw))
+            .where(F.col("prn") <= nprobe)
+            .select("query_id", "cent_id")
+        )
+        candidates = assign.join(F.broadcast(probes), "cent_id").select(
+            "query_id", F.col(id_col).alias("neighbor_id")
+        )
+
+        g = int8_quantize_stats(corpus, vec_col)
+        c8 = corpus.select(
+            F.col(id_col),
+            _int8_quantize_expr(F.col(vec_col), g).alias("v8"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            cb, encoded = pq_train_encode(
+                c8, id_col, m_sub, n_codes, sub, pq_lloyd_iters
+            )
+            cwdf = corpus.sparkSession.createDataFrame(
+                [
+                    (m, kk, cb[m][kk])
+                    for m in range(m_sub)
+                    for kk in range(n_codes)
+                ],
+                "m int, code bigint, cw array<bigint>",
+            )
+            qsub = queries.select(
+                F.col(id_col).alias("query_id"),
+                _int8_quantize_expr(F.col(vec_col), g).alias("q8"),
+            ).select(
+                "query_id",
+                F.posexplode(
+                    F.array(*[
+                        F.slice("q8", m * sub + 1, sub)
+                        for m in range(m_sub)
+                    ])
+                ).alias("m", "qsv"),
+            )
+            lut = qsub.join(F.broadcast(cwdf), "m").select(
+                "query_id", "m", "code",
+                F.aggregate(
+                    F.zip_with(F.col("qsv"), F.col("cw"), lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("pdot"),
+            )
+            scored = (
+                encoded.withColumnRenamed(id_col, "neighbor_id")
+                .join(candidates, "neighbor_id")
+                .join(F.broadcast(lut), ["query_id", "m", "code"])
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.sum("pdot").alias("adc_score"))
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("adc_score"), F.asc("neighbor_id")
+            )
+            short = (
+                scored.withColumn("srank", F.row_number().over(w))
+                .where(F.col("srank") <= shortlist)
+                .select("query_id", "neighbor_id")
+            )
+            rr = (
+                corpus_v.withColumnRenamed(id_col, "neighbor_id")
+                .join(F.broadcast(short), "neighbor_id")
+                .join(F.broadcast(q), "query_id")
+                .select(
+                    "query_id", "neighbor_id",
+                    cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+                )
+            )
+            wr = Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
+            result = (
+                rr.withColumn("rank", F.row_number().over(wr))
+                .where(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos_sim", "rank")
+            )
+            return result.localCheckpoint(eager=True)
+        finally:
+            c8.unpersist()
+    finally:
+        corpus_v.unpersist()

@@ -308,6 +308,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g17_scd6_hybrid",
         "g18_hyperball_centrality",
         "iv7_related_terms",
+        "sm12_ivfpq_topk",
     ),
 }
 

@@ -701,3 +701,72 @@ def sm11_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", k=5, m_sub=16, n_codes=16, dims=64,
         lloyd_iters=2, shortlist=50,
     )
+
+
+@query(
+    "sm12_ivfpq_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    {_LLOYD_CTES},
+    centroids AS (SELECT cent_id, cw FROM {_LLOYD_FINAL}),
+    ivfassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT c.vec_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {similarity.nan_guard_sql(_cos('cv', 'cw'))} DESC, cent_id ASC
+               ) AS rn
+        FROM c CROSS JOIN centroids
+      ) WHERE rn = 1
+    ),
+    ivfprobes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT query_id, cent_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY {similarity.nan_guard_sql(_cos('qv', 'cw'))} DESC, cent_id ASC
+               ) AS prn
+        FROM q CROSS JOIN centroids
+      ) WHERE prn <= 2
+    ),
+    ivfcand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM ivfprobes p JOIN ivfassign a USING (cent_id)
+    ),
+    qn AS (SELECT vec_id AS query_id, {_NORM.format(v='embedding')} AS nv
+           FROM embeddings WHERE vec_id < 10),
+    cn AS (SELECT vec_id AS neighbor_id, {_NORM.format(v='embedding')} AS nv
+           FROM embeddings WHERE vec_id >= 10),
+    gs AS (SELECT MAX(list_max(list_transform(nv, x -> abs(x)))) AS g FROM cn),
+    qc AS (SELECT neighbor_id, {_CODE} AS cq FROM cn, gs),
+    qq8 AS (SELECT query_id, {_CODE} AS q8 FROM qn, gs),
+    craw AS (SELECT vec_id AS neighbor_id, embedding AS cv
+             FROM embeddings WHERE vec_id >= 10),
+    qraw AS (SELECT query_id, qv FROM q),
+    {similarity.pq_oracle_ctes(m_sub=16, n_codes=16, sub=4, k=5,
+                               lloyd_iters=2, shortlist=50, cos_fn=_cos,
+                               candidates_cte='ivfcand')}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM pqfinal
+    """,
+)
+def sm12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (similarity.ivfpq_topk): the production ANN index
+    composed end-to-end from the engine's registered halves — sm2's
+    IVF cells prune WHICH candidates get scored (2 of 8 Lloyd-refined
+    cells per query), sm11's PQ codes prune WHAT scoring costs
+    (16x16 integer codebooks + broadcast ADC lookup tables), and the
+    ADC top-50 is re-ranked by exact cosine. The oracle composes the
+    two CTE chains verbatim with the candidate restriction injected
+    into the ADC scoring join, so the whole index — centroids, cells,
+    probes, codebooks, codes, LUTs, pruned scores, rerank — replays
+    bit-for-bit. Recall vs sm1 is pinned in tests next to sm2/sm3/
+    sm11 (the pruned composition trades recall for the multiplied
+    cost cuts; both factors are measured)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10),
+        "vec_id", "embedding", k=5, n_centroids=8, nprobe=2,
+        ivf_lloyd_iters=2, m_sub=16, n_codes=16, dims=64,
+        pq_lloyd_iters=2, shortlist=50,
+    )

@@ -356,3 +356,34 @@ def test_pq_tdiv_truncates_toward_zero():
     assert _tdiv(7, 2) == 3
     assert _tdiv(-8, 2) == -4
     assert _tdiv(7, -2) == -3
+
+
+def test_ivfpq_loses_nothing_beyond_cell_pruning(spark, sf_dir):
+    """IVF-PQ == IVF with the same cells on this corpus: the PQ
+    shortlist (50-deep) + exact rerank recovers every neighbor the
+    nprobe cell pruning admits, so the composition's recall is the
+    IVF bound, not below it — quantization costs ~nothing while the
+    scoring touches only 4-byte codes."""
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(
+            corpus, queries, "vec_id", "embedding", k=5,
+            n_centroids=8, nprobe=2, lloyd_iters=2, dims=64,
+        ).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(
+            corpus, queries, "vec_id", "embedding",
+        ).collect()
+    }
+    overlap = len(ivf & ivfpq) / len(ivf)
+    assert overlap >= 0.95, f"PQ stage lost recall vs its IVF bound: {overlap}"
