@@ -1347,3 +1347,235 @@ def prefix_filtered_containment_pairs(
     return cands.select("id_a", "id_b", c.alias("containment")).where(
         F.col("containment") >= threshold
     )
+
+
+def _lsh_scurve_sql(r: int, bands: int) -> str:
+    """Theoretical banding s-curve at the bin midpoint, as SHARED SQL
+    TEXT (Spark F.expr and DuckDB evaluate the identical string, so
+    the float arithmetic is pinned op-for-op): P(candidate | s) =
+    1 - (1 - s^r)^b expanded to left-associated multiplications —
+    no POWER(), whose non-integer-exponent rounding is engine-owned."""
+    mid = "(CAST(bin AS DOUBLE) * 0.1 + 0.05)"
+    p = " * ".join([mid] * r)
+    q = f"(1.0 - ({p}))"
+    miss = " * ".join([q] * bands)
+    return f"(1.0 - ({miss}))"
+
+
+def lsh_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    sample_mod: int = 5,
+) -> DataFrame:
+    """Empirical MinHash-LSH banding calibration — the tuning artifact
+    you read BEFORE trusting dd3's (bands, rows_per_band) at a new
+    corpus or threshold: on a deterministic 1/sample_mod hash-sample,
+    compute EVERY within-block pair's exact Jaccard, band the sampled
+    signatures with the current config, and report per-Jaccard-bin
+    (floor(j*10)) the true pair count, the banded-candidate count,
+    the measured recall, and the theoretical s-curve 1-(1-s^r)^b at
+    the bin midpoint. Production picks (b, r) where measured recall
+    crosses the target above the dedup threshold and collision mass
+    below it stays affordable.
+
+    Calibration is all-pairs BY DESIGN — that is why it runs on a
+    hash-sample (bounded by construction; sample_mod scales with the
+    corpus) and within blocks, never on the full corpus. The band
+    bucket here is the md5-combiner (shared_hash60 of the band's
+    minhash tuple) rather than dd3's xxhash64 — same collision
+    behavior, but replayable in the oracle, where xxhash64 is
+    Spark-only (the reason dd3's own oracle checks recall via brute
+    force instead of replaying buckets)."""
+    cal = df.where(
+        shared_hash60(F.concat(F.lit("cal:"), F.col(id_col).cast("string")))
+        % sample_mod
+        == 0
+    )
+    base = cal.select(
+        F.col(id_col), F.col(block_col).alias("__blk"),
+        tokenize(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") >= n)
+    toks = F.col("toks")
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        )
+    )
+    sh = base.select(F.col(id_col), "__blk", shingle.alias("shingles"))
+
+    sa = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__blk"),
+        F.col("shingles").alias("sh_a"),
+    ).hint("shuffle_hash")
+    sb = sh.select(
+        F.col(id_col).alias("id_b"), F.col("__blk"),
+        F.col("shingles").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    tp = (
+        sa.join(sb, "__blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.floor(jac * 10).cast("bigint").alias("bin"))
+    )
+
+    hstream = sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(
+        F.col(id_col), (shared_hash60(F.col("s")) % MINHASH_P).alias("h")
+    )
+    aggs = []
+    for i in range(k):
+        a, b = perm_params(i)
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"))
+    sig = hstream.groupBy(id_col).agg(*aggs).join(
+        sh.select(F.col(id_col), "__blk"), id_col
+    )
+    band_arr = F.array(*[
+        shared_hash60(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for bi in range(bands)
+    ])
+    bnd = sig.select(
+        F.col(id_col), "__blk", F.posexplode(band_arr).alias("band", "bucket")
+    )
+    ba = bnd.alias("a").hint("shuffle_hash")
+    bb = bnd.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("__is_cand", F.lit(1))
+    )
+    binned = tp.join(cand, ["id_a", "id_b"], "left").groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.coalesce(F.col("__is_cand"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_candidates"),
+    )
+    return binned.select(
+        "bin",
+        "n_pairs",
+        "n_candidates",
+        (F.col("n_candidates").cast("double") / F.col("n_pairs").cast("double"))
+        .alias("recall"),
+        F.expr(_lsh_scurve_sql(rows_per_band, bands)).alias("s_curve_mid"),
+    )
+
+
+def lsh_calibration_oracle_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    sample_mod: int = 5,
+) -> str:
+    """DuckDB replay of lsh_calibration — sample, shingles, the k-
+    permutation signature mins, the md5-combiner band buckets, the
+    all-pairs-within-block truth, and the binned rollup, generated
+    from the same constants as the Spark expressions."""
+    h60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+    shingles = (
+        "list_distinct(list_transform(range(1, len(toks) - "
+        f"{n - 2}), i -> "
+        + " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+        + "))"
+    )
+    mins = ", ".join(
+        f"MIN((h * {perm_params(i)[0]} + {perm_params(i)[1]}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i in range(k)
+    )
+    buckets = ", ".join(
+        h60.format(
+            x="concat_ws('|', "
+            + ", ".join(
+                f"mh_{bi * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
+            )
+            + ")"
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH cal AS (
+      SELECT {id_col}, {block_col} AS blk, {text_col} AS text
+      FROM {table}
+      WHERE {h60.format(x=f"'cal:' || CAST({id_col} AS VARCHAR)")}
+            % {sample_mod} = 0
+    ),
+    sh AS (
+      SELECT {id_col}, blk, {shingles} AS shingles
+      FROM (SELECT {id_col}, blk,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM cal)
+      WHERE len(toks) >= {n}
+    ),
+    tp AS (
+      SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             CAST(floor(
+               (len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(
+                    list_concat(a.shingles, b.shingles)))) * 10
+             ) AS BIGINT) AS bin
+      FROM sh a JOIN sh b
+        ON a.blk = b.blk AND a.{id_col} < b.{id_col}
+    ),
+    hs AS (
+      SELECT {id_col}, {h60.format(x='s')} % {MINHASH_P} AS h
+      FROM (SELECT {id_col}, unnest(shingles) AS s FROM sh)
+    ),
+    sig AS (SELECT {id_col}, {mins} FROM hs GROUP BY {id_col}),
+    bnd AS (
+      SELECT s.{id_col}, h.blk,
+             generate_subscripts(bl, 1) - 1 AS band, unnest(bl) AS bucket
+      FROM (SELECT {id_col}, [{buckets}] AS bl FROM sig) s
+      JOIN sh h USING ({id_col})
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.blk = b.blk AND a.{id_col} < b.{id_col}
+    )
+    SELECT bin,
+           COUNT(*)::BIGINT AS n_pairs,
+           CAST(SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_candidates,
+           SUM(CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS recall,
+           {_lsh_scurve_sql(rows_per_band, bands)} AS s_curve_mid
+    FROM tp LEFT JOIN cand c USING (id_a, id_b)
+    GROUP BY bin
+    """

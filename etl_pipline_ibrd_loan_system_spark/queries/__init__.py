@@ -309,6 +309,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g18_hyperball_centrality",
         "iv7_related_terms",
         "sm12_ivfpq_topk",
+        "dd19_lsh_calibration",
     ),
 }
 

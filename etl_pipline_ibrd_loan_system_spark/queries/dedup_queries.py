@@ -1069,3 +1069,32 @@ def dd17_duplicate_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_token_mass(
         _span_tainted(docs), "text", "doc_id", w=16, max_df=50
     )
+
+
+@query(
+    "dd19_lsh_calibration",
+    sql=dedup.lsh_calibration_oracle_sql(
+        "documents", "text", "doc_id", "lang",
+        n=3, k=64, bands=16, rows_per_band=4, sample_mod=2,
+    ),
+)
+def dd19_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding calibration for dd3's MinHash-LSH config
+    (dedup.lsh_calibration): on a deterministic 50% hash-sample
+    (20% keeps too few BOTH-halves of duplicate pairs to exercise the
+    high bins on this corpus — measured),
+    exact within-lang Jaccard for EVERY sampled pair, banded
+    candidates under (b=16, r=4), and per-Jaccard-bin true-pair count
+    / candidate count / measured recall next to the theoretical
+    s-curve 1-(1-s^4)^16 at the bin midpoint (shared SQL text, no
+    POWER()). The artifact that justifies — or retunes — the banding
+    before a 100 TB dedup run; all-pairs by design, which is exactly
+    why it runs on a bounded sample and never the corpus. Bucket hash
+    is the md5 combiner so the oracle can replay banding itself
+    (dd3's xxhash64 buckets are Spark-only, hence its brute-force
+    oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_calibration(
+        docs, "text", "doc_id", "lang",
+        n=3, k=64, bands=16, rows_per_band=4, sample_mod=2,
+    )

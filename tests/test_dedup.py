@@ -343,3 +343,27 @@ def test_duplicate_token_mass_counts_overlap_once(spark):
         assert dup == 10
         assert n == 13
         assert frac == 10 / 13
+
+
+def test_lsh_calibration_recall_regimes(spark, sf_dir):
+    """The calibration table must show the two banding regimes on the
+    real corpus: above the dedup threshold (bin >= 8) measured recall
+    is 1.0 (near-dup pairs share a band with near-certainty at b=16,
+    r=4), and at bin 0 the collision rate is within an order of
+    magnitude of the theoretical s-curve floor."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r.bin: r
+        for r in entry.queries()["dd19_lsh_calibration"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert 0 in rows
+    lo = rows[0]
+    assert lo.n_pairs > 100
+    assert lo.recall <= 10 * lo.s_curve_mid + 1e-6
+    for b, r in rows.items():
+        assert r.n_candidates <= r.n_pairs
+        if b >= 8:
+            assert r.recall == 1.0, (b, r)
