@@ -310,6 +310,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "iv7_related_terms",
         "sm12_ivfpq_topk",
         "dd19_lsh_calibration",
+        "u5_variant_shred",
+        "g18b_effective_diameter",
     ),
 }
 

@@ -2477,3 +2477,69 @@ def m26_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / F.lit(float(_HOLT_S))
         ).alias("forecast"),
     )
+
+
+@query(
+    "g18b_effective_diameter",
+    sql=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders, lineitem WHERE o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    {_graph.hyperball_oracle_ctes(rounds=3)},
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(ball_r0) AS BIGINT) AS reach_r0,
+             CAST(SUM(ball_r1) AS BIGINT) AS reach_r1,
+             CAST(SUM(ball_r2) AS BIGINT) AS reach_r2,
+             CAST(SUM(ball_r3) AS BIGINT) AS reach_r3
+      FROM hbfinal
+    )
+    SELECT n_nodes, reach_r0, reach_r1, reach_r2, reach_r3,
+           CAST(CASE WHEN 10 * reach_r0 >= 9 * reach_r3 THEN 0
+                     WHEN 10 * reach_r1 >= 9 * reach_r3 THEN 1
+                     WHEN 10 * reach_r2 >= 9 * reach_r3 THEN 2
+                     ELSE 3 END AS BIGINT) AS effective_diameter_90
+    FROM sums
+    """,
+)
+def g18b_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% effective diameter of the trade graph from g18's HyperBall
+    neighborhood function (the HyperANF use of the same sketches,
+    Boldi-Vigna): total reached pairs per radius and the smallest
+    radius covering >= 90% of radius-3 reach, decided by
+    cross-multiplied INTEGER comparison over the integer ball
+    estimates — one node-grain rollup on top of g18's plan, no new
+    state. On this dense bipartite graph the answer pins the
+    everything-reaches-everything-in-2-hops structure the pagerank
+    family assumes."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hb = _graph.hyperball(edges, rounds=3)
+    sums = hb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        *[
+            F.sum(f"ball_r{r}").cast("bigint").alias(f"reach_r{r}")
+            for r in range(4)
+        ],
+    )
+    eff = (
+        F.when(10 * F.col("reach_r0") >= 9 * F.col("reach_r3"), 0)
+        .when(10 * F.col("reach_r1") >= 9 * F.col("reach_r3"), 1)
+        .when(10 * F.col("reach_r2") >= 9 * F.col("reach_r3"), 2)
+        .otherwise(3)
+    )
+    return sums.select(
+        "n_nodes", "reach_r0", "reach_r1", "reach_r2", "reach_r3",
+        eff.cast("bigint").alias("effective_diameter_90"),
+    )

@@ -65,3 +65,49 @@ def u1_char_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u1_documents d, LATERAL u1_char_chunker(d.text) c
         """
     )
+
+
+# --- u5: Spark 4 VARIANT shredding -----------------------------------------
+
+
+@query(
+    "u5_variant_shred",
+    sql="""
+    SELECT k_val,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_errors
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             event_type
+      FROM events
+    )
+    GROUP BY k_val
+    """,
+)
+def u5_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    events.props is parsed ONCE into a variant column (parse_json —
+    binary-encoded, no per-access re-parse, the open-format twin of
+    Delta/Iceberg variant shredding) and fields are extracted with
+    typed variant_get paths. Same answer as core.py's
+    get_json_object path (the pre-variant API) — the point here is
+    the type: a variant column carries heterogeneous per-row schemas
+    without string re-parsing, and the typed extraction stays a
+    scan-level projection feeding an ordinary aggregate. The oracle
+    shreds the identical JSON with DuckDB's native extraction."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    shredded = ev.select(
+        F.parse_json("props").alias("v"), "event_type"
+    ).select(
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_val"),
+        "event_type",
+    )
+    return shredded.groupBy("k_val").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
