@@ -312,6 +312,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd19_lsh_calibration",
         "u5_variant_shred",
         "g18b_effective_diameter",
+        "s7_streaming_hll_distinct",
     ),
 }
 

@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..functions.exact import dsum, sql_dsum
+from ..operators import sketches
 from ..streaming.microbatch import run_stream_to_memory, tumbling_window_agg
 from .star_queries import _DIM1_SQL
 from . import query
@@ -755,3 +756,53 @@ def s6_stream_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.table("s6_intake").localCheckpoint(eager=True)
         finally:
             q.stop()
+
+
+@query(
+    "s7_streaming_hll_distinct",
+    sql=sketches.hll_oracle_sql("events", "user_id", ["event_type"]),
+)
+def s7_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type maintained THROUGH a
+    real stream (streaming/microbatch.py::streaming_hll_registers):
+    per micro-batch HLL registers max-merge into epoch-versioned
+    committed state — 2^9 register rows per key forever, where exact
+    streaming distinct state grows with user cardinality (the reason
+    unbounded-stream distinct counting is sketch-or-nothing at
+    100 TB). Register MAX makes the merge idempotent even without the
+    epoch skip (sum needs it load-bearing — the contrast is the
+    point). The replayed stream covers the whole table, so the final
+    estimate equals the batch sk1-family HLL, which is the oracle —
+    stream/batch parity, the s1/h1 discipline."""
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import hll_estimate
+    from ..streaming.microbatch import (
+        read_rollup_state,
+        streaming_hll_registers,
+    )
+
+    stream = _events_stream_factory(spark, sf_dir, "s7_events_")()
+    state = tempfile.mkdtemp(prefix="s7_state_")
+    ckpt = tempfile.mkdtemp(prefix="s7_ckpt_")
+    try:
+        with _stream_partitions(spark):
+            q = streaming_hll_registers(
+                stream.select("event_type", "user_id"),
+                ["event_type"],
+                "user_id",
+                state,
+                ckpt,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        regs = read_rollup_state(spark, state)
+        return hll_estimate(regs, ["event_type"]).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

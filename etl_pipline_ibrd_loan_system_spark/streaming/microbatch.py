@@ -328,3 +328,80 @@ def _rollup_update(
             ):
                 shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
     return True
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    b: int = 9,
+) -> StreamingQuery:
+    """Approximate COUNT(DISTINCT) maintained through a real stream:
+    each micro-batch's HLL registers (sketches.hll_registers) merge
+    into committed per-key register state via union + MAX, under the
+    same epoch-versioned atomic-pointer protocol as streaming_rollup.
+
+    The sketch twin is STRICTLY easier than the sum twin: register
+    MAX is idempotent per row — even a non-transactional double-merge
+    of a re-delivered epoch cannot corrupt the sketch (max(a, a) = a),
+    so the epoch skip here is a cost optimization, not a correctness
+    requirement (for SUM it is load-bearing). State per key is 2^b
+    register rows regardless of stream length — the property that
+    makes distinct-user counting over an unbounded stream feasible at
+    all; exact distinct state grows with the key's cardinality.
+
+    Read back with read_rollup_state (shared pointer format) and
+    collapse with sketches.hll_estimate."""
+
+    def upd(batch_df: DataFrame, epoch: int) -> None:
+        _hll_update(batch_df, epoch, keys, value_col, state_dir, b)
+
+    return (
+        stream_df.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _hll_update(
+    batch_df: DataFrame,
+    epoch: int,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    b: int = 9,
+) -> bool:
+    """One epoch of the HLL state machine (streaming_hll_registers'
+    foreachBatch body, module-level so re-delivery is directly
+    testable — the _rollup_update contract). Returns False when the
+    epoch was skipped as re-delivered."""
+    import json
+    import os
+
+    from ..operators.sketches import hll_registers
+
+    spark = batch_df.sparkSession
+    committed = _rollup_committed(state_dir)
+    if committed is not None and epoch <= committed["epoch"]:
+        return False
+    delta = hll_registers(batch_df, value_col, keys, b)
+    if committed is not None:
+        prev = spark.read.parquet(os.path.join(state_dir, committed["dir"]))
+        merged = (
+            prev.unionByName(delta)
+            .groupBy(*keys, "bucket")
+            .agg(F.max("m_reg").alias("m_reg"))
+        )
+    else:
+        merged = delta
+    vdir = f"v{epoch}"
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        os.path.join(state_dir, vdir)
+    )
+    tmp = os.path.join(state_dir, f".{_ROLLUP_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": epoch, "dir": vdir}, fh)
+    os.replace(tmp, os.path.join(state_dir, _ROLLUP_POINTER))
+    return True

@@ -315,3 +315,52 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
     # the bridge actually merged: B has ONE session of 3 events
     b_sessions = [g for g in got if g[0] == "B"]
     assert len(b_sessions) == 1 and b_sessions[0][3] == 3
+
+
+def test_hll_state_machine_redelivery_and_double_merge_safe(spark, tmp_path):
+    """The HLL epoch updater skips re-delivered epochs like the rollup
+    one — AND, unlike sum, even a forced double-merge of the same
+    batch cannot change the sketch (register MAX is idempotent), so
+    the final estimate survives both failure modes."""
+    from etl_pipline_ibrd_loan_system_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+    )
+    from etl_pipline_ibrd_loan_system_spark.streaming.microbatch import (
+        _hll_update,
+        read_rollup_state,
+    )
+
+    state = str(tmp_path / "state")
+    import os
+
+    os.makedirs(state)
+    b1 = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", i) for i in range(20)],
+        "k string, uid long",
+    )
+    b2 = spark.createDataFrame(
+        [("a", i) for i in range(25, 75)], "k string, uid long"
+    )
+    assert _hll_update(b1, 0, ["k"], "uid", state)
+    assert not _hll_update(b1, 0, ["k"], "uid", state)  # re-delivery: skip
+    assert _hll_update(b2, 1, ["k"], "uid", state)
+    est = {
+        r.k: r.est_distinct
+        for r in hll_estimate(read_rollup_state(spark, state), ["k"]).collect()
+    }
+
+    full = b1.unionByName(b2)
+    exact = {
+        r.k: r.est_distinct for r in hll_distinct(full, "uid", ["k"]).collect()
+    }
+    assert est == exact  # merged stream state == batch sketch, bit-for-bit
+
+    # forced double-merge of epoch 2 content via a higher epoch id:
+    # max-merge must leave the registers (hence estimates) unchanged
+    assert _hll_update(b2, 2, ["k"], "uid", state)
+    est2 = {
+        r.k: r.est_distinct
+        for r in hll_estimate(read_rollup_state(spark, state), ["k"]).collect()
+    }
+    assert est2 == est
