@@ -515,3 +515,96 @@ def test_ffd_engines_agree_random(spark, sizes):
         ).collect()
     }
     assert a == b
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)),  # (class, value)
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_t_closeness_bounds_and_pooled_class_is_zero(spark, rows):
+    """Random universes: 0 <= t <= 1 for every class, the integer
+    numerator is even-divisible into the claimed rational (emd_num /
+    (2*n*N) reproduces t_value), and a universe with ONE class always
+    yields t = 0 (a class equal to the whole table cannot diverge from
+    it)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.quality import t_closeness
+
+    df = spark.createDataFrame(
+        [(f"c{c}", f"v{v}") for c, v in rows], "qi string, s string"
+    )
+    out = t_closeness(df, ["qi"], "s").collect()
+    n_total = len(rows)
+    for r in out:
+        assert 0.0 <= r.t_value <= 1.0
+        assert r.t_value == r.emd_num / (2.0 * r.class_size * n_total)
+
+    one = spark.createDataFrame(
+        [("only", f"v{v}") for _, v in rows], "qi string, s string"
+    )
+    for r in t_closeness(one, ["qi"], "s").collect():
+        assert r.emd_num == 0 and r.t_value == 0.0
+
+
+@given(
+    principals=st.lists(st.integers(1200, 10**7), min_size=1, max_size=6)
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_npv_discount_monotone_random_principals(spark, principals):
+    """Random principals (>= $12 so every period's principal portion is
+    nonzero — a 1-cent loan correctly discounts to an NPV of 0 under
+    ledger truncation) through the m28 arithmetic (pure Python replay
+    of the same integers): NPV is strictly below the payment total,
+    positive, and monotone in the principal."""
+    disc = [(10**9 * 200**t) // (201**t) for t in range(1, 13)]
+
+    def npv(p_cents: int) -> tuple[int, int]:
+        base = p_cents // 12
+        total = npvv = 0
+        for t in range(1, 13):
+            prin = base if t < 12 else p_cents - 11 * base
+            interest = ((p_cents - (t - 1) * base) * 3750) // 1_000_000
+            pay = prin + interest
+            total += pay
+            npvv += (pay * disc[t - 1]) // 10**9
+        return total, npvv
+
+    vals = sorted(set(principals))
+    results = [npv(p) for p in vals]
+    for (total, n), p in zip(results, vals):
+        assert 0 < n < total, (p, n, total)
+    for (_, n1), (_, n2) in zip(results, results[1:]):
+        assert n1 < n2  # monotone in principal
+
+
+@given(
+    n_docs=st.integers(4, 20),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tfidf_rank_window_complete_and_bounded(spark, n_docs, seed):
+    """Random tiny corpora: every doc with >= 1 token gets ranks
+    1..min(k, distinct terms) with no gaps, and score_scaled is
+    positive (df <= N makes the integer idf >= 1e6 >= 1)."""
+    import random
+
+    from etl_pipline_ibrd_loan_system_spark.operators import textstats
+
+    rng = random.Random(seed)
+    vocab = ["red", "green", "blue", "gold", "iron", "salt"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = textstats.tfidf_top_terms(df, "text", "doc_id", k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        assert r.score_scaled >= 1_000_000  # idf >= 1.0 in fixed point
+        by_doc.setdefault(r.doc_id, []).append(r.rank)
+    for i, text in docs:
+        expect = min(3, len(set(text.split())))
+        assert sorted(by_doc[i]) == list(range(1, expect + 1)), (i, text)
