@@ -579,9 +579,13 @@ def related_terms(
         .select("token", "df")
     )
     pt = pin(posted.join(band, "token").select("__doc", "token", "df"))
+    # corpus-grain x corpus-grain bag join: pin shuffle_hash so neither
+    # side pays a sort it doesn't need and AQE can't promote a GB-scale
+    # in-memory relation to broadcast off a small columnar estimate
+    # (the dedup.py sf10 lesson)
     a = pt.select(
         "__doc", F.col("token").alias("term"), F.col("df").alias("df_a")
-    )
+    ).hint("shuffle_hash")
     b = pt.select(
         "__doc", F.col("token").alias("related"), F.col("df").alias("df_b")
     )
