@@ -313,6 +313,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "u5_variant_shred",
         "g18b_effective_diameter",
         "s7_streaming_hll_distinct",
+        "g19_accumulating_snapshot",
     ),
 }
 

@@ -787,3 +787,75 @@ def g13_period_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(overlap).alias("sum_overlap_days"),
         F.sum(F.col("qty") * overlap).alias("weighted_qty"),
     )
+
+
+# --- G19: accumulating-snapshot fact --------------------------------------
+
+
+@query(
+    "g19_accumulating_snapshot",
+    sql="""
+    SELECT o.o_orderkey AS order_id,
+           CAST(o.o_orderdate AS VARCHAR) AS placed_date,
+           CAST(MIN(l.l_shipdate) AS VARCHAR) AS first_ship_date,
+           CAST(MAX(l.l_shipdate) AS VARCHAR) AS last_ship_date,
+           CAST(datediff('day', o.o_orderdate, MIN(l.l_shipdate))
+             AS BIGINT) AS days_to_first_ship,
+           CAST(datediff('day', o.o_orderdate, MAX(l.l_shipdate))
+             AS BIGINT) AS days_to_fully_ship,
+           COUNT(*)::BIGINT AS n_lines,
+           CAST(SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_finalized,
+           CASE WHEN COUNT(*) = SUM(CASE WHEN l.l_linestatus = 'F'
+                                         THEN 1 ELSE 0 END)
+                THEN 'complete' ELSE 'in_flight' END AS milestone_status
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def g19_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (the third Kimball fact style
+    next to the transaction facts and g7's periodic snapshots): ONE row
+    per order carrying every pipeline milestone — placed, first ship,
+    last ship — plus the lag measures between them and a completeness
+    status from the line states (this synthetic lineitem carries no
+    receipt date; a real TPC-H adds l_receiptdate as one more MIN/MAX
+    milestone, same plan). In a live warehouse each milestone lands as
+    an UPDATE to the existing row; here the read-side build is one
+    orders |x| lineitem join + order-grain aggregate, and the
+    update-in-place production path is the snaptable MERGE g7 already
+    proves (milestone columns are just t1_cols). Dates surfaced as ISO
+    strings (the g1 hashing contract); day lags are exact calendar
+    arithmetic, identical cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    finalized = F.sum(
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+    ).cast("bigint")
+    agg = j.groupBy(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate"),
+    ).agg(
+        F.min("l_shipdate").alias("__first_ship"),
+        F.max("l_shipdate").alias("__last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+        finalized.alias("n_finalized"),
+    )
+    return agg.select(
+        "order_id",
+        F.col("o_orderdate").cast("string").alias("placed_date"),
+        F.col("__first_ship").cast("string").alias("first_ship_date"),
+        F.col("__last_ship").cast("string").alias("last_ship_date"),
+        F.datediff("__first_ship", "o_orderdate")
+        .cast("bigint")
+        .alias("days_to_first_ship"),
+        F.datediff("__last_ship", "o_orderdate")
+        .cast("bigint")
+        .alias("days_to_fully_ship"),
+        "n_lines",
+        "n_finalized",
+        F.when(F.col("n_lines") == F.col("n_finalized"), "complete")
+        .otherwise("in_flight")
+        .alias("milestone_status"),
+    )
