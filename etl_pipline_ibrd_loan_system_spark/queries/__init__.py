@@ -314,6 +314,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g18b_effective_diameter",
         "s7_streaming_hll_distinct",
         "g19_accumulating_snapshot",
+        "er2b_fs_fit_tight",
     ),
 }
 

@@ -619,11 +619,53 @@ _ER_BAND = (
 )
 
 
-@query(
-    "er1b_linkage_tight_blocking",
-    sql=f"""
-    WITH dirty AS ({_ER1_DIRTY_SQL}),
-    cand AS (
+def _er1b_universe(spark: SparkSession, sf_dir: str):
+    """er1b's tight-blocked ER universe (the documented block-growth
+    fix: every pass keys on TWO compared fields + nation), shared with
+    er2b's weight fit. Returns (cust, dirty, pairs, cents) like
+    _er1_universe."""
+    from ..operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
+    dirty = cust.where(mod10.isin(3, 7)).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.when(mod20 == 13, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("d_mktsegment"),
+    )
+
+    def cents(c: F.Column) -> F.Column:
+        return (c.cast("decimal(12,2)") * 100).cast("bigint")
+
+    dirty_b = dirty.withColumn("d_band", F.expr(
+        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    clean_b = cust.withColumn("c_band", F.expr(
+        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
+    ))
+    nation = ("d_nationkey", "c_nationkey")
+    name = ("d_name", "c_name")
+    seg = ("d_mktsegment", "c_mktsegment")
+    band = ("d_band", "c_band")
+    cand = linkage.multi_pass_candidates(
+        dirty_b, clean_b, "d_custkey", "c_custkey",
+        passes=[[nation, name, seg], [nation, name, band],
+                [nation, seg, band]],
+    )
+    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    return cust, dirty, pairs, cents
+
+
+# er1b's three tight two-field blocking passes, shared with er2b's fit
+_ER1B_CAND_SQL = f"""
       SELECT DISTINCT d_custkey, c_custkey FROM (
         SELECT d.d_custkey, c.c_custkey
         FROM dirty d JOIN customer c
@@ -644,7 +686,14 @@ _ER_BAND = (
          AND {_ER_BAND.format(x='d.d_acctbal')}
              = {_ER_BAND.format(x='c.c_acctbal')}
       )
-    ), scored AS (
+"""
+
+
+@query(
+    "er1b_linkage_tight_blocking",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS ({_ER1B_CAND_SQL}), scored AS (
       SELECT cand.d_custkey, cand.c_custkey,
              CAST(CASE WHEN d.d_name = c.c_name THEN 35 ELSE -10 END
                 + CASE WHEN d.d_mktsegment = c.c_mktsegment
@@ -683,41 +732,7 @@ def er1b_linkage_tight_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches er1 for side-by-side reading."""
     from ..operators import linkage
 
-    cust = load_table(spark, sf_dir, "customer")
-    mod20, mod10 = F.col("c_custkey") % 20, F.col("c_custkey") % 10
-    dirty = cust.where(mod10.isin(3, 7)).select(
-        F.col("c_custkey").alias("d_custkey"),
-        F.when(mod20 == 3, F.concat(F.col("c_name"), F.lit("_x")))
-        .otherwise(F.col("c_name"))
-        .alias("d_name"),
-        F.col("c_nationkey").alias("d_nationkey"),
-        F.when(mod10 == 7, F.col("c_acctbal") + 7.31)
-        .otherwise(F.col("c_acctbal"))
-        .alias("d_acctbal"),
-        F.when(mod20 == 13, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("d_mktsegment"),
-    )
-
-    def cents(c: F.Column) -> F.Column:
-        return (c.cast("decimal(12,2)") * 100).cast("bigint")
-
-    dirty_b = dirty.withColumn("d_band", F.expr(
-        "(CAST(CAST(d_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
-    ))
-    clean_b = cust.withColumn("c_band", F.expr(
-        "(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) div 100000"
-    ))
-    nation = ("d_nationkey", "c_nationkey")
-    name = ("d_name", "c_name")
-    seg = ("d_mktsegment", "c_mktsegment")
-    band = ("d_band", "c_band")
-    cand = linkage.multi_pass_candidates(
-        dirty_b, clean_b, "d_custkey", "c_custkey",
-        passes=[[nation, name, seg], [nation, name, band],
-                [nation, seg, band]],
-    )
-    pairs = cand.join(dirty, "d_custkey").join(cust, "c_custkey")
+    cust, dirty, pairs, cents = _er1b_universe(spark, sf_dir)
     scored = linkage.score_pairs(
         pairs,
         comparisons=[
@@ -830,6 +845,109 @@ def er2_fellegi_sunter_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import linkage
 
     cust, dirty, pairs, cents = _er1_universe(spark, sf_dir)
+    agree = {
+        "name": F.col("d_name") == F.col("c_name"),
+        "seg": F.col("d_mktsegment") == F.col("c_mktsegment"),
+        "bal": F.abs(cents(F.col("d_acctbal")) - cents(F.col("c_acctbal")))
+        <= 1000,
+    }
+    is_true = F.col("d_custkey") == F.col("c_custkey")
+    aggs = [
+        F.sum(F.when(is_true, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(~is_true, 1).otherwise(0)).cast("bigint").alias("nf"),
+    ]
+    for f, pred in agree.items():
+        aggs.append(
+            F.sum(F.when(pred & is_true, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"at_{f}")
+        )
+        aggs.append(
+            F.sum(F.when(pred & ~is_true, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"af_{f}")
+        )
+    c = pairs.agg(*aggs).collect()[0]
+    weights = linkage.fit_fs_weights(
+        {f: (c[f"at_{f}"], c[f"af_{f}"]) for f in agree},
+        n_true=c["nt"],
+        n_false=c["nf"],
+    )
+    scored = linkage.score_pairs(
+        pairs,
+        comparisons=[
+            (agree[f], weights[f][0], weights[f][1]) for f in agree
+        ],
+        match_threshold=_ER2_MATCH_T,
+        possible_threshold=_ER2_POSSIBLE_T,
+    )
+    return scored.groupBy(
+        "classification", is_true.alias("is_true_pair")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+@query(
+    "er2b_fs_fit_tight",
+    sql=f"""
+    WITH dirty AS ({_ER1_DIRTY_SQL}),
+    cand AS ({_ER1B_CAND_SQL}),
+    feat AS (
+      SELECT cand.d_custkey, cand.c_custkey,
+             (d.d_name = c.c_name) AS ag_name,
+             (d.d_mktsegment = c.c_mktsegment) AS ag_seg,
+             (abs({_ER2_CENTS_D} - {_ER2_CENTS_C}) <= 1000) AS ag_bal,
+             (cand.d_custkey = cand.c_custkey) AS is_true_pair
+      FROM cand
+      JOIN dirty d ON d.d_custkey = cand.d_custkey
+      JOIN customer c ON c.c_custkey = cand.c_custkey
+    ), cnt AS (
+      SELECT
+        CAST(SUM(CASE WHEN is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        CAST(SUM(CASE WHEN NOT is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS nf,
+        {", ".join(
+            f"CAST(SUM(CASE WHEN ag_{f} AND is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS at_{f}, "
+            f"CAST(SUM(CASE WHEN ag_{f} AND NOT is_true_pair THEN 1 ELSE 0 END) AS BIGINT) AS af_{f}"
+            for f in _ER2_FIELDS
+        )}
+      FROM feat
+    ), w AS (
+      SELECT {_er2_weight_sql()}
+      FROM cnt
+    ), scored AS (
+      SELECT f.is_true_pair,
+             CAST({" + ".join(f"CASE WHEN ag_{f} THEN wa_{f} ELSE wd_{f} END" for f in _ER2_FIELDS)}
+               AS BIGINT) AS score
+      FROM feat f, w
+    )
+    SELECT CASE WHEN score >= {_ER2_MATCH_T} THEN 'match'
+                WHEN score >= {_ER2_POSSIBLE_T} THEN 'possible'
+                ELSE 'non_match' END AS classification,
+           is_true_pair,
+           COUNT(*)::BIGINT AS n_pairs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def er2b_fs_fit_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """er2's Fellegi–Sunter fit on er1b's TIGHT-blocked universe — the
+    production pairing at scale (the dd3b-twin stance): er2 over the
+    loose (nation, segment)/(nation, band) blocks walls at sf10
+    (candidate mass ~100x under 10x replication — SCALE.md), while the
+    two-field passes keep pair volume flat AND recall complete (each
+    planted defect corrupts one field). The fitted weights differ from
+    er2's because the u-probabilities are estimated against a cleaner
+    negative population — tight blocking doesn't just cut cost, it
+    changes (usually sharpens) the evidence weights; diff er2 vs er2b
+    to see it. Same guarded micro-nat quantization, same thresholds,
+    same confusion-matrix shape."""
+    from ..operators import linkage
+
+    cust, dirty, pairs, cents = _er1b_universe(spark, sf_dir)
     agree = {
         "name": F.col("d_name") == F.col("c_name"),
         "seg": F.col("d_mktsegment") == F.col("c_mktsegment"),

@@ -197,3 +197,25 @@ def test_fit_fs_weights_matches_hand_math_and_signs():
     w2 = linkage.fit_fs_weights({"f": (10, 0)}, n_true=10, n_false=100)
     assert w2["f"][0] > wa  # cleaner evidence -> bigger weight
     assert math.isfinite(w2["f"][1])
+
+
+def test_er2b_tight_fit_keeps_all_true_pairs_and_cuts_fps(spark, sf_dir):
+    """The tight-blocked fit must keep EVERY true pair in 'match'
+    (two-field passes are recall-complete over the planted defects)
+    while producing no more false-positive matches than the loose fit
+    — tight blocking changes the u-population and sharpens the fitted
+    weights, it must never lose recall."""
+    import __spark_entry__ as entry
+
+    def confusion(name):
+        return {
+            (r.classification, r.is_true_pair): r.n_pairs
+            for r in entry.queries()[name](spark, sf_dir).collect()
+        }
+
+    loose = confusion("er2_fellegi_sunter_fit")
+    tight = confusion("er2b_fs_fit_tight")
+    n_true = sum(v for (c, t), v in loose.items() if t)
+    assert tight.get(("match", True), 0) == n_true
+    assert ("possible", True) not in tight and ("non_match", True) not in tight
+    assert tight.get(("match", False), 0) <= loose.get(("match", False), 0)
