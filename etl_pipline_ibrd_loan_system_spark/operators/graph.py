@@ -649,10 +649,19 @@ def hyperball(
     ).localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).distinct()
     sparse = hll_registers(nodes.withColumn("v", F.col("node")), "v", ["node"], b)
+    # registers live as TINYINT (rho caps at 20): the register vector
+    # rides every edge row of every round's join, so its width IS the
+    # per-round shuffle volume — 8-byte registers put the sf10 trade
+    # graph (~110M symmetric edges) at ~0.4 TB of shuffle per round
+    # and filled the disk; byte registers are ~7x smaller (true
+    # HyperBall packs 6-bit registers tighter still — bit-packing into
+    # longs is the next step if a corpus needs it)
     pack = [
         F.coalesce(
             F.max(F.when(F.col("bucket") == i, F.col("m_reg"))), F.lit(0)
-        ).alias(f"r{i}")
+        )
+        .cast("tinyint")
+        .alias(f"r{i}")
         for i in range(m)
     ]
     regs = (
