@@ -315,6 +315,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "s7_streaming_hll_distinct",
         "g19_accumulating_snapshot",
         "er2b_fs_fit_tight",
+        "m29_vintage_curves",
     ),
 }
 

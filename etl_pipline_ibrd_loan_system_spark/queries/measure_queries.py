@@ -368,3 +368,88 @@ def m28_loan_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
         npv.alias("npv_cents"),
         (total - npv).alias("discount_loss_cents"),
     )
+
+
+# --- m29: vintage curves ---------------------------------------------------
+
+
+@query(
+    "m29_vintage_curves",
+    sql="""
+    WITH base AS (
+      SELECT date_trunc('quarter', o.o_orderdate) AS vintage,
+             (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+             - (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               AS age_months,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), by_age AS (
+      SELECT vintage, age_months,
+             CAST(SUM(cents) AS BIGINT) AS repaid_cents,
+             COUNT(*)::BIGINT AS n_lines
+      FROM base GROUP BY 1, 2
+    ), tot AS (
+      SELECT vintage, CAST(SUM(repaid_cents) AS BIGINT) AS total_cents
+      FROM by_age GROUP BY 1
+    )
+    SELECT CAST(b.vintage AS VARCHAR) AS vintage,
+           CAST(b.age_months AS BIGINT) AS age_months,
+           b.repaid_cents, b.n_lines,
+           CAST(SUM(b.repaid_cents) OVER (
+             PARTITION BY b.vintage ORDER BY b.age_months
+           ) AS BIGINT) AS cum_repaid_cents,
+           CAST(SUM(b.repaid_cents) OVER (
+             PARTITION BY b.vintage ORDER BY b.age_months
+           ) AS DOUBLE) / CAST(t.total_cents AS DOUBLE) AS repaid_frac
+    FROM by_age b JOIN tot t USING (vintage)
+    """,
+)
+def m29_vintage_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage curves — the credit-portfolio staple the IBRD domain
+    reports on: loans cohorted by ORIGINATION quarter (the vintage),
+    repayment activity (line shipments standing in for repayment
+    postings) rolled up by integer months-on-book, and the cumulative
+    repaid fraction per vintage read down the age axis. Laid side by
+    side, the curves expose underwriting drift the calendar view (m10
+    cohorts events by first activity; this cohorts MONEY by
+    origination) averages away. Exact arithmetic: cents sums, integer
+    month ages ((y*12+m) difference — no calendar-daycount float), one
+    pinned division per row for the fraction; the cumulative window
+    partitions by vintage over <= months-on-book rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("vintage"),
+        (
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        ).cast("bigint").alias("age_months"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    by_age = base.groupBy("vintage", "age_months").agg(
+        F.sum("cents").cast("bigint").alias("repaid_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    from pyspark.sql import Window as _W
+
+    tot = by_age.groupBy("vintage").agg(
+        F.sum("repaid_cents").cast("bigint").alias("total_cents")
+    )
+    w = _W.partitionBy("vintage").orderBy("age_months")
+    cum = F.sum("repaid_cents").over(w).cast("bigint")
+    return (
+        by_age.join(tot, "vintage")
+        .select(
+            F.col("vintage").cast("string").alias("vintage"),
+            "age_months",
+            "repaid_cents",
+            "n_lines",
+            cum.alias("cum_repaid_cents"),
+            (cum.cast("double") / F.col("total_cents").cast("double")).alias(
+                "repaid_frac"
+            ),
+        )
+    )

@@ -120,3 +120,27 @@ def test_loan_npv_consistent_with_schedule_and_python_replay(spark, sf_dir):
         assert r.npv_cents == expect_npv
         assert r.npv_cents < r.total_payment_cents
         assert r.discount_loss_cents == r.total_payment_cents - r.npv_cents
+
+
+def test_vintage_curves_monotone_and_complete(spark, sf_dir):
+    """Per vintage: the cumulative repaid cents are strictly
+    non-decreasing down the age axis, the final fraction is exactly
+    1.0 (every vintage fully repays within the data horizon), and the
+    per-age repaid cents re-sum to the cumulative."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["m29_vintage_curves"](spark, sf_dir).collect()
+    by_v: dict[str, list] = {}
+    for r in rows:
+        by_v.setdefault(r.vintage, []).append(r)
+    assert by_v
+    for v, curve in by_v.items():
+        curve.sort(key=lambda r: r.age_months)
+        run = 0
+        prev = -1
+        for r in curve:
+            run += r.repaid_cents
+            assert r.cum_repaid_cents == run, (v, r.age_months)
+            assert r.cum_repaid_cents >= prev
+            prev = r.cum_repaid_cents
+        assert curve[-1].repaid_frac == 1.0, v
