@@ -58,9 +58,18 @@ HEADLINE = [
     "g1_scd2_apply",          # SCD2 merge rebuild (§2.G)
     "m6_dashboard_visual",    # measure layer over the star (D2-D7)
     "dd1_exact_dedup",        # exact dedup hash-groupBy
-    "dd3_minhash_lsh",        # MinHash+LSH near-dup pipeline
-    "dd5_simhash_near_pairs",  # SimHash banded near-dup
-    "dd7_embedding_lsh_neardup",  # hyperplane-LSH cosine near-dup
+    # Near-dup headline entries are the PRODUCTION collapse twins
+    # (VERDICT r8 item 2 / next-round #3): exact-collapse first, banded
+    # LSH over the collapsed survivors — the plan you'd run at 100×.
+    # The raw pair-enumeration forms (dd3_minhash_lsh,
+    # dd7_embedding_lsh_neardup) stay registered + oracle-checked as
+    # labeled exactness baselines; SCALE.md proves them quadratic under
+    # copy mass at sf10, so the tracked number is no longer theirs.
+    # One overlap run with BOTH raw and twin entries is recorded as
+    # BENCH_r09_overlap.json for trend continuity.
+    "dd3b_neardup_after_exact_collapse",  # MinHash+LSH on collapsed survivors
+    "dd5_simhash_near_pairs",  # SimHash banded near-dup (pigeonhole-exact)
+    "dd7b_vector_dedup_collapsed",  # hyperplane-LSH cosine on collapsed
     "sm1_cosine_topk",            # exact ANN baseline
     "sm2_ivf_topk",               # IVF ANN scale path
     "tx2_quality_score",          # text quality signals
@@ -94,29 +103,28 @@ def main() -> None:
     from etl_pipline_ibrd_loan_system_spark.session import get_session
 
     spark = get_session("bench")
-    # Silence WindowExec's "No Partition Defined" WARN for this bench
-    # session (VERDICT r7 item 6): every unpartitioned window left in
-    # the headline plans is a BOUNDED post-aggregate window (bucket
-    # carry in window_ops.py, rank-over-agg in analytics_queries.py,
-    # allocation ranks in sampling.py — agg-grain, audited r7), and the
-    # repeated warning buries the one that would matter. Plans are
-    # unchanged — the plan-regression gates, which assert every
-    # corpus-grain window stays partitioned, remain the real tripwire.
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # log4j2 API unavailable: noisy but harmless
+    from etl_pipline_ibrd_loan_system_spark.session import (
+        silence_bounded_window_warn,
+    )
+
+    # shared structural silencer (VERDICT r7 item 6 / r8 item 5) — see
+    # session.silence_bounded_window_warn for the audit rationale
+    silence_bounded_window_warn(spark)
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     all_passes: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
     load_start = os.getloadavg()
-    live = [n for n in HEADLINE if n in qs]
+    # $SPARK_GRAFT_EXTRA_QUERIES (comma-separated) appends one-off
+    # entries — used for the r9 raw-vs-twin overlap run so the headline
+    # swap keeps trend continuity without reverting the set.
+    extra = [
+        n
+        for n in os.environ.get("SPARK_GRAFT_EXTRA_QUERIES", "").split(",")
+        if n and n not in HEADLINE
+    ]
+    live = [n for n in HEADLINE + extra if n in qs]
     # Sweep 0 starts with the cold pass per query (whole-stage-codegen
     # JIT + first-touch parquet decode — one-time JVM costs, 3-5x steady
     # state at sf0.1, reported separately), then 2 steady passes on

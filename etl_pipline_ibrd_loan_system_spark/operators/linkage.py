@@ -37,7 +37,13 @@ def multi_pass_candidates(
     equi-join blocking passes; each pass is a list of (left_col,
     right_col) equality conditions. A true pair survives overall if at
     least ONE pass blocks on fields that pass's perturbations spared —
-    the standard multi-pass recall argument."""
+    the standard multi-pass recall argument.
+
+    Prefer MANY TIGHT passes over few loose ones: per-pass cost is
+    sum-over-blocks of |left-block|*|right-block|, so a 2-3 field
+    conjunction per pass keeps blocks small while the pass union keeps
+    recall (the er2b shape — see fit_fs_weights' SCALE note for the
+    measured sf10 numbers)."""
     la, ra = left.alias("__lnk_l"), right.alias("__lnk_r")
     out = None
     for cols in passes:
@@ -105,7 +111,19 @@ def fit_fs_weights(
     boundary, so the fitted weights (and every pair score summed from
     them) are exact integers cross-engine. Driver state: 2 ints per
     field + 2 totals — bounded by the comparison vector, never the
-    data."""
+    data.
+
+    SCALE — the blocking you fit on decides everything (VERDICT r8
+    item 3): the fit consumes whatever candidate universe
+    multi_pass_candidates produced, so feed it TIGHT multi-field
+    passes (2-3 field conjunctions per pass; recall from the UNION of
+    passes) — the er2b shape, measured 119 s at sf10 on the default
+    8 GiB heap. Loose single-field blocks (the er2 baseline) grow
+    candidate mass ~100× under 10× row replication and wall at sf10
+    even on a 48 GiB heap (SCALE.md:1425). Tight blocks are not a
+    recall sacrifice: a true pair survives if ANY pass's fields were
+    spared by that record's perturbations, and the sf10 run pinned
+    recall possible-or-better per true pair."""
     import math
 
     from .sampling import guarded_log_qround

@@ -161,6 +161,11 @@ def _assign_sks(
     rows: DataFrame, key: str, sk_col: str, offset, strategy: str, asof: str
 ) -> DataFrame:
     if strategy == "dense":
+        # Deliberately unpartitioned: dense mode IS a single-task global
+        # sort (IDENTITY parity). A lit(0) partition key does not silence
+        # WindowExec's WARN — Catalyst constant-folds foldable partition
+        # expressions back to an empty spec — so sweep tooling suppresses
+        # the logger instead (bench.py / tools/selfcheck.py).
         w = Window.orderBy(key)
         out = rows.withColumn(sk_col, F.row_number().over(w))
         if isinstance(offset, int):

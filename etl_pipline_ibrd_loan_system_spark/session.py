@@ -71,6 +71,28 @@ def get_session(app_name: str = DEFAULT_APP_NAME, shuffle_partitions: int | None
     return spark
 
 
+def silence_bounded_window_warn(spark: SparkSession) -> None:
+    """Drop WindowExec's "No Partition Defined" WARN to ERROR for this
+    JVM (VERDICT r8 item 5 — bench had this, selfcheck didn't, so the
+    one warning that would matter could still drown in sweep logs).
+    Every unpartitioned window left in registered plans is a BOUNDED
+    post-aggregate window (dense-SK IDENTITY parity, bucket carry,
+    rank-over-agg — agg-grain, audited r7/r8); a lit(0) partition key
+    does NOT silence it because Catalyst constant-folds foldable
+    partition expressions back to an empty spec. Plans are unchanged —
+    the plan-regression gates (tests/test_plan_regressions.py), which
+    assert every corpus-grain window stays partitioned, remain the real
+    tripwire."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - log4j2 API unavailable
+        pass  # noisy but harmless
+
+
 def tune_existing(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply the runtime-settable subset of the engine config to a session we
     did not build (the driver hands us one). Static conf (driver memory,

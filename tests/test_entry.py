@@ -74,34 +74,47 @@ def test_rotation_plan_covers_and_window_is_current():
     assert rotation_lint() == []
 
 
-def test_rotation_lint_counts_only_green_rows(tmp_path):
-    """VERDICT r7 item 2: a red driver row must never retire a query
-    from the schedule. Synthesize a repo root whose CORRECTNESS file
-    covers every registered query: with one ROTATION_PLAN[9] query
-    un-rowed the lint demands the window advance past round 8; adding
-    a RED row for a round-8 query must pull the pending window back to
-    8 (red != covered), making the current DRIVER_PRIORITY correct."""
+def test_derive_active_window_counts_only_green_rows(tmp_path):
+    """VERDICT r8 item 2: the active window derives from the newest
+    CORRECTNESS files — no hand rotation. A red driver row must never
+    retire a query (VERDICT r7 item 2). Synthesize a repo root whose
+    CORRECTNESS file covers every registered query except one
+    ROTATION_PLAN[10] name: the derived window is round 10. A RED row
+    for a round-9 query pulls the window back to 9 (red != covered).
+    All-green: the window settles on the LAST plan round, padded to 50
+    for re-verification."""
     import json
 
     from etl_pipline_ibrd_loan_system_spark.queries import (
-        DRIVER_PRIORITY,
         ROTATION_PLAN,
-        rotation_lint,
+        derive_active_window,
     )
 
     qs = entrymod.queries()
     green = {n: {"rows_match": True, "schema_match": True, "hash_match": True}
              for n in qs}
-    hole = ROTATION_PLAN[9][0]
-    del green[hole]  # round 9 still owed one row
+    hole = ROTATION_PLAN[10][0]
+    del green[hole]  # round 10 still owed one row
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
-    problems = rotation_lint(repo_root=str(tmp_path))
-    assert any("stale" in p and "ROTATION_PLAN[9]" in p for p in problems), problems
+    w10 = ROTATION_PLAN[10]
+    derived = derive_active_window(str(tmp_path))
+    assert derived[: len(w10[:50])] == w10[:50]
+    assert len(derived) == 50 and len(set(derived)) == 50
 
-    # one round-8 query goes RED: round 8 is pending again, and the
-    # active window (ROTATION_PLAN[8] == DRIVER_PRIORITY) is current
-    green[DRIVER_PRIORITY[0]] = {
+    # one round-9 query goes RED: round 9 is pending again
+    green[ROTATION_PLAN[9][0]] = {
         "rows_match": True, "schema_match": True, "hash_match": False
     }
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
-    assert rotation_lint(repo_root=str(tmp_path)) == []
+    assert derive_active_window(str(tmp_path))[: 50] == ROTATION_PLAN[9][:50]
+
+    # everything green: last window, padded to the full 50-slot gate
+    green[ROTATION_PLAN[9][0]]["hash_match"] = True
+    green[hole] = {"rows_match": True, "schema_match": True,
+                   "hash_match": True}
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
+    last = ROTATION_PLAN[max(ROTATION_PLAN)]
+    derived = derive_active_window(str(tmp_path))
+    assert len(derived) == 50
+    assert derived[: len(last)] == last
+    assert len(set(derived)) == 50
