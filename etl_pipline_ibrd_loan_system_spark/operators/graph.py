@@ -541,19 +541,26 @@ def label_propagation(
     neighbor-label count, never the corpus.
 
     MEMORY ENVELOPE (the dd3/SCALE.md precedent, VERDICT r8 item 4):
-    the pre-combine vote table is EDGE-scale — one (node, label) row
-    per edge plus the self-votes — so per-round working memory follows
-    |E| / shuffle-partitions, not |V|. Measured: sf10 (~6 M symmetric
-    edges under copy replication) dies at the default 8 GiB single-box
-    heap with default 32 shuffle partitions but completes on a 48 GiB
-    heap (SCALE.md:1422). The knob is `vote_partitions`: when set, the
-    vote table is hash-repartitioned into that many node buckets
-    before the count, bounding per-partition vote rows to roughly
-    |E| / vote_partitions regardless of the session-wide
-    spark.sql.shuffle.partitions — size it so that quotient stays in
-    the low millions per executor core. On a real cluster the same
-    dial is the stage's shuffle-partition count; AQE coalescing keeps
-    the small-label tail cheap."""
+    everything that is per-round working memory here is EDGE-scale —
+    the checkpointed edge table's cache blocks and the pre-combine
+    (node, label) vote table (one row per edge plus the self-votes) —
+    so the envelope follows |E| / partitions, not |V|. Measured at
+    sf10 (~110 M symmetric edge rows): DIES on the default 8 GiB
+    single-box heap at 32 shuffle partitions (AGGREGATE_OUT_OF_MEMORY
+    in the edge-distinct while the localCheckpoint's storage blocks
+    hold the protected half of unified memory); completes in 115 s on
+    a 48 GiB heap; completes in **152.6 s on the DEFAULT 8 GiB heap**
+    with both dials set to 256 (SCALE.md round-9). The dials: (1)
+    session spark.sql.shuffle.partitions sized so |E|/partitions stays
+    in the low millions — that bounds the edge-distinct hash maps that
+    build the checkpoint; (2) `vote_partitions` — when set, the vote
+    table is hash-repartitioned into that many node buckets before the
+    count, bounding per-partition vote rows to ~|E|/vote_partitions
+    regardless of the session setting, and (since HashPartitioning on
+    node satisfies both the count's and the argmax window's clustering)
+    replacing the per-round groupBy+window double exchange with ONE.
+    On a real cluster the same dials are the stage's shuffle-partition
+    count; AQE coalescing keeps the small-label tail cheap."""
     from pyspark.sql.window import Window
 
     e = edges.select(

@@ -279,6 +279,9 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         # registered r8 (earliest non-full window):
         "b18_sink_decimal_narrowing",
         "m25_date_hierarchy_drill",
+        # registered r9 (earliest non-full window): timestamp-grain SCD2
+        # twin of g1 (VERDICT r8 item 5 — last §2.G parity-evidence gap)
+        "g20_scd2_timestamp_grain",
     ),
     # overflow window: round-10 hit its 50-slot cap; late-r8
     # registrations go here (the lint keeps it <= 50 like any window)

@@ -205,6 +205,17 @@ def test_label_propagation_two_triangles(spark):
     }
     assert got12 == got
 
+    # vote_partitions memory-envelope knob (VERDICT r8 item 4): the
+    # per-round node-bucket repartition changes only WHERE vote rows
+    # sit, never the argmax — bit-identical communities
+    got_knob = {
+        r.node: r.community
+        for r in graph.label_propagation(
+            edges, rounds=4, vote_partitions=7
+        ).collect()
+    }
+    assert got_knob == got
+
 
 def test_label_propagation_matches_reference_on_bipartite(spark):
     """Synchronous LPA's hard case — a complete bipartite K2,3 — must
