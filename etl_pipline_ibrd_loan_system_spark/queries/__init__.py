@@ -320,6 +320,10 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "g19_accumulating_snapshot",
         "er2b_fs_fit_tight",
         "m29_vintage_curves",
+        # registered r9 (earliest non-full window):
+        "m30_roll_rates",
+        "m31_interest_accrual",
+        "m32_touch_attribution",
     ),
 }
 

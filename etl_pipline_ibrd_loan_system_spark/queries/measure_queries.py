@@ -453,3 +453,303 @@ def m29_vintage_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- m30: delinquency-style roll-rate matrix ------------------------------
+
+
+@query(
+    "m30_roll_rates",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_ev
+      FROM events GROUP BY 1, 2
+    ), tiered AS (
+      SELECT user_id, d,
+             CASE WHEN n_ev >= 4 THEN 'heavy'
+                  WHEN n_ev >= 2 THEN 'mid'
+                  ELSE 'light' END AS tier
+      FROM daily
+    ), trans AS (
+      SELECT tier AS to_tier, d,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY d) AS from_tier,
+             lag(d)    OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM tiered
+    ), rolls AS (
+      SELECT from_tier, to_tier, COUNT(*)::BIGINT AS n_rolls
+      FROM trans
+      WHERE from_tier IS NOT NULL AND d = prev_d + 1
+      GROUP BY 1, 2
+    )
+    SELECT from_tier, to_tier, n_rolls,
+           CAST(SUM(n_rolls) OVER (PARTITION BY from_tier) AS BIGINT)
+             AS from_total,
+           (n_rolls * 1000000)
+             // CAST(SUM(n_rolls) OVER (PARTITION BY from_tier) AS BIGINT)
+             AS roll_rate_micro
+    FROM rolls
+    """,
+)
+def m30_roll_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll-rate (state-transition) matrix — the delinquency migration
+    report a loan book reads monthly (current -> 30DPD -> 60DPD ...),
+    here day-over-day engagement tiers on the events table: per
+    (user, day) an activity tier from the event count, then strict
+    consecutive-day transitions counted into a from->to matrix with
+    the per-from-state roll rate in exact integer micro units
+    (n*1e6 div row_total — no float division inside the engine).
+
+    Scale shape: one (user, day) count (map-side combinable), one
+    user-partitioned lag window at user-day grain, one matrix-grain
+    aggregate — the final window runs over <= |tiers|^2 rows. The
+    gap filter (d = prev_d + 1) makes the matrix a true one-period
+    migration, not a mixture of horizons — the property that lets
+    roll rates chain multiplicatively in a Markov projection."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    tiered = daily.select(
+        "user_id",
+        "d",
+        F.when(F.col("n_ev") >= 4, "heavy")
+        .when(F.col("n_ev") >= 2, "mid")
+        .otherwise("light")
+        .alias("tier"),
+    )
+    w = _W.partitionBy("user_id").orderBy("d")
+    trans = tiered.select(
+        F.col("tier").alias("to_tier"),
+        "d",
+        F.lag("tier").over(w).alias("from_tier"),
+        F.lag("d").over(w).alias("prev_d"),
+    )
+    rolls = (
+        trans.where(
+            F.col("from_tier").isNotNull()
+            & (F.col("d") == F.date_add(F.col("prev_d"), 1))
+        )
+        .groupBy("from_tier", "to_tier")
+        .agg(F.count(F.lit(1)).alias("n_rolls"))
+    )
+    wf = _W.partitionBy("from_tier")
+    from_total = F.sum("n_rolls").over(wf).cast("bigint")
+    return rolls.select(
+        "from_tier",
+        "to_tier",
+        "n_rolls",
+        from_total.alias("from_total"),
+        F.expr("n_rolls * 1000000").cast("bigint").alias("__num"),
+    ).select(
+        "from_tier",
+        "to_tier",
+        "n_rolls",
+        "from_total",
+        F.expr("__num div from_total").alias("roll_rate_micro"),
+    )
+
+
+# --- m31: day-count-convention interest accrual ---------------------------
+
+_M31_RATE_BP = 425  # 4.25% simple annual rate, in basis points
+
+
+@query(
+    "m31_interest_accrual",
+    sql=f"""
+    WITH loans AS (
+      SELECT o.o_orderkey AS loan_id,
+             CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS principal_cents,
+             CAST(o.o_orderdate AS DATE) AS draw_date,
+             CAST(MIN(l.l_shipdate) AS DATE) AS settle_date
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % 20 = 0
+      GROUP BY 1, 2, 3
+    ), basis AS (
+      SELECT loan_id, principal_cents, draw_date, settle_date,
+             CAST(date_diff('day', draw_date, settle_date) AS BIGINT)
+               AS act_days,
+             CAST((year(settle_date) - year(draw_date)) * 360
+                  + (month(settle_date) - month(draw_date)) * 30
+                  + (LEAST(day(settle_date), 30) - LEAST(day(draw_date), 30))
+               AS BIGINT) AS d360_days
+      FROM loans
+    )
+    SELECT loan_id, principal_cents,
+           CAST(draw_date AS VARCHAR) AS draw_date,
+           CAST(settle_date AS VARCHAR) AS settle_date,
+           act_days, d360_days,
+           (principal_cents * {_M31_RATE_BP} * act_days) // 3650000
+             AS interest_act365_cents,
+           (principal_cents * {_M31_RATE_BP} * d360_days) // 3600000
+             AS interest_30_360_cents,
+           (principal_cents * {_M31_RATE_BP} * act_days) // 3650000
+             - (principal_cents * {_M31_RATE_BP} * d360_days) // 3600000
+             AS basis_diff_cents
+    FROM basis
+    """,
+)
+def m31_interest_accrual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-count-convention interest accrual — the ACT/365 vs 30/360
+    basis arithmetic every loan ledger runs (IBRD lends on both
+    bases): a 5% order sample stands in for drawn loans, accruing
+    simple interest from draw (order date) to settlement (first
+    shipment) under both conventions, with the basis difference per
+    loan. The 30/360 day count is the US bond-basis form
+    (360*dy + 30*dm + (min(d2,30) - min(d1,30))), stated explicitly so
+    both engines compute the identical integer.
+
+    Exactness: interest = principal_cents * rate_bp * days div
+    (10000 * year_basis) — a single truncating division on an exact
+    int64 product (headroom: 5e7 cents * 425 * ~200 days < 2^63).
+    Scale shape: order-grain join + MIN agg, then a pure projection;
+    no window, no driver state."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    loans = (
+        orders.where(F.col("o_orderkey") % 20 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("loan_id"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("principal_cents"),
+            F.col("o_orderdate").cast("date").alias("draw_date"),
+        )
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("settle_date"))
+    )
+    act = F.datediff("settle_date", "draw_date").cast("bigint")
+    d360 = (
+        (F.year("settle_date") - F.year("draw_date")) * 360
+        + (F.month("settle_date") - F.month("draw_date")) * 30
+        + (
+            F.least(F.dayofmonth("settle_date"), F.lit(30))
+            - F.least(F.dayofmonth("draw_date"), F.lit(30))
+        )
+    ).cast("bigint")
+    basis = loans.select(
+        "loan_id",
+        "principal_cents",
+        "draw_date",
+        "settle_date",
+        act.alias("act_days"),
+        d360.alias("d360_days"),
+    )
+    r = _M31_RATE_BP
+    i365 = F.expr(f"(principal_cents * {r} * act_days) div 3650000")
+    i360 = F.expr(f"(principal_cents * {r} * d360_days) div 3600000")
+    return basis.select(
+        "loan_id",
+        "principal_cents",
+        F.col("draw_date").cast("string").alias("draw_date"),
+        F.col("settle_date").cast("string").alias("settle_date"),
+        "act_days",
+        "d360_days",
+        i365.alias("interest_act365_cents"),
+        i360.alias("interest_30_360_cents"),
+        (i365 - i360).alias("basis_diff_cents"),
+    )
+
+
+# --- m32: first/last-touch attribution ------------------------------------
+
+
+@query(
+    "m32_touch_attribution",
+    sql="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), ranked AS (
+      SELECT p.p_id, p.cents, t.channel,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_first,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_last
+      FROM purchases p
+      JOIN touches t ON t.user_id = p.user_id AND t.t_ts < p.p_ts
+    )
+    SELECT model, channel,
+           COUNT(*)::BIGINT AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM (
+      SELECT 'first_touch' AS model, channel, cents
+      FROM ranked WHERE rn_first = 1
+      UNION ALL
+      SELECT 'last_touch', channel, cents
+      FROM ranked WHERE rn_last = 1
+    )
+    GROUP BY 1, 2
+    """,
+)
+def m32_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch revenue attribution: each purchase's
+    cents credited to the channel (click/view) of the user's earliest
+    and latest PRIOR touch, rolled up per (model, channel). The
+    conversion-window join is per-user (t.user_id = p.user_id AND
+    t_ts < p_ts) — pair volume is bounded by per-user activity, never
+    the corpus; both row_number rankings ride the SAME per-purchase
+    partition so one window exchange serves first and last. Ties on
+    touch timestamp break by event_id in BOTH orderings, so the
+    attribution is deterministic cross-engine. Purchases with no prior
+    touch drop out of both models identically (inner join) — the
+    standard 'unattributed' bucket is the complement, derivable by
+    anti-join. Cents via round(value*100) — the established exact
+    double->cents quantization both engines share."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+    )
+    # qualified aliases: both sides derive from the same events scan, so
+    # unqualified user_id == user_id is ambiguous (trivially-true WARN)
+    pa, ta = purchases.alias("__att_p"), touches.alias("__att_t")
+    joined = pa.join(
+        ta,
+        (F.col("__att_p.user_id") == F.col("__att_t.user_id"))
+        & (F.col("__att_t.t_ts") < F.col("__att_p.p_ts")),
+    ).select("p_id", "cents", "channel", "t_ts", "t_id")
+    w_first = _W.partitionBy("p_id").orderBy(
+        F.asc("t_ts"), F.asc("t_id")
+    )
+    w_last = _W.partitionBy("p_id").orderBy(
+        F.desc("t_ts"), F.desc("t_id")
+    )
+    ranked = joined.select(
+        "p_id",
+        "cents",
+        "channel",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    first = ranked.where(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "channel", "cents"
+    )
+    last = ranked.where(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "channel", "cents"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
