@@ -324,6 +324,9 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "m30_roll_rates",
         "m31_interest_accrual",
         "m32_touch_attribution",
+        "fb2_winsorized_stats",
+        "iv8_rocchio_prf",
+        "dq22_null_pattern_profile",
     ),
 }
 

@@ -1489,3 +1489,102 @@ def fv7_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     class-conditional; these are corpus-conditional)."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# --- fb2: winsorized robust statistics ------------------------------------
+
+
+@query(
+    "fb2_winsorized_stats",
+    sql="""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM customer
+    ), ranked AS (
+      SELECT c_mktsegment, cents,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY cents, c_custkey
+             ) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+      FROM cents
+    ), cuts AS (
+      SELECT c_mktsegment,
+             MIN(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END)
+               AS p05_cents,
+             MIN(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END)
+               AS p95_cents
+      FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT r.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r.cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(LEAST(GREATEST(r.cents, c.p05_cents), c.p95_cents))
+             AS BIGINT) AS win_sum_cents,
+           CAST(SUM(CASE WHEN r.cents < c.p05_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN r.cents > c.p95_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clip_high,
+           c.p05_cents, c.p95_cents
+    FROM ranked r JOIN cuts c USING (c_mktsegment)
+    GROUP BY r.c_mktsegment, c.p05_cents, c.p95_cents
+    """,
+)
+def fb2_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-percentile) robust statistics per
+    segment — the outlier-taming feature transform that precedes any
+    mean-based model feature: exact discrete p05/p95 located by RANK
+    (value at row ceil(q*n) under a deterministic (value, key) total
+    order — integer ceil as (q*n + 99) div 100, never a float
+    quantile, so both engines cut at the identical cent), every
+    balance clipped into [p05, p95], and per-segment sums before and
+    after with clip counts. Complements fb1 (which BINS by continuous
+    quantiles) and e17 (MAD): this is the transform that keeps the
+    sum/mean estimator, just robustly.
+
+    Scale shape: one window exchange by segment for (rank, n) — the
+    percentile is found by rank arithmetic in the same pass, no
+    second sort; cuts are segment-grain (5 rows) and broadcast back;
+    the final agg is matrix-grain. Skewed segment sizes ride the
+    window's hash partitioning; at extreme cardinality the rank pass
+    is the same two-phase sub-bucketed top-k sp5 uses."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("cents", "c_custkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = cents.select(
+        "c_mktsegment",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    cuts = ranked.groupBy("c_mktsegment").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("cents"))
+        ).alias("p05_cents"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("cents"))
+        ).alias("p95_cents"),
+    )
+    clipped = ranked.join(F.broadcast(cuts), "c_mktsegment")
+    win = F.least(F.greatest(F.col("cents"), F.col("p05_cents")), F.col("p95_cents"))
+    return clipped.groupBy("c_mktsegment", "p05_cents", "p95_cents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(win).cast("bigint").alias("win_sum_cents"),
+        F.sum(
+            F.when(F.col("cents") < F.col("p05_cents"), 1).otherwise(0)
+        ).cast("bigint").alias("n_clip_low"),
+        F.sum(
+            F.when(F.col("cents") > F.col("p95_cents"), 1).otherwise(0)
+        ).cast("bigint").alias("n_clip_high"),
+    ).select(
+        "c_mktsegment", "n", "sum_cents", "win_sum_cents",
+        "n_clip_low", "n_clip_high", "p05_cents", "p95_cents",
+    )

@@ -1384,3 +1384,87 @@ def dq21_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (pmi_micro.cast("double") / F.lit(1_000_000.0))
         ).alias("mi_contrib"),
     )
+
+
+# --- dq22: missingness-pattern (nullity) profile ---------------------------
+
+
+@query(
+    "dq22_null_pattern_profile",
+    sql="""
+    WITH dirty AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 3 THEN NULL
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 11 = 5 THEN NULL
+                  ELSE o_orderpriority END AS priority,
+             CASE WHEN o_orderkey % 13 = 8 THEN NULL
+                  ELSE o_orderdate END AS odate
+      FROM orders
+    ), masked AS (
+      SELECT (CASE WHEN price IS NULL THEN 4 ELSE 0 END
+            + CASE WHEN priority IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN odate IS NULL THEN 1 ELSE 0 END) AS pattern_mask
+      FROM dirty
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM masked)
+    SELECT CAST(pattern_mask AS BIGINT) AS pattern_mask,
+           concat_ws(',',
+             CASE WHEN pattern_mask // 4 % 2 = 1 THEN 'price' END,
+             CASE WHEN pattern_mask // 2 % 2 = 1 THEN 'priority' END,
+             CASE WHEN pattern_mask % 2 = 1 THEN 'odate' END)
+             AS null_columns,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           (COUNT(*) * 1000000) // (SELECT n_total FROM tot)
+             AS share_micro
+    FROM masked
+    GROUP BY pattern_mask
+    """,
+)
+def dq22_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missingness-pattern mining (the nullity-matrix / md.pattern
+    read): every row reduced to a bitmask of WHICH audited columns are
+    null, patterns counted with exact integer micro shares. Joint
+    patterns are what imputation strategy and upstream-bug triage
+    actually need — dq1's per-column null counts can't distinguish
+    'price and priority go missing together' (one broken extract)
+    from independent gaps. The null injection is a deterministic dirty
+    fixture (the er1 precedent); on real data the CASE wrappers drop
+    away and the mask is computed from the raw columns.
+
+    Scale shape: one projection to the mask, one combinable count at
+    pattern grain (<= 2^k rows), a 1-row total broadcast back — the
+    corpus is scanned once and never reshuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 3, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 5, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.when(F.col("o_orderkey") % 13 == 8, None)
+        .otherwise(F.col("o_orderdate"))
+        .alias("odate"),
+    )
+    mask = (
+        F.when(F.col("price").isNull(), 4).otherwise(0)
+        + F.when(F.col("priority").isNull(), 2).otherwise(0)
+        + F.when(F.col("odate").isNull(), 1).otherwise(0)
+    )
+    masked = dirty.select(mask.alias("pattern_mask"))
+    counts = masked.groupBy(
+        F.col("pattern_mask").cast("bigint").alias("pattern_mask")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = masked.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    names = F.concat_ws(
+        ",",
+        F.when(F.expr("pattern_mask div 4 % 2 = 1"), "price"),
+        F.when(F.expr("pattern_mask div 2 % 2 = 1"), "priority"),
+        F.when(F.expr("pattern_mask % 2 = 1"), "odate"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "pattern_mask",
+        names.alias("null_columns"),
+        "n_rows",
+        F.expr("(n_rows * 1000000) div n_total").alias("share_micro"),
+    )

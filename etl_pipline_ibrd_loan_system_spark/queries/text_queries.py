@@ -1868,3 +1868,207 @@ def iv7_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, bounding pair fanout by the banded per-doc vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.related_terms(docs, "text", "doc_id", k=3)
+
+
+# --- iv8: Rocchio pseudo-relevance-feedback retrieval ---------------------
+#
+# Score arithmetic: per-(doc, term) BM25 contribution quantized to
+# integer micro-units BEFORE the per-doc sum — FLOOR(w_micro * (idf *
+# tf_part)) where every input (tf, dl, N, sum_dl, df, the micro
+# weight) is an exact integer, idf is iv2's rational Robertson form,
+# and the double expression has one fixed shape — so the summed score
+# is an order-free BIGINT and the ranking is bit-identical across
+# engines (iv2 can sum doubles because its terms are STATIC and add in
+# a fixed projection order; here expansion terms are data-dependent
+# rows, so the sum must be integer).
+
+_IV8_K1 = 1.2
+_IV8_B = 0.75
+_IV8_W_ORIG = 1_000_000  # original-term weight, micro units
+_IV8_W_EXP = 500_000     # Rocchio beta = 0.5 for expansion terms
+_IV8_FEEDBACK_K = 10
+_IV8_EXPANSION_K = 3
+
+
+def _iv8_sql() -> str:
+    toks = _TOKS
+    k1, b = _IV8_K1, _IV8_B
+    bm25 = _bm25_sql().replace("ORDER BY score DESC, doc_id LIMIT 10", "")
+    score = (
+        f"CAST(FLOOR(CAST(t.w_micro AS DOUBLE) * ("
+        f"((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)"
+        f" / (CAST(d.df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * (CAST(tf.dl AS DOUBLE)"
+        f" / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE)))))))"
+        f") AS BIGINT)"
+    )
+    return f"""
+    WITH fb AS (
+      SELECT doc_id FROM ({bm25}
+        ORDER BY score DESC, doc_id LIMIT {_IV8_FEEDBACK_K})
+    ),
+    corpus_df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(list_distinct({toks})) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    fbterm AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS fb_tf
+      FROM (SELECT unnest({toks}) AS token
+            FROM documents JOIN fb USING (doc_id))
+      WHERE token NOT IN {tuple(_BM25_TERMS)!r}
+      GROUP BY token
+    ),
+    expansion AS (
+      SELECT token, {_IV8_W_EXP} AS w_micro FROM (
+        SELECT f.token,
+               row_number() OVER (ORDER BY f.fb_tf DESC, f.token ASC) AS rk
+        FROM fbterm f JOIN corpus_df c USING (token)
+        WHERE 2 * c.df <= (SELECT COUNT(*) FROM documents)
+      ) WHERE rk <= {_IV8_EXPANSION_K}
+    ),
+    qterms AS (
+      SELECT token, w_micro FROM expansion
+      UNION ALL
+      SELECT unnest({list(_BM25_TERMS)!r}) AS token, {_IV8_W_ORIG} AS w_micro
+    ),
+    doclen AS (
+      SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl FROM documents
+    ),
+    stats2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM doclen
+    ),
+    tf AS (
+      SELECT x.doc_id, x.token, CAST(COUNT(*) AS BIGINT) AS tf, l.dl
+      FROM (SELECT doc_id, unnest({toks}) AS token FROM documents) x
+      JOIN qterms q ON q.token = x.token
+      JOIN doclen l ON l.doc_id = x.doc_id
+      GROUP BY x.doc_id, x.token, l.dl
+    )
+    SELECT doc_id, score_micro, n_terms_hit FROM (
+      SELECT tf.doc_id,
+             CAST(SUM({score}) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM tf
+      JOIN qterms t ON t.token = tf.token
+      JOIN corpus_df d ON d.token = tf.token
+      CROSS JOIN stats2 s
+      GROUP BY tf.doc_id
+    )
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """
+
+
+@query("iv8_rocchio_prf", sql=_iv8_sql())
+def iv8_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio): run iv2's BM25
+    for the fixed query, mine the top-10 feedback docs for the
+    {_IV8_EXPANSION_K} highest-mass terms not already in the query
+    (banded to 2*df <= N so stopword-grade terms can't expand), then
+    re-score the corpus with the expanded query — original terms at
+    weight 1.0, expansion at Rocchio beta 0.5 — and return the new
+    top-10. Per-(doc,term) scores quantize to integer micro-units
+    before the per-doc sum (see module note), so the data-dependent
+    term set cannot make the ranking order-sensitive.
+
+    Scale shape: feedback is top-k (per-partition heaps); the corpus
+    df table is iv1's banded aggregate; the expansion choice is a
+    <= |feedback vocabulary| ranking; rescoring explodes tokens once
+    and SEMI-joins them against a <= {_IV8_EXPANSION_K + 3}-term
+    broadcast table before any shuffle — the token stream leaves the
+    scan only for matched terms, (doc, term) counts combine
+    map-side, and the final ranking is again a top-k heap. No
+    collect: feedback docs, expansion terms, and corpus stats stay
+    plan-side as broadcast one-row/short tables."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    # NOT pinned: each pass re-derives tokens from the parquet scan
+    # (column-pruned, whole-stage codegen) — cheaper at corpus scale
+    # than materializing the full token stream once
+    tokenized = docs.select("doc_id", F.explode(toks).alias("token"))
+
+    fb = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_IV8_FEEDBACK_K)
+        .select("doc_id")
+    )
+    corpus_df = (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(toks)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    fbterm = (
+        tokenized.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("token").isin(*_BM25_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb_tf"))
+    )
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    from pyspark.sql import Window as _W
+
+    wexp = _W.orderBy(F.desc("fb_tf"), F.asc("token"))
+    expansion = (
+        fbterm.join(corpus_df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .where(2 * F.col("df") <= F.col("n"))
+        # bounded window: <= feedback-vocabulary rows reach it
+        .withColumn("rk", F.row_number().over(wexp))
+        .where(F.col("rk") <= _IV8_EXPANSION_K)
+        .select("token", F.lit(_IV8_W_EXP).cast("bigint").alias("w_micro"))
+    )
+    originals = docs.sparkSession.createDataFrame(
+        [(t, _IV8_W_ORIG) for t in _BM25_TERMS], "token string, w_micro long"
+    )
+    qterms = expansion.unionByName(originals)
+
+    doclen = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl")
+    )
+    stats2 = doclen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        tokenized.join(F.broadcast(qterms.select("token")), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .join(doclen, "doc_id")
+    )
+    k1, b = _IV8_K1, _IV8_B
+    score = F.expr(
+        f"CAST(FLOOR(CAST(w_micro AS DOUBLE) * ("
+        f"((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+        f" / (CAST(df AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))))"
+        f") AS BIGINT)"
+    )
+    # narrow the corpus-vocabulary df table to the <= 6 query terms
+    # BEFORE broadcasting — broadcasting the full vocab would be wrong
+    # at corpus scale
+    dfq = corpus_df.join(F.broadcast(qterms.select("token")), "token")
+    return (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(stats2))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(score).cast("bigint").alias("score_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+    )
