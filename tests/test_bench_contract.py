@@ -39,3 +39,16 @@ def test_bench_emits_contract_json_line():
     # every min <= its median (4 passes, sorted)
     for name, v in d["queries"].items():
         assert v <= d["queries_median"][name] + 1e-9, name
+
+
+def test_headline_near_dup_entries_are_the_collapse_twins():
+    """VERDICT r8 item 2/3: the tracked bench number must measure the
+    production near-dup plans (exact-collapse twins), with the raw
+    pair-enumeration forms kept only as registered labeled baselines."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import HEADLINE
+
+    assert "dd3b_neardup_after_exact_collapse" in HEADLINE
+    assert "dd7b_vector_dedup_collapsed" in HEADLINE
+    assert "dd3_minhash_lsh" not in HEADLINE
+    assert "dd7_embedding_lsh_neardup" not in HEADLINE
