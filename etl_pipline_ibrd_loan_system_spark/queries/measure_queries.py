@@ -696,7 +696,10 @@ def m32_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion-window join is per-user (t.user_id = p.user_id AND
     t_ts < p_ts) — pair volume is bounded by per-user activity, never
     the corpus; both row_number rankings ride the SAME per-purchase
-    partition so one window exchange serves first and last. Ties on
+    partition (one exchange, two in-partition sorts), and the winning
+    rows fan out their model labels via explode instead of a UNION of
+    filters — a union would duplicate the whole join+window subtree
+    per branch (plan-gated in test_plan_regressions). Ties on
     touch timestamp break by event_id in BOTH orderings, so the
     attribution is deterministic cross-engine. Purchases with no prior
     touch drop out of both models identically (inner join) — the
@@ -739,14 +742,25 @@ def m32_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_first).alias("rn_first"),
         F.row_number().over(w_last).alias("rn_last"),
     )
-    first = ranked.where(F.col("rn_first") == 1).select(
-        F.lit("first_touch").alias("model"), "channel", "cents"
-    )
-    last = ranked.where(F.col("rn_last") == 1).select(
-        F.lit("last_touch").alias("model"), "channel", "cents"
+    # ONE subtree for both models: a union of two filters would make
+    # Spark duplicate the join+window pipeline per branch (no subtree
+    # sharing across union arms); instead keep the winning rows and
+    # explode the model label(s) each row earned — same output, one
+    # conversion join, one per-purchase exchange (the two orderings
+    # re-sort within it)
+    model_arr = F.array(
+        F.when(F.col("rn_first") == 1, F.lit("first_touch")),
+        F.when(F.col("rn_last") == 1, F.lit("last_touch")),
     )
     return (
-        first.unionByName(last)
+        ranked.where((F.col("rn_first") == 1) | (F.col("rn_last") == 1))
+        .select(
+            F.explode(
+                F.filter(model_arr, lambda x: x.isNotNull())
+            ).alias("model"),
+            "channel",
+            "cents",
+        )
         .groupBy("model", "channel")
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),

@@ -1006,3 +1006,45 @@ def test_m28_npv_is_shuffle_free_projection(spark, sf_dir, registry):
     assert "Exchange" not in plan, "m28 grew a shuffle"
     assert "Generate" not in plan, "m28 grew an explode"
     assert "Join" not in plan, "m28 grew a join"
+
+
+def test_iv8_rescore_semi_joins_before_shuffle(spark, sf_dir, registry):
+    """iv8's rescore must filter the exploded token stream against the
+    tiny query-term broadcast BEFORE any shuffle (the docstring's scale
+    claim): the plan joins tokens via BroadcastHashJoin, never SMJ, and
+    the final ranking is a top-k TakeOrderedAndProject, not a global
+    sort."""
+    df = registry["iv8_rocchio_prf"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, "iv8 token join regressed to SMJ"
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "iv8 lost the top-k heap"
+    assert "CartesianProduct" not in plan
+
+
+def test_m32_single_window_exchange_for_both_models(spark, sf_dir, registry):
+    """m32's first- and last-touch rankings ride the SAME per-purchase
+    partition: exactly ONE Window node computes both row_numbers (two
+    sort orders, one exchange), and the conversion join broadcasts the
+    small side, never SMJ."""
+    df = registry["m32_touch_attribution"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    # exactly ONE per-purchase hash exchange — a union-of-filters shape
+    # duplicates the join+window subtree and shows two
+    assert plan.count("hashpartitioning(p_id") == 1, (
+        "m32's first/last rankings stopped sharing the per-purchase "
+        "exchange (union-duplicated subtree?)"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_fb2_percentiles_via_rank_not_global_sort(spark, sf_dir, registry):
+    """fb2 locates p05/p95 by rank arithmetic inside the segment
+    window pass — the plan must show segment-partitioned windows (no
+    unpartitioned WindowExec) and broadcast the 5-row cuts back."""
+    df = registry["fb2_winsorized_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "fb2 cuts join lost its broadcast"
+    assert "CartesianProduct" not in plan
