@@ -327,6 +327,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "fb2_winsorized_stats",
         "iv8_rocchio_prf",
         "dq22_null_pattern_profile",
+        "mx6_epoch_upsampling",
     ),
 }
 

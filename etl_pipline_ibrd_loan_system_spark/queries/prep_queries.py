@@ -1588,3 +1588,135 @@ def fb2_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment", "n", "sum_cents", "win_sum_cents",
         "n_clip_low", "n_clip_high", "p05_cents", "p95_cents",
     )
+
+
+# --- mx6: epoch upsampling (data mixing WITH repetition) -------------------
+
+_MX6_HASH = _HASH60.format(x="'epoch:' || CAST(doc_id AS VARCHAR)")
+_MX6_MULT = 3  # global char budget = 3x the corpus
+
+
+@query(
+    "mx6_epoch_upsampling",
+    sql=f"""
+    WITH tot AS (
+      SELECT CAST({_MX6_MULT} * SUM(n_chars) AS BIGINT) AS budget
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(SUM(n_chars) AS BIGINT) AS src_chars
+      FROM documents GROUP BY 1
+    ), w AS (SELECT CAST(SUM(weight) AS BIGINT) AS tot_w FROM per),
+    q AS (
+      SELECT source, src_chars,
+             (budget * weight) // tot_w AS floor_alloc,
+             (budget * weight) % tot_w AS remainder
+      FROM per, w, tot
+    ), l AS (
+      SELECT CAST((SELECT budget FROM tot) - SUM(floor_alloc) AS BIGINT)
+        AS leftover FROM q
+    ), alloc AS (
+      SELECT source, src_chars,
+             floor_alloc + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS target_chars
+      FROM (SELECT *, row_number() OVER (ORDER BY remainder DESC, source)
+              AS rn FROM q), l
+    ), csum AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY {_MX6_HASH}, doc_id
+             ) AS BIGINT) AS cum_chars
+      FROM documents
+    )
+    SELECT c.doc_id, c.source,
+           CAST(a.target_chars // a.src_chars
+                + CASE WHEN c.cum_chars - c.n_chars
+                            < a.target_chars % a.src_chars
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+    FROM csum c JOIN alloc a USING (source)
+    """,
+)
+def mx6_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing WITH repetition — the pretraining primitive mx5's
+    budget SELECTION cannot express: when a domain's target allocation
+    EXCEEDS its corpus size, every document repeats floor(target /
+    domain_chars) full epochs and a hash-ranked prefix of the domain
+    (cut by cumulative characters against the remainder) earns one
+    extra epoch, so the domain's total emitted characters lands within
+    one document of its target with zero floats. Per-domain targets
+    come from Hamilton apportionment (mx4) of a {_MX6_MULT}x-corpus
+    character budget by document-count weight — domains with shorter
+    documents get proportionally MORE epochs, the usual uniform-weight
+    upsampling pressure. Output is doc-grain (doc_id, source,
+    n_repeats); the explode into physical copies is a downstream
+    F.expr("explode(sequence(1, n_repeats))") the consumer applies
+    after packing, never here (repeat-then-pack wastes shuffle on
+    identical payloads — ship counts, not copies).
+
+    Scale shape: domain totals are one combinable agg; the cumulative
+    window partitions by source (the mx2 rank discipline — sub-bucket
+    if one domain dominates); the alloc table is domain-grain and
+    broadcasts back. No driver state, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        (F.lit(_MX6_MULT) * F.sum("n_chars")).cast("bigint").alias("budget")
+    )
+    src_chars = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("src_chars")
+    )
+    h = sampling.shared_hash60(
+        F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))
+    )
+    wc = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    csum = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(wc).cast("bigint").alias("cum_chars"),
+    )
+    # Hamilton apportionment with a PLAN-SIDE budget (one-row broadcast):
+    # floor/remainder arithmetic at domain grain, leftover ranked by
+    # remainder — sampling.apportion_budget takes a literal int budget,
+    # so the mx4 arithmetic is restated here against the budget row
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("weight")
+    )
+    tot_w = per.agg(F.sum("weight").cast("bigint").alias("tot_w"))
+    q = (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_w))
+        .select(
+            "source",
+            F.expr("(budget * weight) div tot_w").alias("floor_alloc"),
+            F.expr("(budget * weight) % tot_w").alias("remainder"),
+            "budget",
+        )
+    )
+    leftover = q.groupBy().agg(
+        (F.first("budget") - F.sum("floor_alloc")).cast("bigint").alias("leftover")
+    )
+    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    alloc = (
+        q.withColumn("rn", F.row_number().over(wr))  # domain-grain window
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("target_chars"),
+        )
+        .join(src_chars, "source")
+    )
+    return csum.join(F.broadcast(alloc), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.expr("target_chars div src_chars")
+            + F.when(
+                F.col("cum_chars") - F.col("n_chars")
+                < F.expr("target_chars % src_chars"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_repeats"),
+    )

@@ -799,3 +799,50 @@ def test_woe_encoding_sign_and_iv_nonnegative(spark, sf_dir):
             assert (r.woe_micro > 0) == (share_gap > 0)
         assert r.iv_contrib >= -1e-12
         assert r.woe == r.woe_micro / 1_000_000
+
+
+def test_mx6_epoch_upsampling_char_accounting(spark, sf_dir):
+    """Per domain, emitted characters (sum n_repeats * n_chars) must
+    land within ONE document of the apportioned target, and the
+    apportioned targets must sum to exactly the 3x-corpus budget —
+    the two invariants that make repetition-based mixing exact."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.catalog import load_table
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    docs = load_table(spark, sf_dir, "documents")
+    out = qs["mx6_epoch_upsampling"](spark, sf_dir)
+    joined = out.join(docs.select("doc_id", "n_chars"), "doc_id")
+    emitted = {
+        r.source: (r.emitted, r.max_chars)
+        for r in joined.groupBy("source")
+        .agg(
+            F.sum(F.col("n_repeats") * F.col("n_chars")).alias("emitted"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    }
+    # recompute the apportioned targets independently
+    per = {
+        r.source: (r.w, r.chars)
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("w"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    budget = 3 * sum(c for _, c in per.values())
+    tot_w = sum(w for w, _ in per.values())
+    floors = {s: (budget * w) // tot_w for s, (w, _) in per.items()}
+    rems = {s: (budget * w) % tot_w for s, (w, _) in per.items()}
+    leftover = budget - sum(floors.values())
+    order = sorted(per, key=lambda s: (-rems[s], s))
+    target = {
+        s: floors[s] + (1 if i < leftover else 0)
+        for i, s in enumerate(order)
+    }
+    assert sum(target.values()) == budget
+    for s, (em, mx) in emitted.items():
+        t = target[s]
+        assert t - mx <= em <= t + mx, (s, em, t, mx)
+        assert em >= 0
