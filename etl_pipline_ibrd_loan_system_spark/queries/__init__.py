@@ -328,6 +328,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "iv8_rocchio_prf",
         "dq22_null_pattern_profile",
         "mx6_epoch_upsampling",
+        "tx28_repetition_signals",
     ),
 }
 

@@ -2072,3 +2072,133 @@ def iv8_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(10)
     )
+
+
+# --- tx28: within-document repetition signals (Gopher A1.1) ----------------
+
+
+def _tx28_grams_sql(n: int) -> str:
+    """DuckDB word n-gram list over `t` (the _TOKS array), empty when
+    the doc is shorter than n tokens."""
+    join = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(1, len(t) - {n - 2}), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+@query(
+    "tx28_repetition_signals",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, {_TOKS} AS t
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, n_chars, unnest({_tx28_grams_sql(2)}) AS gram
+      FROM toks
+    ), c2 AS (
+      SELECT doc_id, n_chars, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g2 GROUP BY 1, 2, 3
+    ), top2 AS (
+      SELECT doc_id, n_chars, gram AS top2_gram,
+             cnt AS top2_cnt,
+             CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+            FROM c2) WHERE rn = 1
+    ), g5 AS (
+      SELECT doc_id, unnest({_tx28_grams_sql(5)}) AS gram
+      FROM toks
+    ), c5 AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g5 GROUP BY 1, 2
+    ), dup5 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                           ELSE 0 END) AS BIGINT) AS dup5_chars
+      FROM c5 GROUP BY 1
+    )
+    SELECT t.doc_id, t.top2_gram, t.top2_cnt,
+           (t.top2_chars * 1000000) // t.n_chars AS top2_frac_micro,
+           (COALESCE(d.dup5_chars, 0) * 1000000) // t.n_chars
+             AS dup5_frac_micro
+    FROM top2 t LEFT JOIN dup5 d USING (doc_id)
+    """,
+)
+def tx28_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher §A1.1 family
+    tx19's global rules deliberately left out: per document, the
+    character mass of the MOST FREQUENT word 2-gram (loops and boiler
+    plate show up here first) and the character mass of all DUPLICATED
+    word 5-grams (cnt >= 2 — copy-paste stutter), both as exact
+    integer micro fractions of the document's characters (count *
+    gram-length * 1e6 div n_chars — no float division). The top
+    2-gram tie-breaks (count DESC, gram ASC), so the chosen gram is
+    deterministic cross-engine. Completes the repetition axis next to
+    tx23 (cross-doc n-gram NOVELTY) and dd16/dd17 (cross-doc verbatim
+    spans): this one never leaves the document.
+
+    Scale shape: n-gram extraction is a whole-stage-codegen HOF
+    projection; (doc, gram) counts combine map-side; the per-doc
+    argmax window is bounded by the doc's distinct-gram count; no
+    corpus-wide state at all — embarrassingly parallel by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+    def grams(n: int) -> F.Column:
+        join = ", ".join(f"element_at(t, i + {k})" for k in range(n))
+        return F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> concat_ws(' ', {join})) "
+            f"ELSE array() END"
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        toks.alias("t"),
+    )
+    from pyspark.sql import Window as _W
+
+    c2 = (
+        base.select(
+            "doc_id", "n_chars", F.explode(grams(2)).alias("gram")
+        )
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = _W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("gram").alias("top2_gram"),
+            F.col("cnt").alias("top2_cnt"),
+            (F.col("cnt") * F.length("gram")).cast("bigint").alias("top2_chars"),
+        )
+    )
+    dup5 = (
+        base.select("doc_id", F.explode(grams(5)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+                .otherwise(0)
+            ).cast("bigint").alias("dup5_chars")
+        )
+    )
+    return top2.join(dup5, "doc_id", "left").select(
+        "doc_id",
+        "top2_gram",
+        "top2_cnt",
+        F.expr("(top2_chars * 1000000) div n_chars").alias("top2_frac_micro"),
+        F.expr(
+            "(coalesce(dup5_chars, 0) * 1000000) div n_chars"
+        ).alias("dup5_frac_micro"),
+    )
