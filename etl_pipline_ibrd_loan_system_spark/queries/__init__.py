@@ -329,6 +329,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dq22_null_pattern_profile",
         "mx6_epoch_upsampling",
         "tx28_repetition_signals",
+        "tx29_code_prose_screen",
     ),
 }
 

@@ -2202,3 +2202,101 @@ def tx28_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(coalesce(dup5_chars, 0) * 1000000) div n_chars"
         ).alias("dup5_frac_micro"),
     )
+
+
+# --- tx29: code-vs-prose screen --------------------------------------------
+
+_TX29_SNIPPET = (
+    "if (x == 1) { return foo(x); } else { int y = 0; y += bar(y); }"
+)
+_TX29_KEYWORDS = ("return", "if", "else", "int")
+
+
+def _tx29_count_sql(col: str, ch: str) -> str:
+    """Occurrences of single char `ch` in `col` (DuckDB), via length
+    difference — the same arithmetic Spark uses."""
+    esc = ch.replace("'", "''")
+    return f"CAST(length({col}) - length(replace({col}, '{esc}', '')) AS BIGINT)"
+
+
+@query(
+    "tx29_code_prose_screen",
+    sql=f"""
+    WITH tainted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 4
+                  THEN text || ' ' || '{_TX29_SNIPPET}'
+                  ELSE text END AS text
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             {_tx29_count_sql('text', '{')} + {_tx29_count_sql('text', '}')}
+               + {_tx29_count_sql('text', ';')} + {_tx29_count_sql('text', '=')}
+               + {_tx29_count_sql('text', '(')} + {_tx29_count_sql('text', ')')}
+               AS sym_n,
+             {" + ".join(
+                 f"CASE WHEN list_contains({_TOKS.replace('text', 'text')}, '{k}')"
+                 " THEN 1 ELSE 0 END" for k in _TX29_KEYWORDS
+             )} AS kw_n
+      FROM tainted
+    )
+    SELECT doc_id, n_chars, sym_n, kw_n,
+           (sym_n * 1000000) // n_chars AS sym_frac_micro,
+           (CASE WHEN (sym_n * 1000000) // n_chars >= 20000 AND kw_n >= 2
+                 THEN TRUE ELSE FALSE END) AS is_code_like
+    FROM sig
+    """,
+)
+def tx29_code_prose_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screening — the corpus-router every mixed crawl
+    needs before language-specific pipelines: per document, the count
+    of code-significant symbols ({{}};=() — length-difference
+    arithmetic, no regex in the hot path), presence of code keywords
+    as whole TOKENS (list_contains on the shared tokenizer — 'if'
+    inside a word never fires), the symbol density as an exact micro
+    fraction, and the two-signal verdict (density >= 2% AND >= 2
+    keywords). A deterministic code snippet is appended to doc_id % 9
+    == 4 (the dc2 taint-fixture precedent) so both classes exist in
+    the synthetic corpus and the verdict column is exercised on both
+    sides. Scale: pure projection over the scan — zero shuffle,
+    whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(F.col("text"), F.lit(" " + _TX29_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+    def cnt(ch: str) -> F.Column:
+        return (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+        ).cast("bigint")
+
+    sym = cnt("{") + cnt("}") + cnt(";") + cnt("=") + cnt("(") + cnt(")")
+    kw = None
+    for k in _TX29_KEYWORDS:
+        term = F.when(F.array_contains(toks, k), 1).otherwise(0)
+        kw = term if kw is None else kw + term
+    sig = tainted.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        sym.alias("sym_n"),
+        kw.cast("bigint").alias("kw_n"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_chars",
+        "sym_n",
+        "kw_n",
+        F.expr("(sym_n * 1000000) div n_chars").alias("sym_frac_micro"),
+        (
+            (F.expr("(sym_n * 1000000) div n_chars") >= 20000)
+            & (F.col("kw_n") >= 2)
+        ).alias("is_code_like"),
+    )
