@@ -330,6 +330,10 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "mx6_epoch_upsampling",
         "tx28_repetition_signals",
         "tx29_code_prose_screen",
+        "m33_aging_buckets",
+        "dq23_population_stability",
+        "dd20_dup_mass_report",
+        "u6_fixed_width_parse",
     ),
 }
 

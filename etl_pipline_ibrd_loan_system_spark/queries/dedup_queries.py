@@ -1098,3 +1098,96 @@ def dd19_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", "lang",
         n=3, k=64, bands=16, rows_per_band=4, sample_mod=2,
     )
+
+
+# --- dd20: duplicate-mass report -------------------------------------------
+
+
+@query(
+    "dd20_dup_mass_report",
+    sql="""
+    WITH aug AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+    ), grp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(n_chars) AS BIGINT) AS chars_one
+      FROM aug GROUP BY text
+    ), bucketed AS (
+      SELECT CASE WHEN n_copies = 1 THEN 'unique'
+                  WHEN n_copies = 2 THEN 'x2'
+                  WHEN n_copies <= 5 THEN 'x3-5'
+                  ELSE 'x6+' END AS bucket,
+             CASE WHEN n_copies = 1 THEN 0 WHEN n_copies = 2 THEN 1
+                  WHEN n_copies <= 5 THEN 2 ELSE 3 END AS bucket_order,
+             n_copies, chars_one
+      FROM grp
+    )
+    SELECT bucket, CAST(bucket_order AS BIGINT) AS bucket_order,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant,
+           CAST(SUM(n_copies * chars_one) AS BIGINT) AS chars_total,
+           CAST(SUM((n_copies - 1) * chars_one) AS BIGINT)
+             AS chars_redundant
+    FROM bucketed GROUP BY bucket, bucket_order
+    """,
+)
+def dd20_dup_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass report — the diagnostic a dedup run opens with:
+    exact-copy cluster sizes bucketed (unique / x2 / x3-5 / x6+) with
+    cluster, document, redundant-document, and redundant-CHARACTER
+    counts per bucket, so 'how much would exact dedup save' is one
+    scan, before any near-dup machinery runs. Uses the dd3b/dd7b
+    planted-duplicate fixture (doc_id % 10 replicated) so both the
+    unique and duplicated buckets are exercised. Spark groups by
+    xxhash64(text) — one (hash, counts) row per map-side group, the
+    exact_collapse shuffle shape; the oracle groups by the text
+    itself (DuckDB has no xxhash64), which yields identical counts.
+
+    Scale shape: one hash-grouped combine over the corpus (stats
+    only, the text never reshuffles — min(n_chars) rides as an int),
+    then bucket-grain everything. This is the report that decides
+    whether the collapse twins' stage zero pays for itself — at any
+    meaningful copy mass it does (SCALE.md sf10 decade)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
+    )
+    aug = docs.select("doc_id", "text", "n_chars").unionByName(dup)
+    grp = aug.groupBy(F.xxhash64("text").alias("__h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("n_chars").cast("bigint").alias("chars_one"),
+    )
+    bucket = (
+        F.when(F.col("n_copies") == 1, "unique")
+        .when(F.col("n_copies") == 2, "x2")
+        .when(F.col("n_copies") <= 5, "x3-5")
+        .otherwise("x6+")
+    )
+    border = (
+        F.when(F.col("n_copies") == 1, 0)
+        .when(F.col("n_copies") == 2, 1)
+        .when(F.col("n_copies") <= 5, 2)
+        .otherwise(3)
+    ).cast("bigint")
+    return (
+        grp.select(
+            bucket.alias("bucket"),
+            border.alias("bucket_order"),
+            "n_copies",
+            "chars_one",
+        )
+        .groupBy("bucket", "bucket_order")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_redundant"),
+            F.sum(F.col("n_copies") * F.col("chars_one"))
+            .cast("bigint").alias("chars_total"),
+            F.sum((F.col("n_copies") - 1) * F.col("chars_one"))
+            .cast("bigint").alias("chars_redundant"),
+        )
+    )

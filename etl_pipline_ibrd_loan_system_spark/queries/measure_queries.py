@@ -767,3 +767,101 @@ def m32_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+# --- m33: receivables aging buckets ----------------------------------------
+
+_M33_ASOF = "1998-06-01"
+
+
+@query(
+    "m33_aging_buckets",
+    sql=f"""
+    WITH open_items AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            DATE '{_M33_ASOF}') AS BIGINT) AS days_past,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderdate <= TIMESTAMP '{_M33_ASOF}'
+    ), bucketed AS (
+      SELECT CASE WHEN days_past <= 30 THEN 'current'
+                  WHEN days_past <= 60 THEN '31-60'
+                  WHEN days_past <= 90 THEN '61-90'
+                  WHEN days_past <= 180 THEN '91-180'
+                  ELSE '180+' END AS bucket,
+             CASE WHEN days_past <= 30 THEN 0
+                  WHEN days_past <= 60 THEN 1
+                  WHEN days_past <= 90 THEN 2
+                  WHEN days_past <= 180 THEN 3
+                  ELSE 4 END AS bucket_order,
+             cents
+      FROM open_items
+    ), tot AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM bucketed
+    )
+    SELECT bucket, CAST(bucket_order AS BIGINT) AS bucket_order,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS amount_cents,
+           (CAST(SUM(cents) AS BIGINT) * 1000000)
+             // (SELECT total_cents FROM tot) AS share_micro
+    FROM bucketed GROUP BY bucket, bucket_order
+    """,
+)
+def m33_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables AGING report — the stock complement of m30's
+    roll-rate flows and the aging read every loan/AR book closes the
+    month with: open items (status 'O') as of a pinned date, bucketed
+    by exact integer days outstanding (current/31-60/61-90/91-180/
+    180+), with counts, cent-exact amounts, and integer micro shares
+    of the open balance. bucket_order ships alongside the label so a
+    consumer sorts the report without parsing strings.
+
+    Scale shape: pushed-down status+date scan filter -> projection ->
+    bucket-grain combinable aggregate (5 rows) -> one 1-row total
+    broadcast for the share — the fact table is scanned once, never
+    reshuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_items = orders.where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") <= F.lit(_M33_ASOF).cast("timestamp"))
+    ).select(
+        F.datediff(
+            F.lit(_M33_ASOF).cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("days_past"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("days_past") <= 30, "current")
+        .when(F.col("days_past") <= 60, "31-60")
+        .when(F.col("days_past") <= 90, "61-90")
+        .when(F.col("days_past") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    border = (
+        F.when(F.col("days_past") <= 30, 0)
+        .when(F.col("days_past") <= 60, 1)
+        .when(F.col("days_past") <= 90, 2)
+        .when(F.col("days_past") <= 180, 3)
+        .otherwise(4)
+    ).cast("bigint")
+    bucketed = open_items.select(
+        bucket.alias("bucket"), border.alias("bucket_order"), "cents"
+    )
+    counts = bucketed.groupBy("bucket", "bucket_order").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("cents").cast("bigint").alias("amount_cents"),
+    )
+    tot = bucketed.agg(
+        F.sum("cents").cast("bigint").alias("total_cents")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "bucket_order",
+        "n_items",
+        "amount_cents",
+        F.expr("(amount_cents * 1000000) div total_cents").alias("share_micro"),
+    )

@@ -1468,3 +1468,90 @@ def dq22_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr("(n_rows * 1000000) div n_total").alias("share_micro"),
     )
+
+
+# --- dq23: population stability index --------------------------------------
+
+_DQ23_CUT = "2024-01-16"
+
+
+@query(
+    "dq23_population_stability",
+    sql=f"""
+    WITH c AS (
+      SELECT event_type AS bin,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_DQ23_CUT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_expected,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_DQ23_CUT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_actual
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(n_expected) AS BIGINT) AS e,
+             CAST(SUM(n_actual) AS BIGINT) AS a
+      FROM c
+    )
+    SELECT bin, n_expected, n_actual,
+           CAST(round(1000000 * ln((n_actual * e)::DOUBLE
+             / (n_expected * a)::DOUBLE)) AS BIGINT) AS psi_ln_micro,
+           (n_actual::DOUBLE / a - n_expected::DOUBLE / e)
+             * (CAST(round(1000000 * ln((n_actual * e)::DOUBLE
+                 / (n_expected * a)::DOUBLE)) AS BIGINT)::DOUBLE / 1000000.0)
+             AS psi_contrib
+    FROM c, t
+    """,
+)
+def dq23_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — THE credit-scoring model-monitoring
+    metric (the reference's loan domain deploys scorecards; PSI is how
+    their input drift is watched): the event-type distribution of a
+    baseline window (before {_DQ23_CUT}) against the current window,
+    per-bin contribution (a_share - e_share) * ln(a_share / e_share).
+    The one transcendental is ln of a RATIO OF INTEGER PRODUCTS
+    ((n_actual * E) / (n_expected * A)), quantized to integer
+    micro-nats on the driver from bin-grain counts (bounded state: one
+    row per bin) through sampling.guarded_log_qround — the fv6/WOE
+    discipline — so psi_ln_micro is an exact integer cross-engine and
+    psi_contrib is a pinned-order IEEE chain over exact integers.
+    Complements dq12 (profile drift flags) and dq8 (CUSUM location):
+    PSI is the industry-named magnitude with the 0.1/0.25
+    watch/act thresholds.
+
+    Scale shape: ONE aggregate scan (both windows counted in the same
+    pass via conditional sums), bin-grain everything after."""
+    import math as _math
+
+    from ..operators import sampling
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_DQ23_CUT).cast("timestamp")
+    counts = ev.groupBy(F.col("event_type").alias("bin")).agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint").alias("n_expected"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint").alias("n_actual"),
+    )
+    rows = counts.collect()  # bin-grain: bounded driver state
+    e = sum(r["n_expected"] for r in rows)
+    a = sum(r["n_actual"] for r in rows)
+    ln_micro = {
+        r["bin"]: sampling.guarded_log_qround(
+            1_000_000 * _math.log((r["n_actual"] * e) / (r["n_expected"] * a)),
+            f"psi[{r['bin']}]",
+        )
+        for r in rows
+    }
+    lmap = F.create_map(*[F.lit(x) for kv in ln_micro.items() for x in kv])
+    ln_col = lmap[F.col("bin")].cast("bigint")
+    return counts.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        ln_col.alias("psi_ln_micro"),
+        (
+            (
+                F.col("n_actual").cast("double") / F.lit(float(a))
+                - F.col("n_expected").cast("double") / F.lit(float(e))
+            )
+            * (ln_col.cast("double") / F.lit(1_000_000.0))
+        ).alias("psi_contrib"),
+    )

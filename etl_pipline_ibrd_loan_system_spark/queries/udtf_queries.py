@@ -19,6 +19,7 @@ this file proves the hatch opens.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import query
@@ -110,4 +111,75 @@ def u5_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
         .cast("bigint")
         .alias("n_errors"),
+    )
+
+
+# --- u6: fixed-width flat-file parse ---------------------------------------
+#
+# Layout (the SSIS flat-file connection-manager column spec, stated
+# as (start, width) 1-based):
+#   order_id   1..10   right-padded digits
+#   status    11..11   1 char
+#   priority  12..26   15 chars, right-padded
+#   amount    27..38   12 chars, zero-padded cents
+#   odate     39..48   yyyy-MM-dd
+
+
+@query(
+    "u6_fixed_width_parse",
+    sql="""
+    WITH lines AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, ' ')
+             || o_orderstatus
+             || rpad(o_orderpriority, 15, ' ')
+             || lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                          AS BIGINT) AS VARCHAR), 12, '0')
+             || strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS line
+      FROM orders
+    )
+    SELECT CAST(trim(substring(line, 1, 10)) AS BIGINT) AS order_id,
+           substring(line, 11, 1) AS status,
+           trim(substring(line, 12, 15)) AS priority,
+           CAST(substring(line, 27, 12) AS BIGINT) AS amount_cents,
+           substring(line, 39, 10) AS odate
+    FROM lines
+    """,
+)
+def u6_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file parsing — the SSIS flat-file connection
+    manager's other format (the reference's toolchain ingests
+    fixed-width exports routinely; our CSV dict reader covers the
+    delimited case). The fixture RENDERS orders into 48-char records
+    under a stated (start, width) layout — left-padded key,
+    zero-padded cents, ISO date — then parses them back with pure
+    substring/trim/cast projections; the oracle does both sides
+    identically, so the round-trip identity (every parsed row equals
+    its source row) is what the hash compare proves. On real files
+    the render half drops away and `spark.read.text` feeds the same
+    parse projection.
+
+    Scale shape: render and parse are both zero-shuffle whole-stage
+    codegen projections — fixed-width beats regex precisely because
+    the column spec IS the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 10, " "),
+        F.col("o_orderstatus"),
+        F.rpad(F.col("o_orderpriority"), 15, " "),
+        F.lpad(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .cast("string"),
+            12,
+            "0",
+        ),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd"),
+    )
+    lines = orders.select(line.alias("line"))
+    return lines.select(
+        F.trim(F.substring("line", 1, 10)).cast("bigint").alias("order_id"),
+        F.substring("line", 11, 1).alias("status"),
+        F.trim(F.substring("line", 12, 15)).alias("priority"),
+        F.substring("line", 27, 12).cast("bigint").alias("amount_cents"),
+        F.substring("line", 39, 10).alias("odate"),
     )
