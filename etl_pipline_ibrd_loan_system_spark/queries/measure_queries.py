@@ -804,8 +804,8 @@ _M33_ASOF = "1998-06-01"
     SELECT bucket, CAST(bucket_order AS BIGINT) AS bucket_order,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(cents) AS BIGINT) AS amount_cents,
-           (CAST(SUM(cents) AS BIGINT) * 1000000)
-             // (SELECT total_cents FROM tot) AS share_micro
+           CAST(CAST(SUM(cents) AS HUGEINT) * 1000000
+             // (SELECT total_cents FROM tot) AS BIGINT) AS share_micro
     FROM bucketed GROUP BY bucket, bucket_order
     """,
 )
@@ -863,5 +863,12 @@ def m33_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_order",
         "n_items",
         "amount_cents",
-        F.expr("(amount_cents * 1000000) div total_cents").alias("share_micro"),
+        # decimal-widened numerator: amount_cents * 1e6 overflows int64
+        # once a bucket holds ~9e12 cents (hit at the sf10 decade) —
+        # Spark div on DECIMAL(38,0) and DuckDB HUGEINT // truncate
+        # identically for positive operands
+        F.expr(
+            "CAST(CAST(amount_cents AS DECIMAL(38,0)) * 1000000"
+            " div total_cents AS BIGINT)"
+        ).alias("share_micro"),
     )
