@@ -334,6 +334,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dq23_population_stability",
         "dd20_dup_mass_report",
         "u6_fixed_width_parse",
+        "m34_prepayment_speed",
     ),
 }
 

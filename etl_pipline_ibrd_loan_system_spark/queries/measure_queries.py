@@ -872,3 +872,136 @@ def m33_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_cents AS BIGINT)"
         ).alias("share_micro"),
     )
+
+
+# --- m34: prepayment speed (SMM / CPR) -------------------------------------
+#
+# CPR = 1 - (1 - SMM)^12, computed as an EXPLICIT square-multiply chain
+# (x2 = x*x; x4 = x2*x2; x8 = x4*x4; x12 = x8*x4) in BOTH engines — no
+# POWER(), whose libm paths differ in the last ulp. SMM itself is an
+# exact integer micro ratio first (DECIMAL/HUGEINT-widened numerator,
+# the m33 overflow lesson), so the one double chain starts from the
+# same exact integer on both sides.
+
+
+@query(
+    "m34_prepayment_speed",
+    sql="""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS p,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST((o_orderkey // 100) % 11 + 1 AS BIGINT)
+                  ELSE NULL END AS prepay_period
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), sched AS (
+      SELECT l.loan_id, l.p, l.prepay_period, t.period,
+             l.p - (t.period - 1) * (l.p // 12) AS opening_cents,
+             l.p // 12 AS sched_prin_cents,
+             CASE WHEN l.prepay_period = t.period
+                  THEN l.p - t.period * (l.p // 12) ELSE 0 END
+               AS prepaid_cents
+      FROM loans l, unnest(range(1, 13)) AS t(period)
+      WHERE l.prepay_period IS NULL OR t.period <= l.prepay_period
+    ), pool AS (
+      SELECT CAST(period AS BIGINT) AS period,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(opening_cents) AS BIGINT) AS opening_cents,
+             CAST(SUM(sched_prin_cents) AS BIGINT) AS sched_prin_cents,
+             CAST(SUM(prepaid_cents) AS BIGINT) AS prepaid_cents
+      FROM sched GROUP BY period
+    ), smm AS (
+      SELECT *, CAST(CAST(prepaid_cents AS HUGEINT) * 1000000
+                 // opening_cents AS BIGINT) AS smm_micro
+      FROM pool
+    )
+    SELECT period, n_active, opening_cents, sched_prin_cents,
+           prepaid_cents, smm_micro,
+           (1.0 - (((x2 * x2) * (x2 * x2)) * ((x2 * x2) * (x2 * x2))
+                   * ((x2 * x2) * x2))) AS cpr
+    FROM (SELECT *,
+                 (1.0 - smm_micro::DOUBLE / 1000000.0)
+                   * (1.0 - smm_micro::DOUBLE / 1000000.0) AS x2
+          FROM smm)
+    """,
+)
+def m34_prepayment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool prepayment speed — SMM (single-month mortality) and CPR
+    (conditional prepayment rate), the named metrics every
+    securitized-loan desk tracks: m27's level-principal pool with a
+    planted full-prepayment event (loan_id % 3 prepays its remaining
+    balance after the scheduled payment of a deterministic period),
+    per-period pool opening balance, scheduled principal, prepaid
+    principal, SMM as an exact DECIMAL-widened integer micro ratio,
+    and CPR = 1-(1-SMM)^12 via an explicit square-multiply chain (x2,
+    x4, x8, x12 — no POWER(); both engines run the identical IEEE
+    multiplication tree from the same exact integer, so the doubles
+    are bit-equal).
+
+    Scale shape: loans x 12 periods is a closed-form projection (the
+    m27 argument — no recursion); the pool rollup is a period-grain
+    combinable aggregate (12 rows); everything after is
+    constant-size."""
+    orders = load_table(spark, sf_dir, "orders")
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("loan_id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.expr("o_orderkey div 100") % 11 + 1).cast("bigint"),
+        ).alias("prepay_period"),
+    )
+    sched = (
+        loans.select(
+            "loan_id",
+            "p",
+            "prepay_period",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(12).cast("bigint"))
+            ).alias("period"),
+        )
+        .where(
+            F.col("prepay_period").isNull()
+            | (F.col("period") <= F.col("prepay_period"))
+        )
+        .select(
+            "period",
+            (F.col("p") - (F.col("period") - 1) * F.expr("p div 12"))
+            .alias("opening_cents"),
+            F.expr("p div 12").alias("sched_prin_cents"),
+            F.when(
+                F.col("prepay_period") == F.col("period"),
+                F.col("p") - F.col("period") * F.expr("p div 12"),
+            ).otherwise(0).alias("prepaid_cents"),
+        )
+    )
+    pool = sched.groupBy("period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("opening_cents").cast("bigint").alias("opening_cents"),
+        F.sum("sched_prin_cents").cast("bigint").alias("sched_prin_cents"),
+        F.sum("prepaid_cents").cast("bigint").alias("prepaid_cents"),
+    )
+    smm = pool.withColumn(
+        "smm_micro",
+        F.expr(
+            "CAST(CAST(prepaid_cents AS DECIMAL(38,0)) * 1000000"
+            " div opening_cents AS BIGINT)"
+        ),
+    )
+    x = F.lit(1.0) - F.col("smm_micro").cast("double") / F.lit(1_000_000.0)
+    out = smm.withColumn("x2", x * x)
+    x2 = F.col("x2")
+    x4 = x2 * x2
+    cpr = F.lit(1.0) - ((x4 * x4) * (x4 * x4) * (x4 * x2))
+    return out.select(
+        "period",
+        "n_active",
+        "opening_cents",
+        "sched_prin_cents",
+        "prepaid_cents",
+        "smm_micro",
+        cpr.alias("cpr"),
+    )
