@@ -1145,7 +1145,11 @@ def dd20_dup_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique and duplicated buckets are exercised. Spark groups by
     xxhash64(text) — one (hash, counts) row per map-side group, the
     exact_collapse shuffle shape; the oracle groups by the text
-    itself (DuckDB has no xxhash64), which yields identical counts.
+    itself (DuckDB has no xxhash64), which yields identical counts
+    UNLESS two distinct texts collide on the 64-bit hash — so each
+    group carries min/max of an independent second hash (md5) and the
+    query raise_error()s on disagreement rather than silently
+    diverging (ADVICE r9).
 
     Scale shape: one hash-grouped combine over the corpus (stats
     only, the text never reshuffles — min(n_chars) rides as an int),
@@ -1157,9 +1161,28 @@ def dd20_dup_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "n_chars"
     )
     aug = docs.select("doc_id", "text", "n_chars").unionByName(dup)
-    grp = aug.groupBy(F.xxhash64("text").alias("__h")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-        F.min("n_chars").cast("bigint").alias("chars_one"),
+    # collision sentinel (ADVICE r9): the oracle groups by the raw text,
+    # so a 64-bit xxhash64 collision between DISTINCT documents would
+    # silently merge two clusters here and diverge the counts with no
+    # detection. Carry min/max of a second, independent hash (md5) per
+    # group — 16 bytes each through the combine, the text itself still
+    # never reshuffles — and raise loudly if they disagree.
+    grp = (
+        aug.groupBy(F.xxhash64("text").alias("__h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("n_chars").cast("bigint").alias("chars_one"),
+            F.min(F.md5("text")).alias("__m_lo"),
+            F.max(F.md5("text")).alias("__m_hi"),
+        )
+        .withColumn(
+            "n_copies",
+            F.expr(
+                "CASE WHEN __m_lo = __m_hi THEN n_copies ELSE"
+                " raise_error(concat('dd20: xxhash64 collision between"
+                " distinct texts in group ', CAST(__h AS STRING))) END"
+            ).cast("bigint"),
+        )
     )
     bucket = (
         F.when(F.col("n_copies") == 1, "unique")

@@ -912,14 +912,15 @@ def m33_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(prepaid_cents) AS BIGINT) AS prepaid_cents
       FROM sched GROUP BY period
     ), smm AS (
-      SELECT *, CAST(CAST(prepaid_cents AS HUGEINT) * 1000000
-                 // opening_cents AS BIGINT) AS smm_micro
+      SELECT *, CASE WHEN opening_cents - sched_prin_cents > 0
+                 THEN CAST(CAST(prepaid_cents AS HUGEINT) * 1000000
+                      // (opening_cents - sched_prin_cents) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS smm_micro
       FROM pool
     )
     SELECT period, n_active, opening_cents, sched_prin_cents,
            prepaid_cents, smm_micro,
-           (1.0 - (((x2 * x2) * (x2 * x2)) * ((x2 * x2) * (x2 * x2))
-                   * ((x2 * x2) * x2))) AS cpr
+           (1.0 - (((x2 * x2) * (x2 * x2)) * (x2 * x2))) AS cpr
     FROM (SELECT *,
                  (1.0 - smm_micro::DOUBLE / 1000000.0)
                    * (1.0 - smm_micro::DOUBLE / 1000000.0) AS x2
@@ -933,11 +934,14 @@ def m34_prepayment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted full-prepayment event (loan_id % 3 prepays its remaining
     balance after the scheduled payment of a deterministic period),
     per-period pool opening balance, scheduled principal, prepaid
-    principal, SMM as an exact DECIMAL-widened integer micro ratio,
-    and CPR = 1-(1-SMM)^12 via an explicit square-multiply chain (x2,
-    x4, x8, x12 — no POWER(); both engines run the identical IEEE
-    multiplication tree from the same exact integer, so the doubles
-    are bit-equal).
+    principal, SMM as an exact DECIMAL-widened integer micro ratio
+    over the industry denominator (opening balance NET of the period's
+    scheduled principal — a prepayment is principal returned beyond
+    the scheduled payment, so the base excludes what was due anyway;
+    zero-net-balance periods guard to SMM 0), and CPR = 1-(1-SMM)^12
+    via an explicit square-multiply chain (x2, x4, x8, x12 = x8*x4 —
+    no POWER(); both engines run the identical IEEE multiplication
+    tree from the same exact integer, so the doubles are bit-equal).
 
     Scale shape: loans x 12 periods is a closed-form projection (the
     m27 argument — no recursion); the pool rollup is a period-grain
@@ -987,15 +991,17 @@ def m34_prepayment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     smm = pool.withColumn(
         "smm_micro",
         F.expr(
-            "CAST(CAST(prepaid_cents AS DECIMAL(38,0)) * 1000000"
-            " div opening_cents AS BIGINT)"
+            "CASE WHEN opening_cents - sched_prin_cents > 0"
+            " THEN CAST(CAST(prepaid_cents AS DECIMAL(38,0)) * 1000000"
+            " div (opening_cents - sched_prin_cents) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         ),
     )
     x = F.lit(1.0) - F.col("smm_micro").cast("double") / F.lit(1_000_000.0)
     out = smm.withColumn("x2", x * x)
     x2 = F.col("x2")
     x4 = x2 * x2
-    cpr = F.lit(1.0) - ((x4 * x4) * (x4 * x4) * (x4 * x2))
+    cpr = F.lit(1.0) - ((x4 * x4) * x4)
     return out.select(
         "period",
         "n_active",

@@ -1491,11 +1491,13 @@ _DQ23_CUT = "2024-01-16"
       FROM c
     )
     SELECT bin, n_expected, n_actual,
-           CAST(round(1000000 * ln((n_actual * e)::DOUBLE
-             / (n_expected * a)::DOUBLE)) AS BIGINT) AS psi_ln_micro,
+           CAST(round(1000000 * ln((GREATEST(n_actual, 1) * e)::DOUBLE
+             / (GREATEST(n_expected, 1) * a)::DOUBLE)) AS BIGINT)
+             AS psi_ln_micro,
            (n_actual::DOUBLE / a - n_expected::DOUBLE / e)
-             * (CAST(round(1000000 * ln((n_actual * e)::DOUBLE
-                 / (n_expected * a)::DOUBLE)) AS BIGINT)::DOUBLE / 1000000.0)
+             * (CAST(round(1000000 * ln((GREATEST(n_actual, 1) * e)::DOUBLE
+                 / (GREATEST(n_expected, 1) * a)::DOUBLE))
+                 AS BIGINT)::DOUBLE / 1000000.0)
              AS psi_contrib
     FROM c, t
     """,
@@ -1514,7 +1516,10 @@ def dq23_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     psi_contrib is a pinned-order IEEE chain over exact integers.
     Complements dq12 (profile drift flags) and dq8 (CUSUM location):
     PSI is the industry-named magnitude with the 0.1/0.25
-    watch/act thresholds.
+    watch/act thresholds. Degenerate bins (zero count in one window)
+    floor to 1 inside the ln on both engines — the canonical PSI edge
+    case (new/vanished category) yields a finite contribution, never
+    a crash; a wholly empty window raises a named error.
 
     Scale shape: ONE aggregate scan (both windows counted in the same
     pass via conditional sums), bin-grain everything after."""
@@ -1533,14 +1538,30 @@ def dq23_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = counts.collect()  # bin-grain: bounded driver state
     e = sum(r["n_expected"] for r in rows)
     a = sum(r["n_actual"] for r in rows)
+    if e == 0 or a == 0:
+        raise ValueError(
+            "dq23: a comparison window is empty (expected "
+            f"{e} rows, actual {a}) — PSI is undefined with no baseline "
+            "or no current population; widen the windows"
+        )
     ln_micro = {
         r["bin"]: sampling.guarded_log_qround(
-            1_000_000 * _math.log((r["n_actual"] * e) / (r["n_expected"] * a)),
+            1_000_000
+            * _math.log(
+                (max(r["n_actual"], 1) * e) / (max(r["n_expected"], 1) * a)
+            ),
             f"psi[{r['bin']}]",
         )
         for r in rows
     }
     lmap = F.create_map(*[F.lit(x) for kv in ln_micro.items() for x in kv])
+    # degenerate bins (zero rows in one window — a brand-new or vanished
+    # event_type, the exact situation PSI exists to flag) are floored to
+    # a count of 1 inside the ln ratio on BOTH engines (the standard
+    # epsilon-floor), so the contribution stays finite and signed right
+    # instead of crashing on ln(0)/div-0; the raw shares in the linear
+    # factor are untouched (a vanished bin still contributes with
+    # e_share > 0, a_share = 0). ADVICE r9 (medium).
     ln_col = lmap[F.col("bin")].cast("bigint")
     return counts.select(
         "bin",

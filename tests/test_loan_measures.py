@@ -18,7 +18,8 @@ def _events(spark, rows):
 
 def test_m31_day_count_conventions(spark):
     """30/360 US bond basis vs ACT: month-end and cross-year cases.
-    Jan 15 -> Mar 15: ACT = 60 (non-leap), 30/360 = 60.
+    Jan 15 -> Mar 15: ACT = 59 (16 left in Jan + 28 Feb + 15 Mar,
+    non-leap), 30/360 = 60.
     Jan 31 -> Feb 28 2023: ACT = 28; 30/360 = 30*1 + (28 - 30) = 28.
     Dec 30 2023 -> Jan 2 2024: ACT = 3; 30/360 = 360 - 330 + 2 - 30 = 2."""
     cases = [
@@ -146,3 +147,26 @@ def test_m32_first_last_and_tiebreak(spark):
         ("first_touch", "view"): cents,
         ("last_touch", "click"): cents,
     }
+
+
+def test_m34_cpr_annualizes_smm_with_twelfth_power(spark, sf_dir):
+    """ADVICE r9 (high): the r9 square-multiply chain computed x^22,
+    not the documented x^12, and the oracle SQL carried the identical
+    error so the hash gate could not catch it. Pin CPR against Python
+    pow for EVERY period, and pin the SMM denominator as net of
+    scheduled principal (the industry base)."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    rows = qs["m34_prepayment_speed"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.prepaid_cents > 0 for r in rows)  # fixture plants prepays
+    for r in rows:
+        smm = r.smm_micro / 1_000_000.0
+        # chain vs pow differ only in last-ulp accumulation
+        assert abs(r.cpr - (1.0 - (1.0 - smm) ** 12)) < 1e-12, r
+        net = r.opening_cents - r.sched_prin_cents
+        if net > 0:
+            assert r.smm_micro == (r.prepaid_cents * 1_000_000) // net, r
+        else:
+            assert r.smm_micro == 0, r

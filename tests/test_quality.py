@@ -178,3 +178,60 @@ def test_mutual_information_nonnegative_total_and_independence(spark, sf_dir):
             1_000_000 * math.log((n_xy * n) / (n_x * n_y)), "t"
         )
         assert v == 0
+
+
+def test_dq23_psi_degenerate_bins_do_not_crash(spark, tmp_path):
+    """ADVICE r9 (medium): a bin with zero rows in either window — the
+    exact new/vanished-category situation PSI is deployed to flag —
+    must yield a finite, correctly-signed contribution (count floored
+    to 1 inside the ln) instead of ZeroDivisionError / ln(0), and the
+    DuckDB oracle must agree exactly on the same fixture."""
+    import datetime as dt
+
+    import duckdb
+
+    from etl_pipline_ibrd_loan_system_spark.queries import (
+        ORACLE,
+        load_registry,
+    )
+
+    qs, _ = load_registry()
+    before = dt.datetime(2024, 1, 10, 0, 0, 0)
+    after = dt.datetime(2024, 1, 20, 0, 0, 0)
+    rows = (
+        # stable bin: both windows
+        [(i, before, 1, "stable", 0.0, "{}") for i in range(5)]
+        + [(100 + i, after, 1, "stable", 0.0, "{}") for i in range(5)]
+        # vanished bin: baseline only (n_actual = 0)
+        + [(200 + i, before, 1, "vanished", 0.0, "{}") for i in range(3)]
+        # new bin: current only (n_expected = 0)
+        + [(300 + i, after, 1, "brand_new", 0.0, "{}") for i in range(4)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.bin: r
+        for r in qs["dq23_population_stability"](spark, str(tmp_path))
+                 .collect()
+    }
+    assert set(got) == {"stable", "vanished", "brand_new"}
+    # both degenerate bins contribute POSITIVE drift mass, never NaN/inf
+    assert got["brand_new"].psi_contrib > 0
+    assert got["vanished"].psi_contrib > 0
+    for r in got.values():
+        assert r.psi_contrib == r.psi_contrib  # not NaN
+    # oracle parity on the degenerate fixture
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = {
+        r.bin: r
+        for r in con.execute(
+            ORACLE["dq23_population_stability"]
+        ).fetchdf().itertuples()
+    }
+    for b, r in got.items():
+        assert int(want[b].psi_ln_micro) == r.psi_ln_micro, b
+        assert abs(float(want[b].psi_contrib) - r.psi_contrib) < 1e-15, b
