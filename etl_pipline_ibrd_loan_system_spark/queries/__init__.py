@@ -335,6 +335,14 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "dd20_dup_mass_report",
         "u6_fixed_width_parse",
         "m34_prepayment_speed",
+        # registered r10 (the window's two free slots — VERDICT r9 item 7):
+        "m35_weighted_average_life",
+        "m36_ecl_staging",
+    ),
+    # overflow window for the remaining round-10 registrations (window 11
+    # hit its 50-slot cap); same lint rules as every window
+    12: (
+        "m37_macaulay_duration",
     ),
 }
 

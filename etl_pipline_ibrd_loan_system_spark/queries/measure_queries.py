@@ -1011,3 +1011,323 @@ def m34_prepayment_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "smm_micro",
         cpr.alias("cpr"),
     )
+
+
+# --- m35: weighted average life ---------------------------------------------
+
+
+@query(
+    "m35_weighted_average_life",
+    sql="""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id, o_orderpriority AS cohort,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS p,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST((o_orderkey // 100) % 11 + 1 AS BIGINT)
+                  ELSE NULL END AS prepay_period
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), flows AS (
+      SELECT l.cohort, t.period,
+             -- scheduled principal series (no-prepay scenario, all 12)
+             CASE WHEN t.period = 12
+                  THEN l.p - 11 * (l.p // 12)
+                  ELSE l.p // 12 END AS sflow,
+             -- actual principal series: truncates at the prepay period
+             CASE
+               WHEN l.prepay_period IS NOT NULL
+                    AND t.period > l.prepay_period THEN 0
+               WHEN l.prepay_period = t.period
+                  THEN l.p - (t.period - 1) * (l.p // 12)
+               WHEN l.prepay_period IS NULL AND t.period = 12
+                  THEN l.p - 11 * (l.p // 12)
+               ELSE l.p // 12 END AS aflow
+      FROM loans l, unnest(range(1, 13)) AS t(period)
+    )
+    SELECT cohort,
+           CAST(COUNT(*) // 12 AS BIGINT) AS n_loans,
+           CAST(SUM(sflow) AS BIGINT) AS principal_cents,
+           CAST(CAST(SUM(period * sflow) AS HUGEINT) * 1000000
+                // SUM(sflow) AS BIGINT) AS wal_sched_micro,
+           CAST(CAST(SUM(period * aflow) AS HUGEINT) * 1000000
+                // SUM(aflow) AS BIGINT) AS wal_actual_micro
+    FROM flows GROUP BY cohort
+    """,
+)
+def m35_weighted_average_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average life of the loan pool, per priority cohort —
+    THE summary statistic an investor quotes for an amortizing pool
+    (how many months until the average principal dollar comes back):
+    WAL = sum(t * principal_t) / sum(principal_t) over the m34 fixture
+    (level principal, planted full prepayments), reported micro-scaled
+    for BOTH the contractual schedule and the prepay-shortened actual
+    schedule, so wal_sched - wal_actual is the prepayment WAL
+    compression. All integer: flows are exact cents (the period-12 row
+    carries the p mod 12 residual so each series sums to exactly p),
+    and the t-weighted numerator is HUGEINT/DECIMAL(38,0)-widened at
+    birth (t*flow sums past int64 * 1e6 at the sf10 decade — the m33
+    hazard class).
+
+    Scale shape: closed-form loans x 12 projection (no recursion), one
+    cohort-grain combinable aggregate — 5 rows out; nothing shuffles
+    but the partial aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderpriority").alias("cohort"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            (F.expr("o_orderkey div 100") % 11 + 1).cast("bigint"),
+        ).alias("prepay_period"),
+    )
+    flows = loans.select(
+        "cohort",
+        "p",
+        "prepay_period",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(12).cast("bigint"))
+        ).alias("period"),
+    ).select(
+        "cohort",
+        "period",
+        F.when(
+            F.col("period") == 12, F.col("p") - 11 * F.expr("p div 12")
+        ).otherwise(F.expr("p div 12")).alias("sflow"),
+        F.when(
+            F.col("prepay_period").isNotNull()
+            & (F.col("period") > F.col("prepay_period")),
+            F.lit(0).cast("bigint"),
+        )
+        .when(
+            F.col("prepay_period") == F.col("period"),
+            F.col("p") - (F.col("period") - 1) * F.expr("p div 12"),
+        )
+        .when(
+            F.col("prepay_period").isNull() & (F.col("period") == 12),
+            F.col("p") - 11 * F.expr("p div 12"),
+        )
+        .otherwise(F.expr("p div 12"))
+        .alias("aflow"),
+    )
+    return flows.groupBy("cohort").agg(
+        F.expr("COUNT(*) div 12").cast("bigint").alias("n_loans"),
+        F.sum("sflow").cast("bigint").alias("principal_cents"),
+        F.expr(
+            "CAST(CAST(SUM(period * sflow) AS DECIMAL(38,0)) * 1000000"
+            " div SUM(sflow) AS BIGINT)"
+        ).alias("wal_sched_micro"),
+        F.expr(
+            "CAST(CAST(SUM(period * aflow) AS DECIMAL(38,0)) * 1000000"
+            " div SUM(aflow) AS BIGINT)"
+        ).alias("wal_actual_micro"),
+    )
+
+
+# --- m36: expected-credit-loss staging --------------------------------------
+
+
+@query(
+    "m36_ecl_staging",
+    sql="""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id, o_orderpriority AS cohort,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS ead_cents,
+             CASE o_orderkey % 9 WHEN 6 THEN 35 WHEN 7 THEN 65
+                  WHEN 8 THEN 120 ELSE 0 END AS dpd
+      FROM orders
+    ), staged AS (
+      SELECT cohort, ead_cents, dpd,
+             CASE WHEN dpd >= 90 THEN 3
+                  WHEN dpd >= 30 THEN 2 ELSE 1 END AS stage,
+             CASE WHEN dpd >= 90 THEN 10000
+                  WHEN dpd >= 30 THEN 2200 ELSE 150 END AS pd_bp
+      FROM loans
+    ), provisioned AS (
+      SELECT cohort, stage, ead_cents,
+             CAST(CAST(ead_cents AS HUGEINT) * pd_bp * 4500
+                  // 100000000 AS BIGINT) AS ecl_cents
+      FROM staged
+    )
+    SELECT stage, cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_loans,
+           CAST(SUM(ead_cents) AS BIGINT) AS ead_cents,
+           CAST(SUM(ecl_cents) AS BIGINT) AS ecl_cents,
+           CAST(CAST(SUM(ecl_cents) AS HUGEINT) * 1000000
+                // SUM(ead_cents) AS BIGINT) AS coverage_micro
+    FROM provisioned
+    GROUP BY stage, cohort
+    """,
+)
+def m36_ecl_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IFRS 9 expected-credit-loss staging — the provisioning engine a
+    loan book runs at every close: loans bucket into Stage 1 (dpd <
+    30, 12-month ECL), Stage 2 (30-89, lifetime ECL on significant
+    deterioration) or Stage 3 (90+, credit-impaired) off a
+    deterministic days-past-due fixture; per-loan provision =
+    EAD x PD(stage) x LGD in exact basis-point integer arithmetic
+    (ECL cents = EAD * pd_bp * lgd_bp div 1e8, HUGEINT/DECIMAL-widened
+    at birth — the per-row product alone reaches ~1e16), rolled up to
+    (stage, cohort) with an exact coverage-ratio micro (the number
+    auditors quote: provisions as a share of exposure).
+
+    Scale shape: single fact scan, one (stage, cohort)-grain
+    combinable aggregate — 15 rows out. At 100 TB this is a map-side
+    partial agg per partition and a 15-row reduce; PD/LGD curves in
+    production would be a broadcast dim keyed by (stage, segment)."""
+    orders = load_table(spark, sf_dir, "orders")
+    dpd = F.expr(
+        "CASE o_orderkey % 9 WHEN 6 THEN 35 WHEN 7 THEN 65"
+        " WHEN 8 THEN 120 ELSE 0 END"
+    )
+    loans = orders.select(
+        F.col("o_orderpriority").alias("cohort"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("ead_cents"),
+        dpd.alias("dpd"),
+    )
+    staged = loans.select(
+        "cohort",
+        "ead_cents",
+        F.when(F.col("dpd") >= 90, 3)
+        .when(F.col("dpd") >= 30, 2)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("stage"),
+        F.when(F.col("dpd") >= 90, 10000)
+        .when(F.col("dpd") >= 30, 2200)
+        .otherwise(150)
+        .alias("pd_bp"),
+    )
+    prov = staged.withColumn(
+        "ecl_cents",
+        F.expr(
+            "CAST(CAST(ead_cents AS DECIMAL(38,0)) * pd_bp * 4500"
+            " div 100000000 AS BIGINT)"
+        ),
+    )
+    return prov.groupBy("stage", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_loans"),
+        F.sum("ead_cents").cast("bigint").alias("ead_cents"),
+        F.sum("ecl_cents").cast("bigint").alias("ecl_cents"),
+        F.expr(
+            "CAST(CAST(SUM(ecl_cents) AS DECIMAL(38,0)) * 1000000"
+            " div SUM(ead_cents) AS BIGINT)"
+        ).alias("coverage_micro"),
+    )
+
+
+# --- m37: Macaulay / modified duration --------------------------------------
+#
+# Discounting is EXACT RATIONAL arithmetic: yield 0.5% per semiannual
+# period means the period-t discount factor is (200/201)^t; putting
+# every cash flow over the common denominator 201^6 turns the whole
+# present-value calculation into integer products CF_t * 200^t *
+# 201^(6-t) (factors fit int64; products widen to HUGEINT/DECIMAL(38,0)
+# at birth). Duration then falls out as a ratio of two exact integer
+# sums — no POWER(), no float discounting, bit-equal cross-engine.
+
+_M37_FACTORS = {t: 200**t * 201 ** (6 - t) for t in range(1, 7)}
+
+
+def _m37_factor_case(engine_cast: str) -> str:
+    arms = " ".join(
+        f"WHEN {t} THEN CAST('{v}' AS {engine_cast})"
+        for t, v in _M37_FACTORS.items()
+    )
+    return f"CASE period {arms} END"
+
+
+@query(
+    "m37_macaulay_duration",
+    sql=f"""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             CAST((o_orderkey // 100) % 4 AS BIGINT) AS tier,
+             ((o_orderkey // 100) % 4 + 1) * 100 AS coupon_bp,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS face_cents
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), cf AS (
+      SELECT l.tier, l.face_cents, t.period,
+             (CAST(l.face_cents AS HUGEINT) * l.coupon_bp // 10000)
+               + CASE WHEN t.period = 6
+                      THEN CAST(l.face_cents AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END AS cf_cents
+      FROM loans l, unnest(range(1, 7)) AS t(period)
+    ), pv AS (
+      SELECT tier, face_cents, period,
+             cf_cents * {_m37_factor_case('HUGEINT')} AS x
+      FROM cf
+    )
+    SELECT tier,
+           CAST(COUNT(*) // 6 AS BIGINT) AS n_loans,
+           CAST(SUM(face_cents) // 6 AS BIGINT) AS face_cents,
+           CAST(SUM(period * x) * 1000000 // SUM(x) AS BIGINT)
+             AS macaulay_periods_micro,
+           CAST((SUM(period * x) * 1000000 // SUM(x)) // 2 AS BIGINT)
+             AS macaulay_years_micro,
+           CAST((SUM(period * x) * 1000000 // SUM(x)) * 200 // 201
+                AS BIGINT) AS modified_periods_micro
+    FROM pv GROUP BY tier
+    """,
+)
+def m37_macaulay_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macaulay and modified duration of the loan book's cash flows,
+    per coupon tier — the interest-rate-risk statistic next to m28's
+    NPV: each loan is a 6-period semiannual level-coupon note (coupon
+    = face x tier bp, face repaid at maturity) discounted at 0.5% per
+    period. The discount curve is exact rational arithmetic over the
+    common denominator 201^6 (module comment): weight X_t = CF_t x
+    200^t x 201^(6-t) as widened integers, Macaulay =
+    sum(t*X)/sum(X) micro-scaled by integer division, modified =
+    Macaulay x 200/201 (exactly 1/(1+y)) — every output column an
+    exact integer, no transcendentals anywhere.
+
+    Scale shape: m35's closed-form projection (loans x 6), one
+    tier-grain combinable aggregate, 4 rows out; the HUGEINT/DECIMAL
+    sums stay ~1e33 at sf10 (< the 38-digit ceiling with 5 decades of
+    headroom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.expr("o_orderkey div 100") % 4).cast("bigint").alias("tier"),
+        ((F.expr("o_orderkey div 100") % 4 + 1) * 100).alias("coupon_bp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("face_cents"),
+    )
+    cf = loans.select(
+        "tier",
+        "face_cents",
+        "coupon_bp",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(6).cast("bigint"))
+        ).alias("period"),
+    ).select(
+        "tier",
+        "face_cents",
+        "period",
+        F.expr(
+            "CAST(face_cents AS DECIMAL(38,0)) * coupon_bp div 10000"
+            " + CASE WHEN period = 6 THEN CAST(face_cents AS DECIMAL(38,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("cf_cents"),
+    )
+    pv = cf.select(
+        "tier",
+        "face_cents",
+        "period",
+        F.expr(f"cf_cents * {_m37_factor_case('DECIMAL(38,0)')}").alias("x"),
+    )
+    dur = "SUM(period * x) * 1000000 div SUM(x)"
+    return pv.groupBy("tier").agg(
+        F.expr("COUNT(*) div 6").cast("bigint").alias("n_loans"),
+        F.expr("SUM(face_cents) div 6").cast("bigint").alias("face_cents"),
+        F.expr(f"CAST({dur} AS BIGINT)").alias("macaulay_periods_micro"),
+        F.expr(f"CAST(({dur}) div 2 AS BIGINT)").alias("macaulay_years_micro"),
+        F.expr(f"CAST(({dur}) * 200 div 201 AS BIGINT)")
+        .alias("modified_periods_micro"),
+    )

@@ -170,3 +170,65 @@ def test_m34_cpr_annualizes_smm_with_twelfth_power(spark, sf_dir):
             assert r.smm_micro == (r.prepaid_cents * 1_000_000) // net, r
         else:
             assert r.smm_micro == 0, r
+
+
+def test_m35_wal_level_principal_is_six_and_a_half(spark, sf_dir):
+    """Level principal over 12 periods has WAL = (1+...+12)/12 = 6.5
+    months exactly (up to the period-12 residual cents); the actual
+    series must be strictly shorter wherever prepays are planted."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    rows = qs["m35_weighted_average_life"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.wal_sched_micro - 6_500_000) < 2_000, r  # residual drift
+        assert r.wal_actual_micro <= r.wal_sched_micro, r
+
+
+def test_m36_ecl_per_loan_arithmetic(spark, sf_dir):
+    """Coverage ratio re-derives from the exact per-stage PD x LGD:
+    stage-1 rows must price at 150bp x 4500bp (67.5bp of EAD)."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    rows = qs["m36_ecl_staging"](spark, sf_dir).collect()
+    stages = {r.stage for r in rows}
+    assert stages == {1, 2, 3}
+    for r in rows:
+        bp = {1: 150, 2: 2200, 3: 10000}[r.stage]
+        # sum of per-loan truncations <= untruncated product; within n_loans
+        exact = r.ead_cents * bp * 4500 // 100_000_000
+        assert exact - r.n_loans <= r.ecl_cents <= exact, r
+        assert r.coverage_micro == r.ecl_cents * 1_000_000 // r.ead_cents, r
+
+
+def test_m37_duration_matches_float_closed_form(spark, sf_dir):
+    """The exact rational duration must agree with the float closed
+    form sum(t*CF/1.005^t)/sum(CF/1.005^t) to < 1 micro-period, and
+    decrease as the coupon rises (higher early cash flow -> shorter)."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    rows = sorted(
+        qs["m37_macaulay_duration"](spark, sf_dir).collect(),
+        key=lambda r: r.tier,
+    )
+    assert [r.tier for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        face = r.face_cents  # aggregate face acts like one big note
+        bp = (r.tier + 1) * 100
+        coupon = face * bp / 10_000
+        num = den = 0.0
+        for t in range(1, 7):
+            cf = coupon + (face if t == 6 else 0)
+            pv = cf / 1.005**t
+            num += t * pv
+            den += pv
+        # aggregate-vs-sum-of-loans truncation keeps this within ~1e-3
+        assert abs(r.macaulay_periods_micro / 1e6 - num / den) < 1e-3, r
+        assert r.modified_periods_micro == (
+            r.macaulay_periods_micro * 200 // 201
+        ), r
+    durs = [r.macaulay_periods_micro for r in rows]
+    assert durs == sorted(durs, reverse=True)
