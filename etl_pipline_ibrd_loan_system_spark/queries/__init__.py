@@ -343,6 +343,9 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
     # hit its 50-slot cap); same lint rules as every window
     12: (
         "m37_macaulay_duration",
+        "tx30_mojibake_screen",
+        "tx31_pii_density",
+        "tx32_unigram_logppl",
     ),
 }
 

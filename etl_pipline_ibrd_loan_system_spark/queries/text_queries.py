@@ -2300,3 +2300,288 @@ def tx29_code_prose_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("kw_n") >= 2)
         ).alias("is_code_like"),
     )
+
+
+# --- tx30: mojibake / encoding-artifact screen ------------------------------
+#
+# Marker substrings (each the UTF-8 bytes of a common char re-decoded as
+# cp1252/latin-1 — the classic double-encoding signature):
+#   'Ã©' = e-acute, 'Ã¯' = i-diaeresis,
+#   'â€' = the lead pair of curly quotes/apostrophes.
+# Counting is the tx29 length-difference arithmetic generalized to
+# multi-char patterns: (len(s) - len(replace(s, pat, ''))) / len(pat),
+# exact integers in both engines (replace is non-overlapping
+# left-to-right in both).
+
+_TX30_MOJI = " cafÃ© naÃ¯ve â€okâ€"
+_TX30_MARKERS = ("Ã©", "Ã¯", "â€")
+_TX30_REPL = "�"
+
+
+def _tx30_count_sql(col: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return (
+        f"CAST((length({col}) - length(replace({col}, '{esc}', '')))"
+        f" // {len(pat)} AS BIGINT)"
+    )
+
+
+@query(
+    "tx30_mojibake_screen",
+    sql=f"""
+    WITH tainted AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 17 = 3 THEN text || '{_TX30_MOJI}'
+                  WHEN doc_id % 29 = 5 THEN text || ' bad{_TX30_REPL}byte'
+                  ELSE text END AS text
+      FROM documents
+    ), sig AS (
+      SELECT lang, source,
+             {" + ".join(_tx30_count_sql("text", m) for m in _TX30_MARKERS)}
+               AS moji_n,
+             {_tx30_count_sql("text", _TX30_REPL)} AS repl_n
+      FROM tainted
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN moji_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moji_docs,
+           CAST(SUM(CASE WHEN repl_n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repl_docs,
+           CAST(SUM(moji_n) AS BIGINT) AS moji_occurrences,
+           CAST((SUM(CASE WHEN moji_n > 0 OR repl_n > 0 THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS artifact_doc_ppm
+    FROM sig GROUP BY lang, source
+    """,
+)
+def tx30_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) screening — the ingest gate that
+    catches double-encoded UTF-8 and lossy transcodes before they
+    poison a training corpus: per (lang, source) cohort, documents
+    carrying the classic cp1252-double-encoding digraphs or U+FFFD
+    replacement characters, with exact occurrence counts via
+    multi-char length-difference arithmetic (no regex in the hot
+    path) and an artifact-rate ppm. Artifacts are PLANTED
+    deterministically (doc_id % 17 / % 29 — the tx29 taint-fixture
+    precedent) so both clean and dirty cohorts exist in the synthetic
+    corpus and every output column is exercised.
+
+    Scale shape: pure projection over the scan + one cohort-grain
+    combinable aggregate — zero data-sized shuffle, whole-stage
+    codegen end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 17 == 3, F.concat("text", F.lit(_TX30_MOJI)))
+        .when(
+            F.col("doc_id") % 29 == 5,
+            F.concat("text", F.lit(" bad" + _TX30_REPL + "byte")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+    def cnt(pat: str) -> F.Column:
+        return (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat))))
+            / F.lit(len(pat))
+        ).cast("bigint")
+
+    moji = None
+    for m in _TX30_MARKERS:
+        moji = cnt(m) if moji is None else moji + cnt(m)
+    sig = tainted.select(
+        "lang",
+        "source",
+        moji.alias("moji_n"),
+        cnt(_TX30_REPL).alias("repl_n"),
+    )
+    return sig.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("moji_n") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("moji_docs"),
+        F.sum(F.when(F.col("repl_n") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("repl_docs"),
+        F.sum("moji_n").cast("bigint").alias("moji_occurrences"),
+        F.expr(
+            "SUM(CASE WHEN moji_n > 0 OR repl_n > 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*)"
+        ).alias("artifact_doc_ppm"),
+    )
+
+
+# --- tx31: PII density report -----------------------------------------------
+
+_TX31_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_TX31_PHONE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "tx31_pii_density",
+    sql=f"""
+    WITH tainted AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 13 = 2
+                  THEN text || ' contact user' || doc_id || '@example.com'
+                  WHEN doc_id % 19 = 4
+                  THEN text || ' call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    ), flags AS (
+      SELECT lang, source,
+             CASE WHEN regexp_matches(text, '{_TX31_EMAIL}')
+                  THEN 1 ELSE 0 END AS has_email,
+             CASE WHEN regexp_matches(text, '{_TX31_PHONE}')
+                  THEN 1 ELSE 0 END AS has_phone
+      FROM tainted
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(has_email) AS BIGINT) AS email_docs,
+           CAST(SUM(has_phone) AS BIGINT) AS phone_docs,
+           CAST(SUM(CASE WHEN has_email + has_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pii_docs,
+           CAST((SUM(CASE WHEN has_email + has_phone > 0 THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS pii_doc_ppm
+    FROM flags GROUP BY lang, source
+    """,
+)
+def tx31_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-density report — the audit a corpus owner runs BEFORE
+    redaction (b15 tokenizes; this measures): per (lang, source)
+    cohort, the share of documents containing email- or phone-shaped
+    spans, as boolean per-doc flags rolled into exact ppm rates. The
+    regex subset used ([a-z0-9] classes, bounded quantifiers, literal
+    anchors) evaluates identically under Java regex (Spark rlike) and
+    RE2 (DuckDB regexp_matches); PII spans are planted
+    deterministically (doc_id % 13 / % 19) so both flags fire in the
+    synthetic corpus.
+
+    Scale shape: projection + cohort-grain combinable aggregate, zero
+    data-sized shuffle. At 100 TB the per-doc regex is the cost — it
+    runs once per doc inside codegen, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tainted = docs.select(
+        "lang",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 4,
+            F.concat(
+                "text",
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    flags = tainted.select(
+        "lang",
+        "source",
+        F.when(F.col("text").rlike(_TX31_EMAIL), 1).otherwise(0)
+        .alias("has_email"),
+        F.when(F.col("text").rlike(_TX31_PHONE), 1).otherwise(0)
+        .alias("has_phone"),
+    )
+    return flags.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("has_email").cast("bigint").alias("email_docs"),
+        F.sum("has_phone").cast("bigint").alias("phone_docs"),
+        F.sum(
+            F.when(F.col("has_email") + F.col("has_phone") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pii_docs"),
+        F.expr(
+            "SUM(CASE WHEN has_email + has_phone > 0 THEN 1 ELSE 0 END)"
+            " * 1000000 div COUNT(*)"
+        ).alias("pii_doc_ppm"),
+    )
+
+
+# --- tx32: unigram LM negative log-likelihood --------------------------------
+
+
+@query(
+    "tx32_unigram_logppl",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(round(1000000 * ln(n::DOUBLE / freq::DOUBLE)) AS BIGINT)
+               AS nll_micro
+      FROM toks t JOIN vocab v USING (tok), tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_sum_micro,
+           CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id
+    """,
+)
+def tx32_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM log-perplexity quality score — the classic
+    perplexity-filter signal (CCNet-style) with the corpus itself as
+    the language model: token frequencies over the whole corpus give
+    p(tok) = freq/N, each token instance scores -ln p = ln(N/freq)
+    quantized ENGINE-SIDE to integer micro-nats (the repo's
+    engine-replayed transcendental pattern: the ln argument is a
+    ratio of exact integer counts, round is half-away in both
+    engines), and per-doc sum/average land as exact integers. High
+    avg_nll = rare-token-heavy documents (gibberish, boilerplate
+    IDs); low = stopword soup — both tails are what the filter trims.
+
+    Scale shape: token-stream linear like tx28 — one (token) exchange
+    builds the vocab, one token-grain join scores instances (at
+    100 TB the vocab is Zipf-bounded and the join key is the token
+    itself, so AQE can broadcast the head; no driver-side vocab
+    state), one doc-grain combine. The 1-row total broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1_000_000)
+                * F.log(
+                    F.col("n").cast("double") / F.col("freq").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("nll_micro").cast("bigint").alias("nll_sum_micro"),
+        F.expr("SUM(nll_micro) div COUNT(*)").alias("avg_nll_micro"),
+    )
