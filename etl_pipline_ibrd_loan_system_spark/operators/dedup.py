@@ -1579,3 +1579,95 @@ def lsh_calibration_oracle_sql(
     FROM tp LEFT JOIN cand c USING (id_a, id_b)
     GROUP BY bin
     """
+
+
+def embedding_lsh_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bands: int = 4,
+    band_bits: int = 16,
+    dim: int = 64,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch range search (radius query): for EVERY query vector, all
+    corpus vectors with cosine >= threshold — the dedupe-against-index
+    primitive (new-batch-vs-corpus, the embedding twin of dd13's
+    MinHash incremental dedup). Asymmetric by construction: corpus and
+    batch are signed with the SAME deterministic hyperplanes as
+    embedding_lsh_pairs, but the bucket join is batch-vs-corpus, so
+    the corpus NEVER self-joins — cost is O(|batch| x bucket density),
+    not O(|corpus|^2 / buckets), and the batch bucket table broadcasts
+    when small (the realistic ingest shape; set broadcast_queries=False
+    for giant backfills and it degrades to a shuffle-hash join).
+
+    Query/corpus ids must be disjoint; output (query_id, match_id,
+    cos_sim). Recall follows the embedding_lsh_pairs s-curve; at the
+    planted-duplicate regime (identical vectors -> identical sign
+    bits) it is structurally 1.0."""
+    import numpy as np
+
+    from ..cache import pin
+
+    nbits = bands * band_bits
+
+    def w(bit: int, i: int) -> float:
+        # the embedding_lsh_pairs hyperplane family, verbatim
+        x = (_A_MULT * (bit * dim + i + 1) + 12345) % MINHASH_P
+        return (x / MINHASH_P) * 2.0 - 1.0
+
+    W = np.array(
+        [[w(bit, i) for i in range(dim)] for bit in range(nbits)],
+        dtype="float64",
+    )
+
+    def buckets_of(df: DataFrame, side: str) -> DataFrame:
+        sigs = _arrow_signatures(df, id_col, vec_col, W, bands, band_bits)
+        return sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode("sig").alias("band", "chunk"),
+        )
+
+    qb = buckets_of(queries, "query")
+    cb = buckets_of(corpus, "match")
+    qb = F.broadcast(qb) if broadcast_queries else qb
+    cands = (
+        cb.join(qb, ["band", "chunk"])
+        .select("query_id", "match_id")
+        .distinct()
+    )
+    v = F.col(vec_col).cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("nv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+
+    def norms_of(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{side}_id"), v.alias("nv")
+        ).select(
+            f"{side}_id",
+            F.col("nv").alias(f"v_{side}"),
+            nrm.alias(f"n_{side}"),
+        )
+
+    qn = pin(norms_of(queries, "query"))
+    cn = norms_of(corpus, "match")
+    dot = F.aggregate(
+        F.zip_with("v_query", "v_match", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        cands.join(F.broadcast(qn) if broadcast_queries else qn, "query_id")
+        .join(cn, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            (dot / (F.col("n_query") * F.col("n_match"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -346,6 +346,10 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "tx30_mojibake_screen",
         "tx31_pii_density",
         "tx32_unigram_logppl",
+        "sm13_batch_range_search",
+        "mx7_curriculum_schedule",
+        "fv8_feature_hashing",
+        "u7_logfmt_parse",
     ),
 }
 

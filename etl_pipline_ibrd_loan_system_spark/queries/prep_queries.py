@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import dsum, sql_dsum
+from ..operators import dedup as dedup_ops
 from ..operators import rangejoin, sampling, textprep, textstats
 from . import query
 
@@ -1719,4 +1720,134 @@ def mx6_epoch_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).cast("bigint").alias("n_repeats"),
+    )
+
+
+# --- mx7: curriculum schedule ------------------------------------------------
+
+
+@query(
+    "mx7_curriculum_schedule",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             (n_chars * 1000) // (len({_TOKS}) + 1) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY score, doc_id)
+               AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scored
+    )
+    SELECT lang, CAST((r - 1) * 4 // n + 1 AS BIGINT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY lang, phase
+    """,
+)
+def mx7_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering — schedule the corpus easy-to-hard before
+    training: per-language, documents rank by an exact integer
+    difficulty proxy (mean token length in milli-chars — short-token
+    prose first, dense/technical text last) and split into 4
+    curriculum phases by EXPLICIT rank arithmetic
+    ((r-1)*4 div n + 1), not NTILE — NTILE's remainder placement is
+    engine-defined, the explicit formula is bit-identical everywhere
+    and is what a curriculum loader re-derives. Output is the phase
+    manifest (doc counts, score boundaries, char mass) a data loader
+    consumes per epoch.
+
+    Scale shape: one (lang) exchange feeding rank + count windows and
+    the phase rollup — a per-language global sort, the honest cost of
+    a total curriculum order (the e1 caveat); at 100 TB you run it
+    per-language-shard, which is exactly how the partitioning lands."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "(n_chars * 1000) div (size(filter(split(lower(text),"
+            " '\\\\s+'), t -> t != '')) + 1)"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "n_chars",
+        "score",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.select(
+        "lang",
+        F.expr("(r - 1) * 4 div n + 1").cast("bigint").alias("phase"),
+        "n_chars",
+        "score",
+    ).groupBy("lang", "phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("score").cast("bigint").alias("min_score"),
+        F.max("score").cast("bigint").alias("max_score"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --- fv8: feature hashing (hashing trick) ------------------------------------
+
+
+@query(
+    "fv8_feature_hashing",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, tok,
+             {_HASH60.format(x='tok')} % 16 AS bucket
+      FROM toks
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM hashed GROUP BY bucket
+    """,
+)
+def fv8_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick) — fixed-width featurization
+    with NO vocabulary state: every token maps to one of D buckets
+    (D=16 here so the 31-token synthetic vocabulary actually collides
+    and the collision columns are exercised; production D is 2^18+)
+    through the shared 60-bit md5 hash (oracle-replayable, unlike
+    xxhash64), so a model's feature space is closed before the first
+    document arrives and new tokens never resize anything. Output is
+    the bucket census (distinct tokens per bucket = collision load,
+    occurrence mass, document reach) — the artifact that validates the
+    chosen width: if hot buckets carry many distinct high-frequency
+    tokens, widen D; per-doc sparse vectors are then (doc_id, bucket,
+    count) without this diagnostic pass.
+
+    Scale shape: token-stream linear, ONE (bucket)-grain combinable
+    aggregate (1024 groups — the distinct-token count shuffles
+    (bucket, tok) partials, still bounded by vocabulary not corpus);
+    zero driver state, the fv2/fv7 contrast where the encoder itself
+    is the state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        "tok",
+        (dedup_ops.shared_hash60(F.col("tok")) % 16).alias("bucket"),
+    )
+    return hashed.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.countDistinct("tok").cast("bigint").alias("n_tokens_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )

@@ -770,3 +770,55 @@ def sm12_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_lloyd_iters=2, m_sub=16, n_codes=16, dims=64,
         pq_lloyd_iters=2, shortlist=50,
     )
+
+
+# --- sm13: batch range search (radius query) --------------------------------
+
+
+@query(
+    "sm13_batch_range_search",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id + 2000000 AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), c AS (
+      SELECT vec_id AS match_id, embedding AS cv FROM embeddings
+    )
+    SELECT query_id, match_id, cos_sim FROM (
+      SELECT query_id, match_id, {_cos('qv', 'cv')} AS cos_sim
+      FROM q, c
+    ) WHERE cos_sim >= 0.95
+    """,
+)
+def sm13_batch_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold range search of an ingest batch against the corpus —
+    'which of these new vectors already exist (or nearly exist) in the
+    index': every 20th embedding re-tagged as the incoming batch
+    (identical vectors -> recall structurally 1.0 at 0.95, the dd7
+    argument), searched with the asymmetric LSH operator
+    (dedup.embedding_lsh_range_search): corpus and batch share the
+    hyperplane family, the bucket join is batch-vs-corpus so the
+    corpus never self-joins, and the small batch side BROADCASTS. The
+    oracle brute-forces the full batch x corpus cosine matrix — the
+    check proves the bucketed plan finds exactly the over-threshold
+    set.
+
+    Scale shape: 2 signature projections (Arrow matmul, no shuffle) +
+    one broadcast bucket probe + per-candidate exact verify — corpus
+    cost is one scan regardless of batch size; contrast dd7b, whose
+    self-join is the right tool when the QUESTION is all-pairs."""
+    from ..operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_lsh_range_search(
+        emb.select("vec_id", "embedding"),
+        batch,
+        "vec_id",
+        "embedding",
+        threshold=0.95,
+        bands=4,
+        band_bits=16,
+    ).orderBy("query_id", "match_id")

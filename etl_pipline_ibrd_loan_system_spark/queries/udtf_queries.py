@@ -183,3 +183,77 @@ def u6_fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("line", 27, 12).cast("bigint").alias("amount_cents"),
         F.substring("line", 39, 10).alias("odate"),
     )
+
+
+# --- u7: logfmt render + parse round trip ------------------------------------
+
+
+@query(
+    "u7_logfmt_parse",
+    sql="""
+    WITH rendered AS (
+      SELECT 'ts=' || epoch_us(ts) || ' user=' || user_id
+             || ' type=' || event_type
+             || ' value_c=' || CAST(round(value * 100) AS BIGINT) AS line
+      FROM events
+    ), parsed AS (
+      SELECT CAST(regexp_extract(line, 'user=([0-9]+)', 1) AS BIGINT)
+               AS user_id,
+             regexp_extract(line, 'type=([a-z_]+)', 1) AS event_type,
+             CAST(regexp_extract(line, 'value_c=(-?[0-9]+)', 1) AS BIGINT)
+               AS cents,
+             CAST(regexp_extract(line, 'ts=([0-9]+)', 1) AS BIGINT) AS ts_us
+      FROM rendered
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS cents_total,
+           CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+           CAST(MAX(ts_us) AS BIGINT) AS last_ts_us
+    FROM parsed GROUP BY event_type
+    """,
+)
+def u7_logfmt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logfmt ('key=value ...') parsing — the third leg of semi-structured
+    ingestion next to u5's JSON shredding and u6's fixed-width: events
+    render to canonical logfmt lines (the u6 render-then-parse fixture
+    discipline, so the parser is exercised against lines whose ground
+    truth is known), then regexp_extract pulls each field back out and
+    the rollup must reproduce the original table's aggregates exactly —
+    integer microseconds and cents end-to-end, no float transits the
+    text round trip.
+
+    Scale shape: render and parse are both zero-exchange codegen
+    projections (the u6 shape); one event_type-grain combine ends it.
+    At 100 TB the render stage drops away (real logs arrive as text)
+    and the parse is a pure scan-side projection."""
+    ev = load_table(spark, sf_dir, "events")
+    rendered = ev.select(
+        F.concat(
+            F.lit("ts="),
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" value_c="),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        ).alias("line")
+    )
+    parsed = rendered.select(
+        F.regexp_extract("line", "user=([0-9]+)", 1).cast("bigint")
+        .alias("user_id"),
+        F.regexp_extract("line", "type=([a-z_]+)", 1).alias("event_type"),
+        F.regexp_extract("line", "value_c=(-?[0-9]+)", 1).cast("bigint")
+        .alias("cents"),
+        F.regexp_extract("line", "ts=([0-9]+)", 1).cast("bigint")
+        .alias("ts_us"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+        F.min("ts_us").cast("bigint").alias("first_ts_us"),
+        F.max("ts_us").cast("bigint").alias("last_ts_us"),
+    )
