@@ -350,6 +350,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "mx7_curriculum_schedule",
         "fv8_feature_hashing",
         "u7_logfmt_parse",
+        "m38_payment_waterfall",
+        "e33_time_weighted_average",
     ),
 }
 

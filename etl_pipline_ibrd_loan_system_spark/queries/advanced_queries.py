@@ -2009,3 +2009,65 @@ def e31_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+# --- e33: time-weighted average (TWAP) ---------------------------------------
+
+
+@query(
+    "e33_time_weighted_average",
+    sql="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts,
+                                      event_id) AS t1
+      FROM events
+    ), held AS (
+      SELECT user_id, cents, t1 - t0 AS dur_us
+      FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           CAST(CAST(SUM(cents * dur_us) AS HUGEINT) * 100
+                // SUM(dur_us) AS BIGINT) AS twap_centicents
+    FROM held GROUP BY user_id
+    """,
+)
+def e33_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user — the metric that makes
+    irregularly-sampled observations comparable (a value held for an
+    hour must outweigh one held a second; the plain AVG the reference's
+    dashboard uses cannot say this): each event's value is HELD until
+    the user's next event (lead window), weighted by the exact
+    integer-microsecond duration, and the weighted mean lands as
+    centi-cents via a HUGEINT/DECIMAL-widened integer division
+    (cents x dur_us sums reach ~1e17 per segment — the m33 hazard
+    class again). Zero-duration and final open segments drop on both
+    engines identically.
+
+    Scale shape: ONE (user_id) exchange feeds the lead window and the
+    user-grain combine — the e14 sessionize plan shape; value mass
+    never reshuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t0"),
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        .alias("t1"),
+    )
+    held = seg.where(
+        F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select("user_id", "cents", (F.col("t1") - F.col("t0")).alias("dur_us"))
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("dur_us").cast("bigint").alias("held_us"),
+        F.expr(
+            "CAST(CAST(SUM(cents * dur_us) AS DECIMAL(38,0)) * 100"
+            " div SUM(dur_us) AS BIGINT)"
+        ).alias("twap_centicents"),
+    )

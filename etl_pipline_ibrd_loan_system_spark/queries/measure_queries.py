@@ -1331,3 +1331,132 @@ def m37_macaulay_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(({dur}) * 200 div 201 AS BIGINT)")
         .alias("modified_periods_micro"),
     )
+
+
+# --- m38: payment waterfall ---------------------------------------------------
+
+
+@query(
+    "m38_payment_waterfall",
+    sql="""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id, o_orderpriority AS cohort,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS p,
+             CAST(o_orderkey % 7 AS BIGINT) * 2500 AS fee_due_cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), due AS (
+      SELECT loan_id, cohort, fee_due_cents,
+             p * 425 // 120000 AS int_due_cents,
+             p // 12 AS prin_due_cents,
+             -- collected: a deterministic fraction of total due, so every
+             -- waterfall tier (full pay / partial / shortfall) occurs
+             (fee_due_cents + p * 425 // 120000 + p // 12)
+               * (loan_id % 13) // 10 AS collected_cents
+      FROM loans
+    ), applied AS (
+      SELECT cohort, collected_cents, fee_due_cents, int_due_cents,
+             prin_due_cents,
+             LEAST(collected_cents, fee_due_cents) AS fee_paid,
+             LEAST(collected_cents - LEAST(collected_cents, fee_due_cents),
+                   int_due_cents) AS int_paid,
+             LEAST(collected_cents - LEAST(collected_cents, fee_due_cents)
+                   - LEAST(collected_cents
+                           - LEAST(collected_cents, fee_due_cents),
+                           int_due_cents),
+                   prin_due_cents) AS prin_paid
+      FROM due
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_loans,
+           CAST(SUM(collected_cents) AS BIGINT) AS collected_cents,
+           CAST(SUM(fee_paid) AS BIGINT) AS fees_cents,
+           CAST(SUM(int_paid) AS BIGINT) AS interest_cents,
+           CAST(SUM(prin_paid) AS BIGINT) AS principal_cents,
+           CAST(SUM(collected_cents - fee_paid - int_paid - prin_paid)
+                AS BIGINT) AS overpay_cents,
+           CAST(SUM(CASE WHEN fee_paid + int_paid + prin_paid
+                         < fee_due_cents + int_due_cents + prin_due_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shortfall
+    FROM applied GROUP BY cohort
+    """,
+)
+def m38_payment_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-waterfall allocation — the loan-servicing rule every
+    remittance runs through: collections apply to FEES first, then
+    INTEREST, then PRINCIPAL (the standard servicing priority), any
+    remainder is overpayment/suspense, and a loan whose collection
+    doesn't cover total due is a shortfall. The allocation is the
+    LEAST()-chain identity (paid_k = min(remaining_k, due_k)) in
+    exact cents — collected - fees - interest - principal == overpay
+    holds as an integer identity per row, and the fixture's
+    (loan_id % 13)/10 collection ratio plants full-pay, partial and
+    over-pay tiers so every output column is exercised.
+
+    Scale shape: single scan, pure projection (the waterfall is
+    per-row arithmetic, no window, no join), cohort-grain combine —
+    5 rows out."""
+    orders = load_table(spark, sf_dir, "orders")
+    loans = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("loan_id"),
+        F.col("o_orderpriority").alias("cohort"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+        ((F.col("o_orderkey") % 7).cast("bigint") * 2500)
+        .alias("fee_due_cents"),
+    )
+    due = loans.select(
+        "loan_id",
+        "cohort",
+        "fee_due_cents",
+        F.expr("p * 425 div 120000").alias("int_due_cents"),
+        F.expr("p div 12").alias("prin_due_cents"),
+        F.expr(
+            "(fee_due_cents + p * 425 div 120000 + p div 12)"
+            " * (loan_id % 13) div 10"
+        ).alias("collected_cents"),
+    )
+    applied = due.select(
+        "cohort",
+        "collected_cents",
+        "fee_due_cents",
+        "int_due_cents",
+        "prin_due_cents",
+        F.expr("LEAST(collected_cents, fee_due_cents)").alias("fee_paid"),
+        F.expr(
+            "LEAST(collected_cents - LEAST(collected_cents, fee_due_cents),"
+            " int_due_cents)"
+        ).alias("int_paid"),
+        F.expr(
+            "LEAST(collected_cents - LEAST(collected_cents, fee_due_cents)"
+            " - LEAST(collected_cents - LEAST(collected_cents, fee_due_cents),"
+            " int_due_cents), prin_due_cents)"
+        ).alias("prin_paid"),
+    )
+    return applied.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_loans"),
+        F.sum("collected_cents").cast("bigint").alias("collected_cents"),
+        F.sum("fee_paid").cast("bigint").alias("fees_cents"),
+        F.sum("int_paid").cast("bigint").alias("interest_cents"),
+        F.sum("prin_paid").cast("bigint").alias("principal_cents"),
+        F.sum(
+            F.col("collected_cents")
+            - F.col("fee_paid")
+            - F.col("int_paid")
+            - F.col("prin_paid")
+        )
+        .cast("bigint")
+        .alias("overpay_cents"),
+        F.sum(
+            F.when(
+                F.col("fee_paid") + F.col("int_paid") + F.col("prin_paid")
+                < F.col("fee_due_cents")
+                + F.col("int_due_cents")
+                + F.col("prin_due_cents"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_shortfall"),
+    )

@@ -232,3 +232,21 @@ def test_m37_duration_matches_float_closed_form(spark, sf_dir):
         ), r
     durs = [r.macaulay_periods_micro for r in rows]
     assert durs == sorted(durs, reverse=True)
+
+
+def test_m38_waterfall_conservation(spark, sf_dir):
+    """Collected == fees + interest + principal + overpay must hold as
+    an exact integer identity per cohort, and shortfall loans exist in
+    the fixture (collection ratio spans 0..12/10 of total due)."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    rows = qs["m38_payment_waterfall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.collected_cents == (
+            r.fees_cents + r.interest_cents + r.principal_cents
+            + r.overpay_cents
+        ), r
+        assert 0 < r.n_shortfall < r.n_loans, r
+        assert r.overpay_cents >= 0, r
