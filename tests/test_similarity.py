@@ -387,3 +387,36 @@ def test_ivfpq_loses_nothing_beyond_cell_pruning(spark, sf_dir):
     }
     overlap = len(ivf & ivfpq) / len(ivf)
     assert overlap >= 0.95, f"PQ stage lost recall vs its IVF bound: {overlap}"
+
+
+def test_embedding_lsh_range_search_asymmetric(spark):
+    """Planted semantics: batch q1 duplicates corpus vector 1 (found at
+    cos 1.0), q2 duplicates nothing (empty result); corpus-vs-corpus
+    near pairs must NEVER appear in the output even when they exist
+    (vectors 3 and 4 are identical to each other)."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        embedding_lsh_range_search,
+    )
+
+    def vec(seed):
+        return [float((seed * 37 + i * 11) % 97) / 97.0 for i in range(64)]
+
+    corpus = spark.createDataFrame(
+        [(1, vec(1)), (2, vec(2)), (3, vec(3)), (4, vec(3))],
+        "vec_id long, embedding array<double>",
+    )
+    novel = [1.0] + [0.0] * 63  # orthogonal-ish to the dense vec() family
+    batch = spark.createDataFrame(
+        [(101, vec(1)), (102, novel)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_lsh_range_search(
+        corpus, batch, "vec_id", "embedding", threshold=0.999
+    ).collect()
+    pairs = {(r.query_id, r.match_id) for r in got}
+    assert (101, 1) in pairs
+    assert all(q in (101, 102) for q, _ in pairs)  # only batch ids as queries
+    assert not any(q == 102 for q, _ in pairs)  # novel vector matches nothing
+    assert all(m in (1, 2, 3, 4) for _, m in pairs)
+    for r in got:
+        assert r.cos_sim >= 0.999
