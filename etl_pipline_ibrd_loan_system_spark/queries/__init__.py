@@ -352,6 +352,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "u7_logfmt_parse",
         "m38_payment_waterfall",
         "e33_time_weighted_average",
+        "m39_rate_shock_revaluation",
     ),
 }
 

@@ -1460,3 +1460,137 @@ def m38_payment_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_shortfall"),
     )
+
+
+# --- m39: rate-shock revaluation (effective duration / convexity) -----------
+#
+# Full exact revaluation at three per-period yields (-0.5%, +0.5%,
+# +1.5% — the +/-100bp parallel shock around m37's base 0.5%): each
+# yield y = num/200 - 1 gives PV = sum(CF_t * 200^t * num^(6-t)) /
+# num^6 in exact integers (the m37 rational-discount trick with a
+# per-scenario denominator), truncated to cents per tier so the three
+# scenarios land on a COMMON integer scale before differencing —
+# cross-denominator products (~1e47) would blow the 38-digit ceiling,
+# pv cents never do.
+
+_M39_NUMS = {"down": 199, "base": 201, "up": 203}
+
+
+def _m39_x_case(engine_cast: str, num: int) -> str:
+    arms = " ".join(
+        f"WHEN {t} THEN CAST('{200**t * num ** (6 - t)}' AS {engine_cast})"
+        for t in range(1, 7)
+    )
+    return f"CASE period {arms} END"
+
+
+def _m39_pv_sql(engine_cast: str, scen: str) -> str:
+    num = _M39_NUMS[scen]
+    return (
+        f"CAST(SUM(cf_cents * {_m39_x_case(engine_cast, num)})"
+        f" // CAST('{_M39_NUMS[scen] ** 6}' AS {engine_cast}) AS BIGINT)"
+        if engine_cast == "HUGEINT"
+        else f"CAST(SUM(cf_cents * {_m39_x_case(engine_cast, num)})"
+        f" div CAST('{_M39_NUMS[scen] ** 6}' AS {engine_cast}) AS BIGINT)"
+    )
+
+
+@query(
+    "m39_rate_shock_revaluation",
+    sql=f"""
+    WITH loans AS (
+      SELECT o_orderkey AS loan_id,
+             CAST((o_orderkey // 100) % 4 AS BIGINT) AS tier,
+             ((o_orderkey // 100) % 4 + 1) * 100 AS coupon_bp,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS face_cents
+      FROM orders WHERE o_orderkey % 100 = 0
+    ), cf AS (
+      SELECT l.tier, t.period,
+             (CAST(l.face_cents AS HUGEINT) * l.coupon_bp // 10000)
+               + CASE WHEN t.period = 6
+                      THEN CAST(l.face_cents AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END AS cf_cents
+      FROM loans l, unnest(range(1, 7)) AS t(period)
+    ), pv AS (
+      SELECT tier,
+             {_m39_pv_sql('HUGEINT', 'down')} AS pv_down_cents,
+             {_m39_pv_sql('HUGEINT', 'base')} AS pv_base_cents,
+             {_m39_pv_sql('HUGEINT', 'up')} AS pv_up_cents
+      FROM cf GROUP BY tier
+    )
+    SELECT tier, pv_down_cents, pv_base_cents, pv_up_cents,
+           CAST(CAST(pv_down_cents - pv_up_cents AS HUGEINT) * 100000000
+                // (2 * pv_base_cents) AS BIGINT)
+             AS eff_duration_periods_micro,
+           CAST(CAST(pv_down_cents + pv_up_cents - 2 * pv_base_cents
+                     AS HUGEINT) * 10000000000
+                // pv_base_cents AS BIGINT)
+             AS eff_convexity_micro
+    FROM pv
+    """,
+)
+def m39_rate_shock_revaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel rate-shock revaluation — the risk report next to m37's
+    analytic duration: the m37 book fully repriced at per-period
+    yields -0.5% / +0.5% / +1.5% (a +/-100bp shock straddling the
+    base; the negative-rate leg is deliberate — the scenario set every
+    post-2015 desk runs), each PV an exact rational sum truncated to
+    cents, then EFFECTIVE duration (P- - P+) / (2 P0 dy) and
+    EFFECTIVE convexity (P- + P+ - 2 P0) / (P0 dy^2) as widened
+    integer micro ratios (dy = 0.01/period, so the factors are exactly
+    100e6 and 1e10). Cross-query law unit-pinned: effective duration
+    from full revaluation must agree with m37's analytic modified
+    duration to first order — the standard model-validation check that
+    the two implementations are consistent.
+
+    Scale shape: m37's closed-form projection with a 3-scenario
+    tier-grain combine (the three PVs share ONE pass — each scenario
+    is a different constant-folded factor CASE over the same cf rows);
+    4 rows out."""
+    orders = load_table(spark, sf_dir, "orders")
+    loans = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.expr("o_orderkey div 100") % 4).cast("bigint").alias("tier"),
+        ((F.expr("o_orderkey div 100") % 4 + 1) * 100).alias("coupon_bp"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("face_cents"),
+    )
+    cf = loans.select(
+        "tier",
+        "face_cents",
+        "coupon_bp",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(6).cast("bigint"))
+        ).alias("period"),
+    ).select(
+        "tier",
+        "period",
+        F.expr(
+            "CAST(face_cents AS DECIMAL(38,0)) * coupon_bp div 10000"
+            " + CASE WHEN period = 6 THEN CAST(face_cents AS DECIMAL(38,0))"
+            " ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("cf_cents"),
+    )
+    pv = cf.groupBy("tier").agg(
+        *[
+            F.expr(_m39_pv_sql("DECIMAL(38,0)", scen)).alias(
+                f"pv_{scen}_cents"
+            )
+            for scen in ("down", "base", "up")
+        ]
+    )
+    return pv.select(
+        "tier",
+        "pv_down_cents",
+        "pv_base_cents",
+        "pv_up_cents",
+        F.expr(
+            "CAST(CAST(pv_down_cents - pv_up_cents AS DECIMAL(38,0))"
+            " * 100000000 div (2 * pv_base_cents) AS BIGINT)"
+        ).alias("eff_duration_periods_micro"),
+        F.expr(
+            "CAST(CAST(pv_down_cents + pv_up_cents - 2 * pv_base_cents"
+            " AS DECIMAL(38,0)) * 10000000000 div pv_base_cents AS BIGINT)"
+        ).alias("eff_convexity_micro"),
+    )

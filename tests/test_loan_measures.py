@@ -250,3 +250,29 @@ def test_m38_waterfall_conservation(spark, sf_dir):
         ), r
         assert 0 < r.n_shortfall < r.n_loans, r
         assert r.overpay_cents >= 0, r
+
+
+def test_m39_effective_duration_agrees_with_m37_analytic(spark, sf_dir):
+    """Model-validation law: effective duration from +/-100bp full
+    revaluation must agree with m37's analytic modified duration to
+    second order (the difference is the convexity term ~ C*dy^2, well
+    under 2% here), and convexity must be positive for option-free
+    cash flows."""
+    from etl_pipline_ibrd_loan_system_spark.queries import load_registry
+
+    qs, _ = load_registry()
+    eff = {
+        r.tier: r
+        for r in qs["m39_rate_shock_revaluation"](spark, sf_dir).collect()
+    }
+    ana = {
+        r.tier: r
+        for r in qs["m37_macaulay_duration"](spark, sf_dir).collect()
+    }
+    assert set(eff) == set(ana) and eff
+    for tier, r in eff.items():
+        d_eff = r.eff_duration_periods_micro / 1e6
+        d_mod = ana[tier].modified_periods_micro / 1e6
+        assert abs(d_eff - d_mod) / d_mod < 0.02, (tier, d_eff, d_mod)
+        assert r.eff_convexity_micro > 0, r
+        assert r.pv_down_cents > r.pv_base_cents > r.pv_up_cents, r
