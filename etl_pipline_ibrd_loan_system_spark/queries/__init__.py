@@ -353,6 +353,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "m38_payment_waterfall",
         "e33_time_weighted_average",
         "m39_rate_shock_revaluation",
+        "iv9_query_likelihood_topk",
     ),
 }
 

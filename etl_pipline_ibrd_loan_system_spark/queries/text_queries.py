@@ -2585,3 +2585,106 @@ def tx32_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nll_micro").cast("bigint").alias("nll_sum_micro"),
         F.expr("SUM(nll_micro) div COUNT(*)").alias("avg_nll_micro"),
     )
+
+
+# --- iv9: Dirichlet query-likelihood retrieval -------------------------------
+
+_IV9_MU = 2000
+
+
+def _iv9_tf_sql(term: str) -> str:
+    return (
+        f"CAST(len(list_filter({_TOKS}, t -> t = '{term}')) AS BIGINT)"
+        f" AS tf_{term}"
+    )
+
+
+@query(
+    "iv9_query_likelihood_topk",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl,
+             {", ".join(_iv9_tf_sql(t) for t in _BM25_TERMS)}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(tf_{t}) AS BIGINT) AS cf_{t}"
+                        for t in _BM25_TERMS)}
+      FROM base
+    ), scored AS (
+      SELECT doc_id, dl,
+             {" + ".join(
+                 f"CAST(round(1000000 * ln("
+                 f"(tf_{t} * n + {_IV9_MU} * cf_{t})::DOUBLE"
+                 f" / (n * (dl + {_IV9_MU}))::DOUBLE)) AS BIGINT)"
+                 for t in _BM25_TERMS
+             )} AS ql_micro
+      FROM base, stats
+    )
+    SELECT doc_id, dl, ql_micro FROM scored
+    ORDER BY ql_micro DESC, doc_id LIMIT 10
+    """,
+)
+def iv9_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval — the OTHER
+    canonical lexical ranker beside iv2's BM25 (the language-modeling
+    school: rank by P(query | doc LM), document model smoothed toward
+    the collection model with mass mu): per query term, ln((tf*N +
+    mu*cf) / (N*(dl + mu))) — the ln argument a ratio of exact integer
+    products (tf, dl, N, cf all exact counts), quantized ENGINE-SIDE
+    to integer micro-nats (the tx32 pattern) and summed as integers,
+    so the ranking key is an exact integer and the top-10 is fully
+    deterministic (desc, doc_id tiebreak). Same fixed 3-term query as
+    iv2 — diff the two rankings to see where tf-saturation vs
+    smoothing disagree.
+
+    Scale shape: iv2's exact shape — one projection pass (token stream
+    never shuffles), ONE 1-row stats broadcast, pure-projection
+    scoring, TakeOrderedAndProject top-10."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+
+    def tf_col(term: str) -> F.Column:
+        return (
+            F.size(F.filter(toks, lambda x: x == term))
+            .cast("bigint")
+            .alias(f"tf_{term}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(t) for t in _BM25_TERMS],
+    )
+    from ..cache import pin
+
+    base = pin(base)
+    stats = base.agg(
+        F.sum("dl").cast("bigint").alias("n"),
+        *[
+            F.sum(f"tf_{t}").cast("bigint").alias(f"cf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    term_scores = [
+        F.round(
+            F.lit(1_000_000)
+            * F.log(
+                (
+                    F.col(f"tf_{t}") * F.col("n")
+                    + F.lit(_IV9_MU) * F.col(f"cf_{t}")
+                ).cast("double")
+                / (F.col("n") * (F.col("dl") + F.lit(_IV9_MU))).cast("double")
+            )
+        ).cast("bigint")
+        for t in _BM25_TERMS
+    ]
+    total = term_scores[0]
+    for s in term_scores[1:]:
+        total = total + s
+    return (
+        base.join(F.broadcast(stats))
+        .select("doc_id", "dl", total.alias("ql_micro"))
+        .orderBy(F.desc("ql_micro"), "doc_id")
+        .limit(10)
+    )
