@@ -354,6 +354,8 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "e33_time_weighted_average",
         "m39_rate_shock_revaluation",
         "iv9_query_likelihood_topk",
+        "u8_csv_recovery",
+        "h4_watermark_loss_audit",
     ),
 }
 

@@ -806,3 +806,87 @@ def s7_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(state, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- h4: watermark-loss audit -------------------------------------------------
+
+
+@query(
+    "h4_watermark_loss_audit",
+    sql="""
+    WITH arrivals AS (
+      SELECT event_id, ts,
+             epoch_us(ts) AS ev_us,
+             epoch_us(ts) + ((event_id % 37) * 97 % 1800) * 1000000
+               AS arr_us,
+             (epoch_us(ts) // 600000000) * 600000000 + 600000000
+               AS win_end_us
+      FROM events
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM arrivals)
+    SELECT delay_s, n_dropped,
+           CAST(n_dropped * 1000000 // (SELECT n FROM tot) AS BIGINT)
+             AS dropped_ppm
+    FROM (
+      SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+             CAST(SUM(CASE WHEN arr_us > win_end_us + d.delay_s * 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM arrivals, (VALUES (300), (900), (1800)) AS d(delay_s)
+      GROUP BY d.delay_s
+    )
+    """,
+)
+def h4_watermark_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-loss audit — the design artifact behind every
+    `withWatermark` delay choice in the streaming surface (h1/h3/s1-s4
+    all take one): for candidate delays {5, 15, 30} min, how many
+    events would a 10-minute tumbling-window aggregate DROP because
+    they arrive after their window closes plus the delay. Arrival
+    times are the event time plus a deterministic jitter (up to 30
+    min, the planted late-data fixture); the drop rule
+    (arrival > window_end + delay) is the UPPER-BOUND proxy for
+    Spark's actual watermark (which trails max-seen-event-time and so
+    drops at most this set — documented, not hidden). Output: per
+    candidate delay, dropped count and exact ppm — read the table,
+    pick the delay whose loss you can afford, and that becomes the
+    withWatermark argument.
+
+    Scale shape: one projection (jitter + window-end arithmetic in
+    codegen), a 3-constant cross product (VALUES side broadcasts),
+    delay-grain combine, 1-row total broadcast — the corpus is
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    arrivals = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + ((F.col("event_id") % 37) * 97 % 1800) * 1_000_000
+        ).alias("arr_us"),
+        (
+            F.expr("(unix_micros(CAST(ts AS TIMESTAMP)) div 600000000)")
+            * 600_000_000
+            + 600_000_000
+        ).alias("win_end_us"),
+    )
+    delays = spark.createDataFrame([(300,), (900,), (1800,)], "delay_s long")
+    tot = arrivals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dropped = (
+        arrivals.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("arr_us")
+                    > F.col("win_end_us") + F.col("delay_s") * 1_000_000,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped")
+        )
+    )
+    return dropped.crossJoin(F.broadcast(tot)).select(
+        "delay_s",
+        "n_dropped",
+        F.expr("CAST(n_dropped * 1000000 div n AS BIGINT)")
+        .alias("dropped_ppm"),
+    )

@@ -257,3 +257,98 @@ def u7_logfmt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").cast("bigint").alias("first_ts_us"),
         F.max("ts_us").cast("bigint").alias("last_ts_us"),
     )
+
+
+# --- u8: permissive CSV parse with corrupt-record routing ---------------------
+
+_U8_NUM = "^[0-9]+\\.[0-9]{2}$"
+
+
+@query(
+    "u8_csv_recovery",
+    sql=f"""
+    WITH rendered AS (
+      SELECT CASE
+               WHEN o_orderkey % 23 = 7
+                 THEN o_orderkey || ',' || o_orderstatus        -- arity 2
+               WHEN o_orderkey % 31 = 11
+                 THEN o_orderkey || ',' || o_orderstatus || ',N/A'
+               ELSE o_orderkey || ',' || o_orderstatus || ','
+                    || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+             END AS line
+      FROM orders
+    ), parsed AS (
+      SELECT line, string_split(line, ',') AS f,
+             len(string_split(line, ',')) AS arity
+      FROM rendered
+    ), routed AS (
+      SELECT CASE
+               WHEN arity != 3 THEN '_corrupt_arity'
+               WHEN NOT regexp_matches(f[3], '{_U8_NUM}')
+                 THEN '_corrupt_value'
+               ELSE f[2] END AS route,
+             CASE WHEN arity = 3 AND regexp_matches(f[3], '{_U8_NUM}')
+                  THEN CAST(CAST(f[3] AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM parsed
+    )
+    SELECT route, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM routed GROUP BY route
+    """,
+)
+def u8_csv_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive CSV ingestion with corrupt-record ROUTING — the
+    dirty-feed reality the reference's clean API never faces but every
+    file drop does: orders render to CSV lines with two planted defect
+    classes (truncated arity for orderkey % 23 = 7, non-numeric amount
+    for % 31 = 11 — the u6/u7 render-then-parse fixture discipline),
+    and the parser routes each line to its status partition or to a
+    _corrupt_arity / _corrupt_value side channel with exact cent
+    totals for the good rows — the SSIS error-output semantics
+    (star.py's NoMatchBehavior precedent) applied to the parse stage,
+    and what spark.read.csv's PERMISSIVE + columnNameOfCorruptRecord
+    mode does, here as explicit expressions both engines replay.
+
+    Scale shape: render and parse are zero-exchange codegen
+    projections; one route-grain combine (|status|+2 groups) ends it."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_str = F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+    rendered = orders.select(
+        F.when(
+            F.col("o_orderkey") % 23 == 7,
+            F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus")),
+        )
+        .when(
+            F.col("o_orderkey") % 31 == 11,
+            F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"), F.lit("N/A")),
+        )
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"), price_str)
+        )
+        .alias("line")
+    )
+    parsed = rendered.select(
+        F.split("line", ",").alias("f"),
+        F.size(F.split("line", ",")).alias("arity"),
+    )
+    ok_num = F.element_at("f", 3).rlike(_U8_NUM)
+    routed = parsed.select(
+        F.when(F.col("arity") != 3, "_corrupt_arity")
+        .when(~ok_num, "_corrupt_value")
+        .otherwise(F.element_at("f", 2))
+        .alias("route"),
+        F.when(
+            (F.col("arity") == 3) & ok_num,
+            (F.element_at("f", 3).cast("decimal(12,2)") * 100).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("cents"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents_total"),
+    )
