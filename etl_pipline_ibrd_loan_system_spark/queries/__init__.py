@@ -356,6 +356,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "iv9_query_likelihood_topk",
         "u8_csv_recovery",
         "h4_watermark_loss_audit",
+        "zo3_skipping_audit",
     ),
 }
 

@@ -2543,3 +2543,173 @@ def g18b_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes", "reach_r0", "reach_r1", "reach_r2", "reach_r3",
         eff.cast("bigint").alias("effective_diameter_90"),
     )
+
+
+# --- zo3: data-skipping effectiveness audit ----------------------------------
+#
+# The artifact that JUSTIFIES zo1/zo2 at 100 TB: lay the same rows out
+# three ways (arrival order, single-column sort, Z-order), cut each
+# layout into fixed-size files, collect per-file (min, max) of both
+# probe dimensions — exactly the stats a parquet footer / Delta
+# add-file carries — and count how many files each probe rectangle can
+# SKIP. Z-order's whole value proposition is this table's bottom row.
+
+_ZO3_ROWS_PER_FILE = 4096
+_ZO3_BITS = 16
+# probe rectangles as SPAN FRACTIONS (ppm of [min, max] per dimension),
+# so the audit is scale-factor-independent: probe 0 is a tight square
+# on both dims (Z-order territory); probe 1 is narrow on d1 and nearly
+# unbounded on d2 (single-column sort territory).
+_ZO3_PROBES = (
+    (100000, 200000, 300000, 450000),
+    (600000, 650000, 50000, 900000),
+)
+
+
+def _zo3_sql() -> str:
+    from ..operators import zorder as _z
+
+    n1 = _z._norm_sql("user_id", "(SELECT min(user_id) FROM ev)",
+                      "(SELECT max(user_id) FROM ev)", _ZO3_BITS, "//")
+    n2 = _z._norm_sql("cents", "(SELECT min(cents) FROM ev)",
+                      "(SELECT max(cents) FROM ev)", _ZO3_BITS, "//")
+    zkey = _z.interleave_sql(n1, n2, _ZO3_BITS)
+    probes = " UNION ALL ".join(
+        f"SELECT {i} AS probe_id,"
+        f" mn1 + (mx1 - mn1) * {p[0]} // 1000000 AS lo1,"
+        f" mn1 + (mx1 - mn1) * {p[1]} // 1000000 AS hi1,"
+        f" mn2 + (mx2 - mn2) * {p[2]} // 1000000 AS lo2,"
+        f" mn2 + (mx2 - mn2) * {p[3]} // 1000000 AS hi2 FROM g"
+        for i, p in enumerate(_ZO3_PROBES)
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), keyed AS (
+      SELECT user_id, cents,
+             row_number() OVER (ORDER BY event_id) AS r_nat,
+             row_number() OVER (ORDER BY user_id, event_id) AS r_srt,
+             row_number() OVER (ORDER BY {zkey}, event_id) AS r_z
+      FROM ev
+    ), files AS (
+      SELECT layout, file_id,
+             MIN(user_id) AS mn1, MAX(user_id) AS mx1,
+             MIN(cents) AS mn2, MAX(cents) AS mx2
+      FROM (
+        SELECT 'natural' AS layout,
+               (r_nat - 1) // {_ZO3_ROWS_PER_FILE} AS file_id,
+               user_id, cents FROM keyed
+        UNION ALL
+        SELECT 'sorted_d1', (r_srt - 1) // {_ZO3_ROWS_PER_FILE},
+               user_id, cents FROM keyed
+        UNION ALL
+        SELECT 'zorder', (r_z - 1) // {_ZO3_ROWS_PER_FILE},
+               user_id, cents FROM keyed
+      ) GROUP BY layout, file_id
+    ), g AS (
+      SELECT MIN(user_id) AS mn1, MAX(user_id) AS mx1,
+             MIN(cents) AS mn2, MAX(cents) AS mx2
+      FROM ev
+    ), probes AS ({probes})
+    SELECT layout, CAST(probe_id AS BIGINT) AS probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mx1 < lo1 OR mn1 > hi1
+                         OR mx2 < lo2 OR mn2 > hi2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN mx1 < lo1 OR mn1 > hi1
+                         OR mx2 < lo2 OR mn2 > hi2
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS skip_ppm
+    FROM files, probes
+    GROUP BY layout, probe_id
+    """
+
+
+@query("zo3_skipping_audit", sql=_zo3_sql())
+def zo3_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness audit — the number that decides
+    whether a 100 TB table gets OPTIMIZE ZORDER: the same events laid
+    out in arrival order, sorted by user_id, and Z-ordered on
+    (user_id, cents); each layout cut into 4096-row files; per-file
+    (min, max) of both dimensions — the parquet-footer/Delta-add-file
+    stats — and for each probe rectangle the exact count and ppm of
+    files whose stats prove they can be skipped. Arrival order skips
+    ~nothing, the single-column sort skips only on its own column,
+    Z-order skips on both — this query MEASURES that on real stats
+    instead of asserting it.
+
+    Scale shape: the three global row_number orderings are the audit's
+    honest cost (single-task sorts here — the e1 exact caveat; a
+    production layout job range-partitions each ordering key, which
+    preserves file assignment exactly); after that it's file-grain
+    stats (n/4096 rows) x a broadcast 2-row probe set."""
+    from ..operators import zorder as _z
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    stats = ev.agg(
+        F.min("user_id").alias("__mn1"), F.max("user_id").alias("__mx1"),
+        F.min("cents").alias("__mn2"), F.max("cents").alias("__mx2"),
+    )
+    j = ev.join(F.broadcast(stats))
+    n1 = _z._norm_sql("user_id", "__mn1", "__mx1", _ZO3_BITS, "div")
+    n2 = _z._norm_sql("cents", "__mn2", "__mx2", _ZO3_BITS, "div")
+    zkey = _z.interleave_sql(n1, n2, _ZO3_BITS)
+    keyed = j.select(
+        "user_id",
+        "cents",
+        F.expr("row_number() OVER (ORDER BY event_id)").alias("r_nat"),
+        F.expr("row_number() OVER (ORDER BY user_id, event_id)").alias("r_srt"),
+        F.expr(f"row_number() OVER (ORDER BY {zkey}, event_id)").alias("r_z"),
+    )
+    per_file = (
+        keyed.select(
+            F.expr(
+                f"stack(3, 'natural', (r_nat - 1) div {_ZO3_ROWS_PER_FILE},"
+                f" 'sorted_d1', (r_srt - 1) div {_ZO3_ROWS_PER_FILE},"
+                f" 'zorder', (r_z - 1) div {_ZO3_ROWS_PER_FILE})"
+                " AS (layout, file_id)"
+            ),
+            "user_id",
+            "cents",
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("user_id").alias("mn1"), F.max("user_id").alias("mx1"),
+            F.min("cents").alias("mn2"), F.max("cents").alias("mx2"),
+        )
+    )
+    fr = spark.createDataFrame(
+        [(i,) + p for i, p in enumerate(_ZO3_PROBES)],
+        "probe_id long, f_lo1 long, f_hi1 long, f_lo2 long, f_hi2 long",
+    )
+    probes = fr.crossJoin(F.broadcast(stats)).select(
+        "probe_id",
+        F.expr("__mn1 + (__mx1 - __mn1) * f_lo1 div 1000000").alias("lo1"),
+        F.expr("__mn1 + (__mx1 - __mn1) * f_hi1 div 1000000").alias("hi1"),
+        F.expr("__mn2 + (__mx2 - __mn2) * f_lo2 div 1000000").alias("lo2"),
+        F.expr("__mn2 + (__mx2 - __mn2) * f_hi2 div 1000000").alias("hi2"),
+    )
+    skipped = F.when(
+        (F.col("mx1") < F.col("lo1")) | (F.col("mn1") > F.col("hi1"))
+        | (F.col("mx2") < F.col("lo2")) | (F.col("mn2") > F.col("hi2")),
+        1,
+    ).otherwise(0)
+    return (
+        per_file.crossJoin(F.broadcast(probes))
+        .groupBy("layout", "probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(skipped).cast("bigint").alias("n_skipped"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN mx1 < lo1 OR mn1 > hi1 OR mx2 < lo2"
+                f" OR mn2 > hi2 THEN 1 ELSE 0 END) * 1000000"
+                f" div COUNT(*) AS BIGINT)"
+            ).alias("skip_ppm"),
+        )
+    )
