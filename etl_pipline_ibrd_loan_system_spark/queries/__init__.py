@@ -299,7 +299,7 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "sm10_hard_negatives",
         "m26_holt_forecast",
         "tx27_vocab_growth",
-        "dq17_embedding_drift",
+        "dq24_embedding_drift",
         "m27_amortization_schedule",
         "fv6_woe_encoding",
         "g16_label_propagation",

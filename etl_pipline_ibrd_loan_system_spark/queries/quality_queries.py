@@ -1178,7 +1178,7 @@ _DQ17_S = 1_000_000
 
 
 @query(
-    "dq17_embedding_drift",
+    "dq24_embedding_drift",
     sql=f"""
     WITH q AS (
       SELECT label, vec_id % 2 AS half,
@@ -1213,7 +1213,7 @@ _DQ17_S = 1_000_000
     JOIN cnt cb ON cb.label = a.label AND cb.half = 1
     """,
 )
-def dq17_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq24_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift per label between two corpus
     snapshots (even vs odd vec_id — the deterministic stand-in for
     version N vs N+1), as cosines between the snapshots' FIRST- and

@@ -112,7 +112,7 @@ def test_dq17_drift_is_scale_invariant_and_selfconsistent(spark, sf_dir):
 
     from etl_pipline_ibrd_loan_system_spark.catalog import load_table
 
-    rows = entry.queries()["dq17_embedding_drift"](spark, sf_dir).collect()
+    rows = entry.queries()["dq24_embedding_drift"](spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings")
     totals = {
         r.label: r.n for r in emb.groupBy("label").agg(
