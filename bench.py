@@ -13,14 +13,19 @@ can drift).
 
 LOAD GATE (VERDICT r5, tightened per VERDICT r6 item 7: threshold 2.5
 let a 16.5s loaded run become official while the quiet truth was
-14.0s): before measuring, wait for the 1-minute loadavg to fall below
-$SPARK_GRAFT_LOAD_GATE (default 1.5), polling up to
-$SPARK_GRAFT_LOAD_WAIT seconds (default 480 — this VM's loadavg can
-floor at 3+ from D-state kernel threads, so the gate must eventually
-yield). The run proceeds either way — the driver must always get its
-JSON line — but records how long it waited and whether the gate was
-still exceeded at start, so a number taken on a loaded machine is
-self-labeled rather than silently trusted.
+14.0s; made FAIL-CLOSED per VERDICT r10 item 3: the r10 official
+number was stamped after the 480 s budget expired with 5-min load
+still 1.84): before measuring, wait for max(1-min, 5-min) loadavg to
+fall below $SPARK_GRAFT_LOAD_GATE (default 1.5), polling every 15 s
+up to $SPARK_GRAFT_LOAD_WAIT seconds (default 480), then — instead of
+giving up — keep waiting in 60 s sleeps up to a further
+$SPARK_GRAFT_LOAD_WAIT_HARD seconds (default 2400; the r9/r10 quiet
+companion runs prove this box does go quiet well inside that). Only
+if the HARD budget also expires does the run proceed — the driver
+must always get its JSON line — and then the artifact self-labels
+`"official": false` alongside `load_gate.exceeded: true`, so an
+exceeded-gate run can never silently become the round's headline
+record.
 
 MIN-OF-N SWEEPS (VERDICT r6 item 7): steady-state passes run as TWO
 full time-separated sweeps over the whole headline set (2 passes per
@@ -89,17 +94,30 @@ def _load_gate() -> dict:
     max(1m, 5m) under threshold means an official number can never be
     taken inside a decaying or incoming load spike. `loadavg_end`
     being high afterwards is normal (bench's own local[32] run drives
-    it to ~7-10) — the gate is about a quiet START."""
+    it to ~7-10) — the gate is about a quiet START.
+
+    FAIL-CLOSED (VERDICT r10 item 3): after the 15 s-poll soft budget
+    ($SPARK_GRAFT_LOAD_WAIT, default 480 s) expires, the gate does NOT
+    proceed - it keeps waiting in 60 s sleeps up to a further hard
+    budget ($SPARK_GRAFT_LOAD_WAIT_HARD, default 2400 s). Proceeding
+    with `exceeded: true` is now the double-expiry last resort, and
+    main() marks such a run `official: false`."""
     threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "480"))
+    hard_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_HARD", "2400"))
     waited = 0.0
-    while max(os.getloadavg()[:2]) > threshold and waited < max_wait:
-        time.sleep(15)
-        waited += 15
+    while max(os.getloadavg()[:2]) > threshold:
+        if waited >= max_wait + hard_wait:
+            break  # double expiry: proceed, self-labeled non-official
+        step = 15 if waited < max_wait else 60
+        time.sleep(step)
+        waited += step
     la = os.getloadavg()
     return {
         "threshold": threshold,
         "waited_sec": round(waited),
+        "soft_budget_sec": round(max_wait),
+        "hard_budget_sec": round(max_wait + hard_wait),
         "gated_on": "max(loadavg_1m, loadavg_5m)",
         "loadavg_1m_at_start": round(la[0], 2),
         "loadavg_5m_at_start": round(la[1], 2),
@@ -180,6 +198,11 @@ def main() -> None:
                 "loadavg": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "load_gate": gate,
+                # Fail-closed contract (VERDICT r10 item 3): a run that
+                # started with the gate still exceeded (double budget
+                # expiry) self-labels as non-official — it must never be
+                # read as the round's headline record.
+                "official": not gate["exceeded"],
                 "sweeps": 2,
                 "sf": sf,
             }

@@ -2031,7 +2031,7 @@ def e31_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
            CAST(SUM(dur_us) AS BIGINT) AS held_us,
-           CAST(CAST(SUM(cents * dur_us) AS HUGEINT) * 100
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) * 100
                 // SUM(dur_us) AS BIGINT) AS twap_centicents
     FROM held GROUP BY user_id
     """,
@@ -2067,7 +2067,13 @@ def e33_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum("dur_us").cast("bigint").alias("held_us"),
         F.expr(
-            "CAST(CAST(SUM(cents * dur_us) AS DECIMAL(38,0)) * 100"
+            # widened AT BIRTH (ADVICE r10): each term is
+            # DECIMAL(38,0) BEFORE the sum on BOTH engines (oracle sums
+            # HUGEINT terms) — SUM over int64 terms would wrap silently
+            # on the Spark side only once per-user cents x dur_us mass
+            # passes ~9.2e18 (measured ~2.2e16 at sf0.1: two decades of
+            # headroom, not a guarantee).
+            "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us) * 100"
             " div SUM(dur_us) AS BIGINT)"
         ).alias("twap_centicents"),
     )

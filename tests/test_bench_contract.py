@@ -28,8 +28,10 @@ def test_bench_emits_contract_json_line():
     d = json.loads(lines[0])
     for key in ("metric", "value", "unit", "queries", "median_value",
                 "queries_median", "cold_value", "loadavg", "loadavg_end",
-                "load_gate", "sweeps", "sf"):
+                "load_gate", "official", "sweeps", "sf"):
         assert key in d, f"missing contract key {key}"
+    # gate released (threshold 999) -> the run is an official record
+    assert d["official"] is True
     assert d["metric"] == "headline_query_wall_sec"
     assert d["unit"] == "sec"
     assert d["sweeps"] == 2
@@ -92,3 +94,56 @@ def test_load_gate_covers_the_5min_average():
     assert gate["exceeded"] is False
     assert gate["waited_sec"] > 0          # it DID wait on the 5-min avg
     assert gate["gated_on"] == "max(loadavg_1m, loadavg_5m)"
+
+
+def test_load_gate_fail_closed_keeps_waiting_past_soft_budget():
+    """VERDICT r10 item 3: soft-budget expiry must NOT release the gate
+    onto a loaded box — the gate switches to 60 s sleeps and keeps
+    waiting (up to the hard budget) until the box is actually quiet."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import importlib
+    import unittest.mock as mock
+
+    import bench
+
+    importlib.reload(bench)
+    # soft budget 30 s -> two 15 s polls, then 60 s fail-closed sleeps
+    calls = iter([
+        (9.0, 9.0, 9.0),   # loaded -> sleep 15 (waited 0 < 30)
+        (9.0, 9.0, 9.0),   # loaded -> sleep 15 (waited 15 < 30)
+        (9.0, 9.0, 9.0),   # loaded -> soft budget spent -> sleep 60
+        (0.2, 0.3, 5.0),   # quiet -> release
+        (0.2, 0.3, 5.0),   # final read for the report
+    ])
+    slept: list[float] = []
+    with mock.patch.dict(bench.os.environ,
+                         {"SPARK_GRAFT_LOAD_WAIT": "30",
+                          "SPARK_GRAFT_LOAD_WAIT_HARD": "2400"}), \
+         mock.patch.object(bench.os, "getloadavg", lambda: next(calls)), \
+         mock.patch.object(bench.time, "sleep", slept.append):
+        gate = bench._load_gate()
+    assert gate["exceeded"] is False       # released only when quiet
+    assert slept == [15, 15, 60]           # fail-closed long sleeps kicked in
+    assert gate["waited_sec"] == 90
+
+
+def test_load_gate_double_expiry_is_labeled_exceeded():
+    """Only a DOUBLE budget expiry (soft + hard) lets the run proceed,
+    and then `exceeded` must be True so main() stamps official: false."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import importlib
+    import unittest.mock as mock
+
+    import bench
+
+    importlib.reload(bench)
+    with mock.patch.dict(bench.os.environ,
+                         {"SPARK_GRAFT_LOAD_WAIT": "15",
+                          "SPARK_GRAFT_LOAD_WAIT_HARD": "60"}), \
+         mock.patch.object(bench.os, "getloadavg",
+                           lambda: (9.0, 9.0, 9.0)), \
+         mock.patch.object(bench.time, "sleep", lambda s: None):
+        gate = bench._load_gate()
+    assert gate["exceeded"] is True
+    assert gate["waited_sec"] == 75        # 15 soft + 60 hard, then break
+    assert gate["hard_budget_sec"] == 75

@@ -420,3 +420,36 @@ def test_embedding_lsh_range_search_asymmetric(spark):
     assert all(m in (1, 2, 3, 4) for _, m in pairs)
     for r in got:
         assert r.cos_sim >= 0.999
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_sm13_fixture_margin_below_lsh_recall_cliff(sf):
+    """ADVICE r10: sm13's oracle parity relies on a fixture property —
+    at bands=4/band_bits=16 the LSH recall for NON-identical pairs near
+    cos 0.95 is only ~55%, and parity holds because every over-threshold
+    pair in the fixture is an IDENTICAL duplicate (signature-equal, so
+    recall is structurally 1.0). Guard the invariant: the max cosine
+    between non-identical embedding vectors must stay WELL below the
+    0.95 query threshold, so a regenerated fixture with genuinely-near
+    non-identical pairs fails here loudly instead of silently redding
+    the sm13 driver row."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '/root/testdata/{sf}/embeddings.parquet'"
+    ).fetchall()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    normed = mat / np.where(norms == 0, 1.0, norms)
+    cos = normed @ normed.T
+    # mask self-pairs AND exact-duplicate vector pairs (those are the
+    # planted over-threshold matches LSH finds via signature equality)
+    dup = (mat[:, None, :] == mat[None, :, :]).all(axis=2)
+    off = cos[~dup]
+    assert off.size, "fixture has no non-identical pairs to measure"
+    margin = float(off.max())
+    assert margin < 0.85, (
+        f"{sf}: max non-identical cosine {margin:.3f} is inside the LSH "
+        "recall cliff below sm13's 0.95 threshold — regenerated fixture "
+        "breaks the documented parity invariant"
+    )
