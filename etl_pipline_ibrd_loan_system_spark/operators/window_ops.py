@@ -110,6 +110,60 @@ def forward_fill_scalable(
     )
 
 
+def global_rank_scalable(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "global_rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over a TOTAL UNIQUE order — the
+    scalable form of `row_number() OVER (ORDER BY ...)` (which Spark
+    executes as a single-task sort, the e1 caveat). Same two-pass
+    range-bucket scheme as forward_fill_scalable:
+
+    1. range-partition by the order key (one range shuffle — the same
+       cost a production layout job pays, zorder.py rationale);
+    2. bucket-local row_number, plus a broadcast num_buckets-row
+       offsets table (cumulative bucket counts) added back in.
+
+    `order_by` MUST be a unique total order (append a tiebreak id) —
+    with duplicate keys the bucket-local ordering is a valid but not
+    oracle-reproducible row_number assignment. The bucketed frame is
+    pinned: it feeds BOTH the local-rank branch and the counts branch,
+    and the two must see identical range boundaries (the range
+    partitioner samples; an unpinned recompute may draw different
+    splits and corrupt every offset).
+    """
+    if num_buckets is None:
+        num_buckets = 2 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    from ..cache import pin
+
+    bucketed = pin(
+        df.repartitionByRange(num_buckets, *order_by).withColumn(
+            "__bucket", F.spark_partition_id()
+        )
+    )
+    local_w = Window.partitionBy("__bucket").orderBy(*order_by)
+    local = bucketed.withColumn("__lr", F.row_number().over(local_w))
+    counts = bucketed.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    off_w = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(F.sum("__c").over(off_w), F.lit(0)).cast("bigint"),
+    ).select("__bucket", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_col, (F.col("__lr") + F.col("__off")).cast("bigint"))
+        .drop("__bucket", "__lr", "__off")
+    )
+
+
 def rolling_agg(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -313,3 +313,52 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     for r in rows:
         if r.c_custkey in with_orders:
             assert r.maybe_member, f"false negative on {r.c_custkey}"
+
+
+def test_global_rank_scalable_matches_single_task_row_number(spark):
+    """The range-bucketed two-pass rank must reproduce the global
+    row_number exactly — including across bucket boundaries and with a
+    shuffled input order (the zo3 production-audit contract)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators.window_ops import (
+        global_rank_scalable,
+    )
+
+    rng = random.Random(7)
+    keys = list(range(1, 501))
+    rng.shuffle(keys)
+    # non-unique sort value + unique tiebreak id = total unique order
+    df = spark.createDataFrame(
+        [(k, k % 17) for k in keys], ["id", "grp"]
+    ).repartition(8)
+    got = {
+        r.id: r.global_rank
+        for r in global_rank_scalable(
+            df, ["grp", "id"], num_buckets=16
+        ).collect()
+    }
+    want = {
+        r.id: r.rn
+        for r in df.withColumn(
+            "rn", F.expr("row_number() OVER (ORDER BY grp, id)")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_scalable_dense_total_cover(spark):
+    """Ranks are a permutation of 1..n (no gaps, no dupes) even when
+    many buckets are empty relative to the row count."""
+    from etl_pipline_ibrd_loan_system_spark.operators.window_ops import (
+        global_rank_scalable,
+    )
+
+    df = spark.range(1, 101).withColumnRenamed("id", "k")
+    ranks = sorted(
+        r.global_rank
+        for r in global_rank_scalable(df, ["k"], num_buckets=64).collect()
+    )
+    assert ranks == list(range(1, 101))

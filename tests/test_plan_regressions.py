@@ -1048,3 +1048,22 @@ def test_fb2_percentiles_via_rank_not_global_sort(spark, sf_dir, registry):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan, "fb2 cuts join lost its broadcast"
     assert "CartesianProduct" not in plan
+
+
+def test_zo3_audit_has_no_single_task_sorts(spark, sf_dir, registry):
+    """VERDICT r10 item 6: zo3's three layout orderings must run
+    through the range-partitioned global_rank_scalable path (one
+    rangepartitioning exchange per layout — the production layout
+    cost), never as single-task global row_number sorts. A
+    SinglePartition exchange in this plan means a layout ordering
+    regressed to the e1-caveat shape."""
+    plan = _plan(registry["zo3_skipping_audit"](spark, sf_dir))
+    assert plan.count("rangepartitioning") == 3  # one per layout
+    # The ONLY single-partition work allowed is bounded: three
+    # num_buckets-row offsets windows + the 1-row min/max stats agg +
+    # the 2-row probe frame. The old shape had ZERO rangepartitioning
+    # (its SinglePartition exchanges fed full-data row_number windows),
+    # so the rangepartitioning count above is the regression signal;
+    # this bound just keeps new unbounded 1-task work from sneaking in.
+    assert plan.count("SinglePartition") <= 5
+    assert "SortMergeJoin" not in plan  # offsets + probes stay broadcast
