@@ -195,6 +195,12 @@ def main() -> None:
                 "median_value": round(sum(medians.values()), 3),
                 "queries_median": medians,
                 "cold_value": round(sum(cold.values()), 3),
+                # per-query cold passes (VERDICT r10 item 7: cold_value
+                # drifted 36->39 s across rounds with no per-query
+                # attribution — this names the movers; cold-min ≈ JIT +
+                # whole-stage-codegen compile + first-touch I/O, paid
+                # once per JVM per generated class)
+                "queries_cold": cold,
                 "loadavg": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "load_gate": gate,
