@@ -297,3 +297,35 @@ def test_hilbert_walk_matches_reference_and_is_adjacent(spark):
         abs(pos[i][0] - pos[i + 1][0]) + abs(pos[i][1] - pos[i + 1][1]) == 1
         for i in range(255)
     )
+
+
+def test_e33_twap_numerator_survives_int64_overflow(spark):
+    """ADVICE r10: the TWAP numerator must widen EACH TERM to
+    DECIMAL(38,0) before summing. Two segments whose cents x dur_us
+    products sum past int64 (2 x 5e18 > 9.22e18) kill an unwidened
+    bigint SUM (ANSI ARITHMETIC_OVERFLOW under Spark 4 defaults — the
+    whole query dies at scale; with ANSI off it would wrap silently
+    AND diverge from DuckDB's auto-HUGEINT); the widened-at-birth
+    expression — the exact expression e33 ships — stays exact."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, 5_000_000_000, 1_000_000_000), (1, 5_000_000_000, 1_000_000_000)],
+        "user_id int, cents long, dur_us long",
+    )
+    got = df.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dur_us) * 100"
+            " div SUM(dur_us) AS BIGINT)"
+        ).alias("twap_centicents"),
+    ).collect()[0]
+    # 2 * (5e9 * 1e9) = 1e19 total mass over 2e9 us -> 5e9 cents avg
+    assert got.twap_centicents == 500_000_000_000
+    # and the unwidened form really is in the overflow regime on this
+    # fixture (guards that the test exercises overflow, not headroom)
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.groupBy("user_id").agg(
+            F.expr("SUM(cents * dur_us)").alias("wrapped")
+        ).collect()
