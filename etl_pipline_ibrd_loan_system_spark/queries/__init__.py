@@ -13,6 +13,7 @@ produce bit-identical doubles.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -180,7 +181,6 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "fb1_quantile_binning",
         "sp6_temporal_split",
         "mx3_temperature_flatten",
-        "tx17_c4_line_filter",
         "sp7_negative_sampling",
         "sp8_kfold_splits",
         "mx4_budget_apportionment",
@@ -357,6 +357,11 @@ ROTATION_PLAN: dict[int, tuple[str, ...]] = {
         "u8_csv_recovery",
         "h4_watermark_loss_audit",
         "zo3_skipping_audit",
+        # r11: renamed from tx17_c4_line_filter (prefix collision with
+        # tx17_keyword_in_context, same defect class as the r10 dq17
+        # finding) — the green r9 driver row is keyed on the old name,
+        # so the new name re-earns its row here
+        "tx33_c4_line_filter",
     ),
 }
 
@@ -499,6 +504,22 @@ def rotation_lint(repo_root: str | None = None) -> list[str]:
         unknown = [n for n in w if n not in QUERIES]
         if unknown:
             problems.append(f"ROTATION_PLAN[{r}]: unregistered names {unknown}")
+    # rule 4 (r11, generalizing the judge's dq17 finding): no two
+    # registered names may share a numbering code (`dq17_`, `tx17_` …) —
+    # ledger greps and humans key on the code, so a collision silently
+    # mis-credits driver rows. Letter-suffixed variants (dd3 vs dd3b)
+    # are distinct codes by construction.
+    by_code: dict[str, list[str]] = {}
+    for n in QUERIES:
+        m = re.match(r"^([a-z]+[0-9]+[a-z]*)_", n)
+        if m:
+            by_code.setdefault(m.group(1), []).append(n)
+    for code, names in by_code.items():
+        if len(names) > 1:
+            problems.append(
+                f"numbering collision on '{code}': {sorted(names)} — rename "
+                "all but one before a driver row freezes the ambiguity"
+            )
     expected = derive_active_window(repo_root)
     if tuple(DRIVER_PRIORITY) != expected:
         problems.append(

@@ -878,7 +878,7 @@ def mx3_temperature_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "tx17_c4_line_filter",
+    "tx33_c4_line_filter",
     sql=f"""
     WITH t AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -907,7 +907,7 @@ def mx3_temperature_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM f
     """,
 )
-def tx17_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx33_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning over the documents corpus. The synthetic corpus has no
     newlines, so line structure is synthesized first (8-token chunks —
     the dd12 windowing idiom) and the rules that bite here are the

@@ -106,7 +106,8 @@ def test_derive_active_window_counts_only_green_rows(tmp_path):
         "rows_match": True, "schema_match": True, "hash_match": False
     }
     (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(green))
-    assert derive_active_window(str(tmp_path))[: 50] == ROTATION_PLAN[9][:50]
+    w9 = ROTATION_PLAN[9][:50]
+    assert derive_active_window(str(tmp_path))[: len(w9)] == w9
 
     # everything green: last window, padded to the full 50-slot gate
     green[ROTATION_PLAN[9][0]]["hash_match"] = True
@@ -118,3 +119,22 @@ def test_derive_active_window_counts_only_green_rows(tmp_path):
     assert len(derived) == 50
     assert derived[: len(last)] == last
     assert len(set(derived)) == 50
+
+
+def test_rotation_lint_flags_numbering_collisions(monkeypatch):
+    """rotation_lint rule 4 (r11, generalizing the judge's dq17
+    finding): two registered names sharing a numbering code (`tx17_...`
+    twice) must fail the lint — ledger greps key on the code, so a
+    collision silently mis-credits driver rows. Letter-suffix variants
+    (dd3 vs dd3b) are distinct codes and stay legal."""
+    import etl_pipline_ibrd_loan_system_spark.queries as q
+
+    entrymod.queries()  # populate
+    assert q.rotation_lint() == []  # live registry is collision-free
+    fake = dict(q.QUERIES)
+    fake["tx1_shadow_duplicate"] = fake[next(iter(fake))]
+    monkeypatch.setattr(q, "QUERIES", fake)
+    probs = q.rotation_lint()
+    assert any("numbering collision on 'tx1'" in p for p in probs)
+    # letter-suffix variants are NOT collisions
+    assert not any("'dd3'" in p for p in probs)
