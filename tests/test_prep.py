@@ -510,7 +510,7 @@ def test_temperature_flatten_plan_never_shuffles_the_corpus(spark):
 def test_c4_line_filter_full_rule_set(spark):
     """Terminal punctuation, word-count floor, line blocklist, doc-level
     blocklist and min-kept-lines — each rule exercised on a crafted doc
-    (the oracle query tx17 covers the word-count/blocklist rules on the
+    (the oracle query tx33 covers the word-count/blocklist rules on the
     corpus, which has no punctuation to trigger the rest)."""
     docs = spark.createDataFrame(
         [
