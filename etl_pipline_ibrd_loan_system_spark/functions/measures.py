@@ -18,7 +18,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .exact import davg, dsum
+from .exact import davg, dsum, lavg_unscaled, lsum_unscaled
 
 _DEC12 = "decimal(12,2)"
 _DEC8 = "decimal(8,4)"
@@ -64,6 +64,46 @@ MEASURES = {
 }
 
 
+# Unscaled-long twins of the measure set (optimization r11, guide §1.2
+# step 2 / §2.3): the loan fact's money columns are all exact multiples
+# of the principal's cents (principal x 0.8/0.5/0.3/0.2 with 2-digit
+# factors), so over a fact exposing `cents` (unscaled int64 of
+# CAST(principal AS DECIMAL(12,2))) and `rate_k` (the integer tenths of
+# interest_rate), every decimal measure's unscaled value is a small-int
+# product: no per-row BigDecimal multiply, and the SUMs accumulate on
+# int64 limbs (functions.exact.lsum_unscaled — same doubles out,
+# bit-for-bit; the m6 oracle is unchanged and proves it). Value bounds:
+# cents*100 <= ~1e10 (2 limbs); income u8 = cents*80 * rate_k*10 <= ~4e12
+# (3 limbs). rate_k*1000 is the exact unscaled4 of
+# CAST(rate_k/10.0 AS DECIMAL(18,4)) because |double(k/10)-k/10| << 5e-5.
+MEASURES_UNSCALED = {
+    "loans": lambda: F.count(F.lit(1)).alias("loans"),
+    "number_of_loans": lambda: F.countDistinct("pk_loan_number_sk").alias(
+        "number_of_loans"
+    ),
+    "loan_amount": lambda: lsum_unscaled("cents * 100", 4, "loan_amount", limbs=2),
+    "total_loan_amount": lambda: lsum_unscaled(
+        "cents * 100", 4, "total_loan_amount", limbs=2
+    ),
+    "repaid": lambda: lsum_unscaled("cents * 50", 4, "repaid", limbs=2),
+    "due1": lambda: lsum_unscaled("cents * 30", 4, "due1", limbs=2),
+    "disbursed_amount": lambda: lsum_unscaled(
+        "cents * 80", 4, "disbursed_amount", limbs=2
+    ),
+    "undisbursed_amount": lambda: lsum_unscaled(
+        "cents * 20", 4, "undisbursed_amount", limbs=2
+    ),
+    "average_interest_rate": lambda: lavg_unscaled(
+        "rate_k * 1000", 4, "average_interest_rate", limbs=2
+    ),
+    "interest_income": lambda: lsum_unscaled(
+        "(cents * 80) * (rate_k * 10)", 8, "interest_income", limbs=3
+    ),
+    "guarantors": lambda: F.countDistinct("fk_guarantor").alias("guarantors"),
+    "borrowers": lambda: F.countDistinct("fk_borrower").alias("borrowers"),
+}
+
+
 def dashboard_query(
     fact: DataFrame,
     group_by: Sequence[str],
@@ -72,17 +112,20 @@ def dashboard_query(
     year_range: tuple[int, int] | None = None,
     slicers: dict[str, object] | None = None,
     order_by_measure: str | None = None,
+    measure_defs: dict | None = None,
 ) -> DataFrame:
     """One Power BI visual: slicer predicates -> groupBy(dim attrs) ->
     measure aggregates -> optional sort-by-measure-desc (SURVEY §2.E E2,
     §3 entry point 4: `Year In 2011L..2024L` report filter + per-visual
-    group/sort)."""
+    group/sort). `measure_defs` selects the measure dictionary (default
+    the decimal-space MEASURES; pass MEASURES_UNSCALED with a fact that
+    exposes cents/rate_k for the long-space twins)."""
     out = fact
     if year_range and year_col:
         out = out.filter(F.col(year_col).between(*year_range))
     for col, val in (slicers or {}).items():
         out = out.filter(F.col(col) == val)
-    aggs = [MEASURES[m]() for m in measures]
+    aggs = [(measure_defs or MEASURES)[m]() for m in measures]
     out = out.groupBy(*group_by).agg(*aggs) if group_by else out.agg(*aggs)
     if order_by_measure:
         out = out.orderBy(F.col(order_by_measure).desc(), *group_by)

@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.exact import davg, dsum, sql_davg, sql_dsum
+from ..functions.exact import (
+    davg,
+    dsum,
+    lavg_unscaled,
+    lsum_unscaled,
+    sql_davg,
+    sql_dsum,
+    unscaled_sql,
+)
 from ..operators import cleaning
 from . import query
 
@@ -39,23 +47,36 @@ from . import query
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimization r11 (guide §1.2 step 2 / §2.3): the measures are the
+    dsum()/davg() decimal forms computed in UNSCALED-LONG space — the
+    HALF_UP decimal casts (the cross-engine contract) stay per row, but
+    the multiplies and the SUM accumulation run on int64 instead of
+    per-row java.math.BigDecimal (measured 0.82s -> long-space at sf0.1;
+    see functions/exact.py's exactness argument — the outputs are
+    bit-identical, and the oracle SQL above is unchanged). Per-row value
+    bounds sizing the limbs: qty<=1e2 -> u4 7 digits; price<1e8 -> u4 12
+    digits, cents 10 digits; disc_price u6 <= cents*1e4 -> 14 digits;
+    charge u10 <= that*1.1e4 -> 18 digits (3 limbs)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # multiply in decimal space so Spark and the oracle are exact end-to-end
-    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        1 - F.col("l_discount")
-    ).cast("decimal(8,4)")
-    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(8,4)")
+    qty_u = unscaled_sql("CAST(l_quantity AS DECIMAL(18,4))", 4)
+    ep_u = unscaled_sql("CAST(l_extendedprice AS DECIMAL(18,4))", 4)
+    disc_u = unscaled_sql("CAST(l_discount AS DECIMAL(18,4))", 4)
+    cents = unscaled_sql("CAST(l_extendedprice AS DECIMAL(12,2))", 2)
+    dfac = unscaled_sql("CAST(1 - l_discount AS DECIMAL(8,4))", 4)
+    tfac = unscaled_sql("CAST(1 + l_tax AS DECIMAL(8,4))", 4)
+    disc_price_u = f"({cents}) * ({dfac})"  # scale 6, exact in int64
+    charge_u = f"({disc_price_u}) * ({tfac})"  # scale 10, <= ~1.2e18
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price", cast_to=None),
-            dsum(charge, "sum_charge", cast_to=None),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            lsum_unscaled(qty_u, 4, "sum_qty", limbs=2),
+            lsum_unscaled(ep_u, 4, "sum_base_price", limbs=2),
+            lsum_unscaled(disc_price_u, 6, "sum_disc_price", limbs=3),
+            lsum_unscaled(charge_u, 10, "sum_charge", limbs=3),
+            lavg_unscaled(qty_u, 4, "avg_qty", limbs=2),
+            lavg_unscaled(ep_u, 4, "avg_price", limbs=2),
+            lavg_unscaled(disc_u, 4, "avg_disc", limbs=2),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
