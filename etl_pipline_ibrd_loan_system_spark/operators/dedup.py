@@ -590,37 +590,6 @@ def embedding_lsh_pairs(
     # cost MORE driver time than executing the query (measured 3.6-4.4s
     # build vs 1.4-1.9s exec at 64x64 before this). repr() round-trips
     # doubles exactly, so the parsed literal is bit-identical.
-    w_lit = F.expr(
-        "array(%s)"
-        % ",".join(
-            "array(%s)" % ",".join(repr(w(bit, i)) for i in range(dim))
-            for bit in range(nbits)
-        )
-    )
-    bits_arr = F.transform(
-        w_lit,
-        lambda wrow: F.when(
-            F.aggregate(
-                F.zip_with(v, wrow, lambda x, wi: x * wi),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            )
-            >= 0,
-            1,
-        ).otherwise(0),
-    )
-    chunks = F.array(
-        *[
-            sum(
-                [
-                    F.element_at(F.col("bits"), b * band_bits + r + 1) * (2**r)
-                    for r in range(band_bits)
-                ],
-                F.lit(0),
-            )
-            for b in range(bands)
-        ]
-    )
     # Bucket rows carry ONLY (id, band, chunk): pairs dedup on bare ids
     # before any vector travels, then vectors join back once per unique
     # pair — cosine is evaluated once per candidate, not once per
@@ -637,7 +606,42 @@ def embedding_lsh_pairs(
         sigs = _arrow_signatures(df, id_col, vec_col, W, bands, band_bits)
     else:
         # pure-JVM fallback: interpreted higher-order functions — correct
-        # but nbits x dim lambda evals per row; ~15x slower than Arrow
+        # but nbits x dim lambda evals per row; ~15x slower than Arrow.
+        # Built ONLY on this branch (optimization r11): the chunks
+        # listcomp alone is ~bands x band_bits x 4 py4j round trips
+        # (~0.5s of profiled driver time per call at 4x16), which the
+        # Arrow path was paying for nothing.
+        w_lit = F.expr(
+            "array(%s)"
+            % ",".join(
+                "array(%s)" % ",".join(repr(w(bit, i)) for i in range(dim))
+                for bit in range(nbits)
+            )
+        )
+        bits_arr = F.transform(
+            w_lit,
+            lambda wrow: F.when(
+                F.aggregate(
+                    F.zip_with(v, wrow, lambda x, wi: x * wi),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                >= 0,
+                1,
+            ).otherwise(0),
+        )
+        chunks = F.array(
+            *[
+                sum(
+                    [
+                        F.element_at(F.col("bits"), b * band_bits + r + 1) * (2**r)
+                        for r in range(band_bits)
+                    ],
+                    F.lit(0),
+                )
+                for b in range(bands)
+            ]
+        )
         sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
             F.col(id_col), chunks.alias("sig")
         )
