@@ -72,11 +72,35 @@ def _export_pythonpath() -> None:
         )
 
 
+def _scratch_dir() -> str | None:
+    """Shuffle/spill scratch dir ($SPARK_GRAFT_LOCAL_DIR, default the
+    RAM-backed /dev/shm when present). Optimization r11, guide §2.1: on
+    this sandbox the root FS pays ~60-90ms per task in shuffle-file
+    create/flush even for KB-sized blocks (measured: dd3b 2.25s -> 1.53s
+    steady just from moving spark.local.dir to tmpfs, both orders). On a
+    real cluster this knob is 'point shuffle at the fast local NVMe';
+    tmpfs is the sandbox's stand-in. Shuffle data counts against RAM
+    here — for local scale experiments whose shuffle exceeds headroom,
+    set SPARK_GRAFT_LOCAL_DIR to a disk path."""
+    env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if env:
+        return env
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:  # pragma: no cover - no /dev/shm on this platform
+        return None
+
+
 def get_session(app_name: str = DEFAULT_APP_NAME, shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the tuned local session."""
     _export_pythonpath()
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpu_count()}]")
     builder = SparkSession.builder.master(master).appName(app_name)
+    scratch = _scratch_dir()
+    if scratch:
+        builder = builder.config("spark.local.dir", scratch)
     spark = configure(builder, shuffle_partitions).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
