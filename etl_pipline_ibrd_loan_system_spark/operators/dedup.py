@@ -143,24 +143,35 @@ def lsh_candidate_pairs(
     counts — the dd3b/dd7b/dd8b pattern, FLAT at sf10); call the raw
     form only when per-pair output over copies is itself the product."""
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
-    # corpus-grain x corpus-grain: NEVER broadcast a side. At sf10 the
-    # bucket table's on-disk estimate slips under autoBroadcastJoinThreshold
-    # while its in-memory hash relation is GBs — the r7 sf10 decade's
-    # broadcast-OOM landmine. shuffle_hash pins a shuffled hash join:
-    # both sides partition by (band, bucket), memory per task stays
-    # bucket-sized.
-    a = buckets.alias("a").hint("shuffle_hash")
-    b = buckets.alias("b")
+    # One grouped pass instead of a bucket-table self-join (optimization
+    # r11, guide §2.3/§2.4): the old shuffle_hash self-join shuffled the
+    # SAME (id, band, bucket) table twice and built per-partition hash
+    # relations; grouping by (band, bucket) shuffles it once and emits
+    # the identical i<j pair set from each bucket's sorted id array
+    # (verified set-equal at sf0.1). Memory per group is one bucket's id
+    # list — the same order of magnitude the join's per-partition build
+    # side held (all buckets hashed to the partition), and the agg falls
+    # back to sort-based spilling if a degenerate bucket outgrows memory.
+    # Never broadcast a side at corpus grain — unchanged (the r7 sf10
+    # broadcast-OOM landmine).
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -645,21 +656,30 @@ def embedding_lsh_pairs(
         sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
             F.col(id_col), chunks.alias("sig")
         )
-    sigs = pin(sigs)  # buckets x2 + prefilter x2
+    sigs = pin(sigs)  # buckets + prefilter x2
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sig").alias("band", "chunk")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # one grouped pass instead of a bucket self-join — same rationale and
+    # identical pair set as lsh_candidate_pairs (optimization r11): the
+    # bucket table shuffles once, pairs are generated i<j inside each
+    # bucket's sorted id array; broadcast stays banned at corpus grain.
     cands = (
-        a.join(
-            b.hint("shuffle_hash"),  # self-join: broadcast is never right at scale
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.groupBy("band", "chunk")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ids, (x, i) -> transform("
+                        "slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> struct(x AS id_a, y AS id_b)))"
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # Optional signature Hamming prefilter: the full nbits signature is
