@@ -392,10 +392,18 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup: band the fingerprint into `bits/band_bits` chunks;
     by pigeonhole, any pair within `bits/band_bits - 1` differing bits
-    shares at least one exact chunk -> bucket-join + hamming verify."""
-    from ..cache import pin
+    shares at least one exact chunk -> bucket grouping + hamming verify.
 
-    fps = pin(simhash_64(df, text_col, id_col, bits))  # both self-join sides
+    Optimization r11 (guide §2.3/§2.4): candidates come from ONE grouped
+    pass over the exploded (id, simhash, band, chunk) table — the old
+    shape self-joined it (shuffling it twice; worse, with no join-hint
+    the tiny-estimate side auto-broadcast, the exact corpus-grain
+    broadcast landmine the MinHash path pins against). Pairs are emitted
+    i<j from each bucket's id-sorted (id, simhash) array, so the
+    (id_a, id_b, hamming) rows — and the .distinct() over them — are
+    identical. The fingerprint frame also stops needing a pin: the
+    single grouped pass is its only consumer."""
+    fps = simhash_64(df, text_col, id_col, bits)
     n_bands = bits // band_bits
     chunks = F.array(
         *[
@@ -407,18 +415,30 @@ def simhash_near_pairs(
     buckets = fps.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("band", "chunk")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.groupBy("band", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(xs, (x, i) -> transform("
+                        "slice(xs, i + 2, size(xs) - i - 1), "
+                        "y -> struct(x.id AS id_a, y.id AS id_b, "
+                        "x.simhash AS sh_a, y.simhash AS sh_b)))"
+                    )
+                )
+            ).alias("p")
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            hamming64(F.col("p.sh_a"), F.col("p.sh_b")).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
