@@ -78,7 +78,16 @@ MEASURES = {
 # CAST(rate_k/10.0 AS DECIMAL(18,4)) because |double(k/10)-k/10| << 5e-5.
 MEASURES_UNSCALED = {
     "loans": lambda: F.count(F.lit(1)).alias("loans"),
-    "number_of_loans": lambda: F.countDistinct("pk_loan_number_sk").alias(
+    # COUNTD over the fact's PRIMARY KEY: pk_loan_number_sk is the loan
+    # fact's unique, non-null grain key (o_orderkey), so
+    # COUNT(DISTINCT pk) == COUNT(pk) — the rewrite a BI engine makes
+    # from a UNIQUE constraint, which Spark cannot infer (guide §8: use
+    # what you know that the optimizer does not). This removes the pk
+    # branch of the distinct-aggregate Expand — the branch carrying
+    # ~100k of m6's ~104k partial-aggregate rows — and the oracle still
+    # computes COUNT(DISTINCT ...), proving equality on every SF. Only
+    # valid over a loan-grain fact; MEASURES keeps the general COUNTD.
+    "number_of_loans": lambda: F.count("pk_loan_number_sk").alias(
         "number_of_loans"
     ),
     "loan_amount": lambda: lsum_unscaled("cents * 100", 4, "loan_amount", limbs=2),
