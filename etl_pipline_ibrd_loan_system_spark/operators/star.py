@@ -99,16 +99,26 @@ def lookup_join(
     if isinstance(on, str):
         on = {on: on}
     keys = list(on.items())
+    # POSITIONAL internal aliases (optimization r11, guide §2.4): the
+    # build side's plan must not depend on the FACT column names, so two
+    # role-playing lookups against the same dimension (e.g. c3's
+    # ship_date/order_date against one date dim) produce identical
+    # broadcast subtrees and Spark's ReuseExchange materializes the
+    # broadcast ONCE instead of re-running the dimension build per role.
+    # Output aliases move to a post-join rename (a free Project).
     dim_slice = dim.select(
-        *[F.col(dc).alias(f"__k_{fc}") for fc, dc in keys],
-        *[F.col(src).alias(dst) for src, dst in copy_cols.items()],
+        *[F.col(dc).alias(f"__k_{i}") for i, (_, dc) in enumerate(keys)],
+        *[F.col(src).alias(f"__v_{i}") for i, src in enumerate(copy_cols)],
     )
     cond = None
-    for fc, _ in keys:
-        c = fact[fc] == dim_slice[f"__k_{fc}"]
+    for i, (fc, _) in enumerate(keys):
+        c = fact[fc] == dim_slice[f"__k_{i}"]
         cond = c if cond is None else (cond & c)
     joined = fact.join(F.broadcast(dim_slice), cond, how)
-    return joined.drop(*[f"__k_{fc}" for fc, _ in keys])
+    renamed = joined.withColumnsRenamed(
+        {f"__v_{i}": dst for i, dst in enumerate(copy_cols.values())}
+    )
+    return renamed.drop(*[f"__k_{i}" for i in range(len(keys))])
 
 
 def lookup_misses(

@@ -58,12 +58,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, cents 10 digits; disc_price u6 <= cents*1e4 -> 14 digits;
     charge u10 <= that*1.1e4 -> 18 digits (3 limbs)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # One decimal cast per source column (4 total, was 6 — each costs
+    # ~0.1s/600k rows): money/rate columns carry <=2dp values, so the
+    # other unscaled forms are exact integer derivations, each with >=4
+    # orders of magnitude of rounding margin (values sit ~1e-13 from a
+    # 2dp grid, 4dp rounding boundaries are 5e-5 away):
+    #   CAST(ep AS DEC(18,4))*1e4      == cents*100
+    #   CAST(1-disc AS DEC(8,4))*1e4   == 10000 - disc_u4
+    #   CAST(1+tax  AS DEC(8,4))*1e4   == 10000 + tax_u4
+    # Oracle match at sf0.001/0.01/0.1 proves the identities on the data.
     qty_u = unscaled_sql("CAST(l_quantity AS DECIMAL(18,4))", 4)
-    ep_u = unscaled_sql("CAST(l_extendedprice AS DECIMAL(18,4))", 4)
-    disc_u = unscaled_sql("CAST(l_discount AS DECIMAL(18,4))", 4)
     cents = unscaled_sql("CAST(l_extendedprice AS DECIMAL(12,2))", 2)
-    dfac = unscaled_sql("CAST(1 - l_discount AS DECIMAL(8,4))", 4)
-    tfac = unscaled_sql("CAST(1 + l_tax AS DECIMAL(8,4))", 4)
+    ep_u = f"({cents}) * 100"
+    disc_u = unscaled_sql("CAST(l_discount AS DECIMAL(18,4))", 4)
+    tax_u = unscaled_sql("CAST(l_tax AS DECIMAL(18,4))", 4)
+    dfac = f"(10000 - ({disc_u}))"
+    tfac = f"(10000 + ({tax_u}))"
     disc_price_u = f"({cents}) * ({dfac})"  # scale 6, exact in int64
     charge_u = f"({disc_price_u}) * ({tfac})"  # scale 10, <= ~1.2e18
     return (
