@@ -706,24 +706,34 @@ def random_project(
     scale = math.sqrt(d_out)  # IEEE sqrt == SQL sqrt(): correctly rounded
     v = F.col(vec_col).cast("array<double>")
 
-    def coord(j: int):
-        # compact HOF fold (runtime loop) rather than a 64-term unrolled
-        # expression: the unrolled form at d_in=64 x d_out=16 exceeds the
-        # JVM 64KB method limit and silently drops out of whole-stage
-        # codegen. The x * (+-1.0) multiplies are exact sign flips and the
-        # 0.0-seeded left fold is the same shape `cosine` proves equal to
-        # DuckDB's list_sum.
-        sj = F.array(*[F.lit(1.0 if s == 1 else -1.0) for s in signs[j]])
-        dot = F.aggregate(
-            F.zip_with(v, sj, lambda x, s: x * s),
+    # The whole sign matrix enters as ONE parsed literal and the d_out
+    # coordinates come from a transform over its rows (optimization r11:
+    # the old per-coordinate F.array(F.lit(...)) built d_in x d_out
+    # literal Columns — ~1k py4j round trips per call). Still a compact
+    # HOF fold (runtime loop) rather than a 64-term unrolled expression:
+    # the unrolled form at d_in=64 x d_out=16 exceeds the JVM 64KB method
+    # limit and silently drops out of whole-stage codegen. The x * (+-1.0)
+    # multiplies are exact sign flips and the 0.0-seeded left fold is the
+    # same shape `cosine` proves equal to DuckDB's list_sum; per-value
+    # results are unchanged (rp1/rp2 oracle match).
+    s_lit = F.expr(
+        "array(%s)"
+        % ",".join(
+            "array(%s)"
+            % ",".join("1.0D" if s == 1 else "-1.0D" for s in row)
+            for row in signs
+        )
+    )
+    rp_vec = F.transform(
+        s_lit,
+        lambda srow: F.aggregate(
+            F.zip_with(v, srow, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, term: acc + term,
         )
-        return (dot / F.lit(scale)).alias(f"rp_{j}")
-
-    return df.withColumn(
-        "rp_vec", F.array(*[coord(j) for j in range(d_out)])
+        / F.lit(scale),
     )
+    return df.withColumn("rp_vec", rp_vec)
 
 
 def rp_shortlist_topk(
@@ -1009,13 +1019,21 @@ def pq_train_encode(
     )
 
     def assign_expr(codebooks: list[list[list[int]]]):
-        cb_lit = F.array(*[
-            F.array(*[
-                F.array(*[F.lit(int(x)).cast("bigint") for x in cw])
-                for cw in codebooks[m]
-            ])
-            for m in range(m_sub)
-        ])
+        # ONE parsed literal, not nested F.lit()s (optimization r11, the
+        # embedding_lsh_pairs fix): m_sub x n_codes x sub per-element
+        # Column constructions are ~2k py4j round trips PER LLOYD PASS;
+        # the integer values round-trip exactly through the SQL parser.
+        cb_lit = F.expr(
+            "array(%s)"
+            % ",".join(
+                "array(%s)"
+                % ",".join(
+                    "array(%s)" % ",".join(f"{int(x)}L" for x in cw)
+                    for cw in codebooks[m]
+                )
+                for m in range(m_sub)
+            )
+        )
         structs = []
         for k in range(n_codes):
             cw_k = F.element_at(
