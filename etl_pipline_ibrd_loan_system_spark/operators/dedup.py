@@ -130,30 +130,52 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4,
+    pairgen: str = "join",
 ) -> DataFrame:
-    """Band the signature, bucket-join: ids sharing any band bucket become a
-    candidate pair (id_a < id_b). Shuffle key (band, bucket) is uniform by
-    hash construction.
+    """Band the signature, bucket candidates: ids sharing any band bucket
+    become a candidate pair (id_a < id_b). Shuffle key (band, bucket) is
+    uniform by hash construction.
 
     PRODUCTION NOTE (r7 sf10 decade): pair output is quadratic in
     exact-copy mass — m identical docs all share every bucket and emit
     C(m,2) pairs. The production entry point is the collapse twin
     (exact_collapse first, near-dup on distinct texts, rejoin copy
     counts — the dd3b/dd7b/dd8b pattern, FLAT at sf10); call the raw
-    form only when per-pair output over copies is itself the product."""
+    form only when per-pair output over copies is itself the product.
+
+    `pairgen` (optimization r11) selects how bucket members pair up —
+    both emit the identical pair set (set-equal verified at sf0.1 and by
+    the r11 equivalence test):
+
+    - "join" (default, safe under copy mass): shuffled-hash self-join of
+      the bucket table — pairs STREAM out of the hash probe, nothing
+      bucket-sized materializes. Pinned shuffle_hash; never broadcast a
+      side at corpus grain (the r7 sf10 broadcast-OOM landmine).
+    - "grouped" (the collapse twins): ONE grouped pass — half the bucket
+      shuffle bytes and one less join stage, emitting i<j pairs from
+      each bucket's sorted id array. Only for inputs whose buckets are
+      banding-bounded (i.e. AFTER exact collapse): the per-bucket
+      slice/transform pair explosion allocates the bucket array per
+      element, which the sf1 replication decade measured 5x slower than
+      the streaming join under exact-copy mass (dd5 1.7 -> 8.4s)."""
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
-    # One grouped pass instead of a bucket-table self-join (optimization
-    # r11, guide §2.3/§2.4): the old shuffle_hash self-join shuffled the
-    # SAME (id, band, bucket) table twice and built per-partition hash
-    # relations; grouping by (band, bucket) shuffles it once and emits
-    # the identical i<j pair set from each bucket's sorted id array
-    # (verified set-equal at sf0.1). Memory per group is one bucket's id
-    # list — the same order of magnitude the join's per-partition build
-    # side held (all buckets hashed to the partition), and the agg falls
-    # back to sort-based spilling if a degenerate bucket outgrows memory.
-    # Never broadcast a side at corpus grain — unchanged (the r7 sf10
-    # broadcast-OOM landmine).
+    if pairgen == "join":
+        a = buckets.alias("a").hint("shuffle_hash")
+        b = buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -210,6 +232,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    pairgen: str = "join",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> sign -> band ->
     bucket-join -> exact-verify. Detection probability at j=threshold with
@@ -224,7 +247,7 @@ def minhash_dedup_pairs(
 
     shingled = pin(word_shingles(df, text_col, id_col, n))
     sigs = pin(minhash_signatures(shingled, id_col, k))
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, pairgen)
     return jaccard_verify_pairs(shingled, cands, id_col, threshold)
 
 
@@ -392,18 +415,21 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup: band the fingerprint into `bits/band_bits` chunks;
     by pigeonhole, any pair within `bits/band_bits - 1` differing bits
-    shares at least one exact chunk -> bucket grouping + hamming verify.
+    shares at least one exact chunk -> bucket-join + hamming verify.
 
-    Optimization r11 (guide §2.3/§2.4): candidates come from ONE grouped
-    pass over the exploded (id, simhash, band, chunk) table — the old
-    shape self-joined it (shuffling it twice; worse, with no join-hint
-    the tiny-estimate side auto-broadcast, the exact corpus-grain
-    broadcast landmine the MinHash path pins against). Pairs are emitted
-    i<j from each bucket's id-sorted (id, simhash) array, so the
-    (id_a, id_b, hamming) rows — and the .distinct() over them — are
-    identical. The fingerprint frame also stops needing a pin: the
-    single grouped pass is its only consumer."""
-    fps = simhash_64(df, text_col, id_col, bits)
+    Optimization r11 examined two alternatives and kept this shape, with
+    the sf1 replication decade as the judge: (a) the grouped one-pass
+    pair-gen the collapse twins use regressed 1.7 -> 8.4s under raw
+    exact-copy mass (the per-bucket slice/transform pair explosion
+    allocates the bucket array per element, while this join STREAMS the
+    same C(m,2) pairs from the hash probe); (b) pinning shuffle_hash
+    cost +0.5s at sf1 vs letting the planner choose — the bucket rows
+    are fixed-width longs, so the size estimate the broadcast decision
+    reads tracks reality (unlike the r7 array-payload landmine tables),
+    and past the threshold the planner stops broadcasting on its own."""
+    from ..cache import pin
+
+    fps = pin(simhash_64(df, text_col, id_col, bits))  # both self-join sides
     n_bands = bits // band_bits
     chunks = F.array(
         *[
@@ -415,30 +441,18 @@ def simhash_near_pairs(
     buckets = fps.select(
         F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("band", "chunk")
     )
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
-        buckets.groupBy("band", "chunk")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
-            ).alias("xs")
-        )
-        .where(F.size("xs") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(xs, (x, i) -> transform("
-                        "slice(xs, i + 2, size(xs) - i - 1), "
-                        "y -> struct(x.id AS id_a, y.id AS id_b, "
-                        "x.simhash AS sh_a, y.simhash AS sh_b)))"
-                    )
-                )
-            ).alias("p")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            hamming64(F.col("p.sh_a"), F.col("p.sh_b")).alias("hamming"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
@@ -596,6 +610,7 @@ def embedding_lsh_pairs(
     dim: int = 64,
     arrow_signatures: bool = True,
     hamming_prefilter: int | None = None,
+    pairgen: str = "join",
 ) -> DataFrame:
     """Cosine near-dup at scale: random-hyperplane signature (sign bits of
     deterministic pseudo-random projections), banded bucket-join, exact
@@ -676,32 +691,49 @@ def embedding_lsh_pairs(
         sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
             F.col(id_col), chunks.alias("sig")
         )
-    sigs = pin(sigs)  # buckets + prefilter x2
+    sigs = pin(sigs)  # buckets (x2 on the join path) + prefilter x2
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sig").alias("band", "chunk")
     )
-    # one grouped pass instead of a bucket self-join — same rationale and
-    # identical pair set as lsh_candidate_pairs (optimization r11): the
-    # bucket table shuffles once, pairs are generated i<j inside each
-    # bucket's sorted id array; broadcast stays banned at corpus grain.
-    cands = (
-        buckets.groupBy("band", "chunk")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(ids, (x, i) -> transform("
-                        "slice(ids, i + 2, size(ids) - i - 1), "
-                        "y -> struct(x AS id_a, y AS id_b)))"
-                    )
-                )
-            ).alias("p")
+    # pairgen semantics identical to lsh_candidate_pairs (r11): "join"
+    # streams pairs from a pinned shuffled-hash self-join (safe under
+    # exact-copy mass; broadcast stays banned at corpus grain), "grouped"
+    # is the collapse-twin fast path (one exchange, banding-bounded
+    # buckets only).
+    if pairgen == "join":
+        a, b = buckets.alias("a").hint("shuffle_hash"), buckets.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    else:
+        cands = (
+            buckets.groupBy("band", "chunk")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.expr(
+                            "transform(ids, (x, i) -> transform("
+                            "slice(ids, i + 2, size(ids) - i - 1), "
+                            "y -> struct(x AS id_a, y AS id_b)))"
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
     # Optional signature Hamming prefilter: the full nbits signature is
     # already computed (it IS the concatenated band chunks) and each row
     # is ~16 bytes vs 512 for the vector, so candidates can join

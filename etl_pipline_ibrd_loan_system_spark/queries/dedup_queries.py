@@ -130,9 +130,10 @@ def dd3b_neardup_after_exact_collapse(spark: SparkSession, sf_dir: str) -> DataF
     (recall-1.0 theorem unchanged)."""
     docs = load_table(spark, sf_dir, "documents")
     reps = dedup.exact_collapse(docs, "text", "doc_id")
+    # grouped pair-gen: buckets are banding-bounded post-collapse (r11)
     return dedup.minhash_dedup_pairs(
         reps, "text", "doc_id", n=3, k=64, bands=16, rows_per_band=4,
-        threshold=0.8,
+        threshold=0.8, pairgen="grouped",
     )
 
 
@@ -384,6 +385,7 @@ def dd7b_vector_dedup_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = dedup.embedding_lsh_pairs(
         reps.select("vec_id", "embedding"), "vec_id", "embedding",
         threshold=0.95, bands=4, band_bits=16, hamming_prefilter=8,
+        pairgen="grouped",  # banding-bounded buckets post-collapse (r11)
     )
     return members.unionByName(near.select("id_a", "id_b", "cos_sim"))
 
@@ -419,7 +421,7 @@ def dd8b_clusters_via_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", F.col("doc_id").alias("id_b"))
     )
     rep_pairs = dedup.minhash_dedup_pairs(
-        reps, "text", "doc_id", threshold=0.8
+        reps, "text", "doc_id", threshold=0.8, pairgen="grouped"
     ).select("id_a", "id_b")
     return dedup.connected_components(members.unionByName(rep_pairs))
 

@@ -88,7 +88,9 @@ def test_grouped_pairgen_matches_self_join(spark, sf_dir):
     sh = dedup.word_shingles(docs, "text", "doc_id", 3)
     sigs = dedup.minhash_signatures(sh, "doc_id", 16).persist()
     try:
-        got = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+        got = dedup.lsh_candidate_pairs(
+            sigs, "doc_id", bands=4, rows_per_band=4, pairgen="grouped"
+        )
         buckets = dedup._band_buckets(sigs, "doc_id", 4, 4)
         want = _join_reference_pairs(buckets, "doc_id")
         assert _rows(got) == _rows(want)
