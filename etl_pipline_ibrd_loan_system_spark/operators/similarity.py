@@ -368,6 +368,83 @@ def _ivf_assign(
     )
 
 
+def _probe_cells(
+    q: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dims: int,
+    nprobe: int,
+    emit_qv: bool = True,
+) -> DataFrame:
+    """Top-`nprobe` probe cells per query row as ONE Arrow kernel against
+    the literal centroid table (optimization r12, guide §2.4/§4): replaces
+    the `q × broadcast(cent)` cross join + row_number window subplan,
+    which cost an Exchange (hash by query_id) + sort + an extra AQE job
+    per bench pass purely to pick nprobe winners out of k rows per query.
+
+    Selection is BIT-IDENTICAL to the window it replaces
+    (`row_number() over (order by nan-guarded qcos DESC, cent_id ASC)
+    <= nprobe`): cosines fold left-to-right from 0.0 in the same
+    sequential order as `cosine()` / `_argmin_cells` (a numpy elementwise
+    loop over dims, never np.dot), NaN maps to the same -1e308 guard, and
+    a STABLE argsort over rows pre-sorted by ascending cent_id replays
+    the tie-break exactly (equal cosines keep the lowest cent_id; Spark's
+    double ordering treats -0.0 == 0.0, as does numpy's comparator).
+    `q` must expose (query_id, qv); query vectors face the same
+    cleanliness contract _rows_matrix enforces on the corpus side (raise
+    on ragged/non-finite rather than silently mis-rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cents_sorted = sorted(
+        (int(cid), [float(x) for x in cw]) for cid, cw in cents
+    )
+    take = min(nprobe, len(cents_sorted))
+    cids = [cid for cid, _ in cents_sorted]
+    _dims, _emit_qv = dims, emit_qv
+
+    def part(batches):
+        import math
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _rows_matrix(pdf["qv"], _dims)
+            n = len(pdf)
+            s = np.zeros(n)
+            for i in range(_dims):
+                s = s + V[:, i] * V[:, i]
+            nv = np.sqrt(s)
+            C = np.empty((len(cents_sorted), n))
+            for row, (_cid, cw) in enumerate(cents_sorted):
+                nc = math.sqrt(_seq_sumsq(cw))
+                dot = np.zeros(n)
+                for i in range(_dims):
+                    dot = dot + V[:, i] * cw[i]
+                c = dot / (nv * nc)
+                C[row] = np.where(np.isnan(c), -1e308, c)
+            # top-`take` rows per column by (cos DESC, cent_id ASC):
+            # stable sort over -C keeps the ascending-cent_id input order
+            # on ties — the window's row_number tie-break
+            order = np.argsort(-C, axis=0, kind="stable")[:take]
+            cid_arr = np.array(cids, dtype=np.int64)[order]  # take×n
+            out = {
+                "query_id": np.repeat(
+                    pdf["query_id"].to_numpy(), take
+                ),
+                "cent_id": cid_arr.T.reshape(-1),
+            }
+            if _emit_qv:
+                out["qv"] = [v for v in pdf["qv"] for _ in range(take)]
+            yield pd.DataFrame(out)
+
+    schema = (
+        "query_id long, cent_id long, qv array<double>"
+        if emit_qv
+        else "query_id long, cent_id long"
+    )
+    return q.select("query_id", "qv").mapInPandas(part, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -405,30 +482,15 @@ def ivf_topk(
         )
         assign = _ivf_assign(corpus_v, id_col, cents, dims)
 
-        cent = corpus.sparkSession.createDataFrame(
-            cents, "cent_id bigint, cw array<double>"
-        )
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        # NaN-never-wins, pinned identically to _argmin_cells and the
-        # oracle's nan_guard_sql: a zero-norm centroid (cos = 0/0 = NaN)
-        # must not be probed first just because both engines sort NaN as
-        # the largest double in DESC order.
-        qcos_guard = F.when(F.isnan("qcos"), F.lit(-1e308)).otherwise(F.col("qcos"))
-        qw = Window.partitionBy("query_id").orderBy(
-            F.desc(qcos_guard), F.asc("cent_id")
-        )
-        probes = (
-            q.join(F.broadcast(cent))
-            .select(
-                "query_id", "qv", "cent_id",
-                cosine(F.col("qv"), F.col("cw")).alias("qcos"),
-            )
-            .withColumn("prn", F.row_number().over(qw))
-            .where(F.col("prn") <= nprobe)
-            .select("query_id", "qv", "cent_id")
+        # probe-cell selection as one Arrow kernel (optimization r12);
+        # NaN-never-wins guard and tie-break pinned identically to the
+        # window form it replaced — see _probe_cells
+        probes = _probe_cells(q, cents, dims, nprobe).select(
+            "query_id", "qv", "cent_id"
         )
 
         cand = assign.join(
@@ -1412,29 +1474,13 @@ def ivfpq_topk(
             corpus_v, id_col, n_centroids, ivf_lloyd_iters, dims
         )
         assign = _ivf_assign(corpus_v, id_col, cents, dims)
-        cent = corpus.sparkSession.createDataFrame(
-            cents, "cent_id bigint, cw array<double>"
-        )
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         )
-        qcos_guard = F.when(F.isnan("qcos"), F.lit(-1e308)).otherwise(
-            F.col("qcos")
-        )
-        qw = Window.partitionBy("query_id").orderBy(
-            F.desc(qcos_guard), F.asc("cent_id")
-        )
-        probes = (
-            q.join(F.broadcast(cent))
-            .select(
-                "query_id", "cent_id",
-                cosine(F.col("qv"), F.col("cw")).alias("qcos"),
-            )
-            .withColumn("prn", F.row_number().over(qw))
-            .where(F.col("prn") <= nprobe)
-            .select("query_id", "cent_id")
-        )
+        # probe-cell selection as one Arrow kernel (optimization r12);
+        # guard + tie-break pinned to the window form — see _probe_cells
+        probes = _probe_cells(q, cents, dims, nprobe, emit_qv=False)
         candidates = assign.join(F.broadcast(probes), "cent_id").select(
             "query_id", F.col(id_col).alias("neighbor_id")
         )
