@@ -109,17 +109,31 @@ def word_shingles(
 
 
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, k: int = 64
+    shingled: DataFrame, id_col: str, k: int = 64, prehashed: bool = False
 ) -> DataFrame:
     """k-permutation MinHash signature as k columns mh_0..mh_{k-1}.
 
     Computed from an exploded shingle stream with groupBy-min — partial
     aggregation happens map-side, so no per-row k×|shingles| array work and
     the shuffle carries only k ints per document.
+
+    `prehashed=True` means `shingles` already holds 64-bit hash values
+    (array<bigint>) rather than shingle strings — the verify-stage
+    restructure (optimization r12) hashes each shingle ONCE at the pinned
+    projection and every downstream consumer (signatures here, exact
+    verify in jaccard_verify_pairs) works on the 8-byte hashes. pmod
+    (not %) maps the full signed range into [0, P) so the permutation
+    multiply stays within int64 (h*a < 2^62) — xxhash64 inputs are
+    signed, and an overflowing % would raise under ANSI mode.
     """
+    per_elem = (
+        F.pmod(F.col("s"), F.lit(MINHASH_P))
+        if prehashed
+        else (shared_hash60(F.col("s")) % MINHASH_P)
+    )
     h = (
         shingled.select(id_col, F.explode("shingles").alias("s"))
-        .select(id_col, (shared_hash60(F.col("s")) % MINHASH_P).alias("h"))
+        .select(id_col, per_elem.alias("h"))
     )
     # one parsed expr per permutation (k x ~6 Column calls is py4j-bound)
     aggs = []
@@ -243,10 +257,45 @@ def minhash_dedup_pairs(
     # signature recompute measured at sf0.1). MEMORY_AND_DISK: at
     # cluster scale the shingle set may exceed memory — spill, never
     # recompute. Pins release at the next registry query (cache.py).
+    #
+    # Decide-small (optimization r12, guide §2.3/§8): the pinned relation
+    # carries xxhash64 VALUES (array<bigint>), not shingle strings —
+    # each shingle is hashed exactly once at the projection, the cached
+    # footprint and the verify-stage exchanges carry 8 bytes per
+    # shingle instead of ~20-30-byte strings, and array_intersect/union
+    # compare longs. Two equivalence arguments, separately load-bearing:
+    # - VERIFY (exactness): Jaccard over the hash sets equals Jaccard
+    #   over the string sets — distinct strings map to distinct 64-bit
+    #   hashes (a within-pair collision is ~C(|A∪B|,2)/2^64, the same
+    #   argument exact_collapse already rests on), and a collision would
+    #   shrink an intersect/union SIZE, which the string-set DuckDB
+    #   oracle fails loudly, never silently.
+    # - SIGNATURES (recall only): the permutation family now draws from
+    #   pmod(xxhash64, P) instead of md5-derived shared_hash60 — a
+    #   different LSH instance with the same per-pair detection
+    #   probability; legitimate because no minhash_dedup_pairs caller's
+    #   oracle replays the signature hash (they are all brute-force
+    #   Jaccard — dd19, whose oracle DOES replay hashing, has its own
+    #   md5 pipeline in lsh_calibration). xxhash64 is one 64-bit mix vs
+    #   md5's full digest + hex substring + base-16 conv per shingle —
+    #   measured CPU, not cosmetics, on every shingle of the corpus.
     from ..cache import pin
 
-    shingled = pin(word_shingles(df, text_col, id_col, n))
-    sigs = pin(minhash_signatures(shingled, id_col, k))
+    shingled = pin(
+        word_shingles(df, text_col, id_col, n).select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias(
+                "shingles"
+            ),
+        )
+    )
+    sigs = minhash_signatures(shingled, id_col, k, prehashed=True)
+    if pairgen != "grouped":
+        # the "join" path self-joins the band table, so the signature
+        # frame feeds two subtrees — pin it. The grouped path consumes
+        # sigs exactly once (one groupBy pass): caching a single-use
+        # intermediate is a wasted materialization barrier + footprint.
+        sigs = pin(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, pairgen)
     return jaccard_verify_pairs(shingled, cands, id_col, threshold)
 
@@ -1312,10 +1361,20 @@ def incremental_minhash_pairs(
     """
     from ..cache import pin
 
-    shing_c = pin(word_shingles(corpus, text_col, id_col, n))
-    shing_b = pin(word_shingles(batch, text_col, id_col, n))
-    sig_c = minhash_signatures(shing_c, id_col, k)
-    sig_b = minhash_signatures(shing_b, id_col, k)
+    # hashed-shingle arrays, same decide-small rationale (and collision
+    # + recall-hash arguments) as minhash_dedup_pairs
+    def _hashed(src: DataFrame) -> DataFrame:
+        return word_shingles(src, text_col, id_col, n).select(
+            F.col(id_col),
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias(
+                "shingles"
+            ),
+        )
+
+    shing_c = pin(_hashed(corpus))
+    shing_b = pin(_hashed(batch))
+    sig_c = minhash_signatures(shing_c, id_col, k, prehashed=True)
+    sig_b = minhash_signatures(shing_b, id_col, k, prehashed=True)
     bk_c = _band_buckets(sig_c, id_col, bands, rows_per_band)
     bk_b = pin(_band_buckets(sig_b, id_col, bands, rows_per_band))
 

@@ -112,3 +112,60 @@ def test_probe_cells_nprobe_exceeds_centroids(spark):
     )
     want = _window_probes(spark, q, cents, nprobe=5)
     assert _rows(got) == _rows(want)
+
+
+def _string_minhash_reference(df, text_col, id_col, pairgen, threshold=0.8):
+    """The pre-r12 minhash pipeline: string shingle arrays pinned, md5
+    shared_hash60 feeding the permutations, string-set exact verify."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.cache import pin
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        MINHASH_P,
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        perm_params,
+        shared_hash60,
+        word_shingles,
+    )
+
+    shingled = pin(word_shingles(df, text_col, id_col, 3))
+    h = shingled.select(id_col, F.explode("shingles").alias("s")).select(
+        id_col, (shared_hash60(F.col("s")) % MINHASH_P).alias("h")
+    )
+    aggs = []
+    for i in range(64):
+        a, b = perm_params(i)
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"))
+    sigs = pin(h.groupBy(id_col).agg(*aggs))
+    cands = lsh_candidate_pairs(sigs, id_col, 16, 4, pairgen)
+    return jaccard_verify_pairs(shingled, cands, id_col, threshold)
+
+
+def test_hashed_shingle_minhash_matches_string_form(spark, sf_dir):
+    """minhash_dedup_pairs (xxhash64 shingle arrays, r12) == the string
+    pipeline it replaced: identical verified pairs AND bit-identical
+    jaccard values. The signature hash family differs (pmod(xxhash64)
+    vs md5), so this additionally demonstrates the banding catches the
+    same pair set on the fixture corpus — raw and collapsed, both
+    pairgen modes."""
+    from etl_pipline_ibrd_loan_system_spark.cache import release_pinned
+    from etl_pipline_ibrd_loan_system_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for src, pairgen in [
+        (docs, "join"),
+        (dedup.exact_collapse(docs, "text", "doc_id"), "grouped"),
+    ]:
+        got = _rows(
+            dedup.minhash_dedup_pairs(
+                src, "text", "doc_id", threshold=0.8, pairgen=pairgen
+            )
+        )
+        release_pinned()
+        want = _rows(
+            _string_minhash_reference(src, "text", "doc_id", pairgen)
+        )
+        release_pinned()
+        assert got == want
+        assert got  # non-degenerate: the fixture has near-dup pairs
