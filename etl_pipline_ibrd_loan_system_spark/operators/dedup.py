@@ -1546,21 +1546,52 @@ def lsh_calibration(
             ),
         )
     )
-    sh = base.select(F.col(id_col), "__blk", shingle.alias("shingles"))
+    # Decide-small + hash-once (optimization r12): the relation carries
+    # shared_hash60 VALUES per shingle, computed ONE time here — the
+    # all-pairs tp join (the quadratic term) intersects 8-byte longs
+    # instead of ~20-30-byte strings, and the signature stream reads
+    # `% P` off the array instead of re-hashing. shared_hash60 (not
+    # xxhash64) because THIS operator's oracle replays the signature and
+    # banding hashes verbatim. Jaccard-bin equality: distinct shingles
+    # map to distinct 60-bit hashes (within-pair collision ~2^-60 — the
+    # dd9 argument); a collision changes a set SIZE and the string-set
+    # oracle fails loudly. Pinned: four consumers (both tp sides, the
+    # signature stream, the block rejoin) re-tokenized + re-hashed the
+    # sample once EACH before this.
+    from ..cache import pin
 
+    sh = pin(base.select(
+        F.col(id_col), "__blk",
+        F.transform(shingle, shared_hash60).alias("shingles"),
+    ))
+
+    # The all-pairs join key is the block alone, and blocks (languages)
+    # are FEW: every within-block pair — the deliberate quadratic term —
+    # landed in one task per block (measured: one 8 s task holding ~80%
+    # of the sf0.1 wall while 31 cores idled; guide §2.5 skew). Salt it:
+    # the A side keeps its id-hash bucket, the B side replicates across
+    # all `n_salt` buckets, so each unordered pair meets in EXACTLY one
+    # cell (as A the lower id passes id_a < id_b once; the swapped-role
+    # meeting fails the inequality) and the per-block pair space splits
+    # into n_salt parallel cells. n_salt follows the session's
+    # parallelism, not a local constant; jaccard is evaluated once per
+    # surviving pair, exactly as before.
+    n_salt = max(1, sh.sparkSession.sparkContext.defaultParallelism)
     sa = sh.select(
         F.col(id_col).alias("id_a"), F.col("__blk"),
         F.col("shingles").alias("sh_a"),
+        F.pmod(F.xxhash64(id_col), F.lit(n_salt)).alias("__cell"),
     ).hint("shuffle_hash")
     sb = sh.select(
         F.col(id_col).alias("id_b"), F.col("__blk"),
         F.col("shingles").alias("sh_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__cell"),
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     tp = (
-        sa.join(sb, "__blk")
+        sa.join(sb, ["__blk", "__cell"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.floor(jac * 10).cast("bigint").alias("bin"))
     )
@@ -1568,7 +1599,7 @@ def lsh_calibration(
     hstream = sh.select(
         F.col(id_col), F.explode("shingles").alias("s")
     ).select(
-        F.col(id_col), (shared_hash60(F.col("s")) % MINHASH_P).alias("h")
+        F.col(id_col), (F.col("s") % MINHASH_P).alias("h")
     )
     aggs = []
     for i in range(k):

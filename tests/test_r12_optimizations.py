@@ -169,3 +169,56 @@ def test_hashed_shingle_minhash_matches_string_form(spark, sf_dir):
         release_pinned()
         assert got == want
         assert got  # non-degenerate: the fixture has near-dup pairs
+
+
+def test_salted_allpairs_calibration_matches_plain_join(spark, sf_dir):
+    """lsh_calibration's salted within-block all-pairs (A keeps its
+    id-hash cell, B replicates across cells) emits every unordered
+    within-block pair exactly once — pinned against the plain
+    block-keyed self-join on the same hashed-shingle relation."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        shared_hash60,
+        tokenize,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = (
+        word_shingles(docs, "text", "doc_id", 3)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", F.col("lang").alias("__blk"),
+            F.transform("shingles", shared_hash60).alias("shingles"),
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    plain = (
+        sh.select(F.col("doc_id").alias("id_a"), "__blk", F.col("shingles").alias("sh_a"))
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "__blk", F.col("shingles").alias("sh_b")),
+            "__blk",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.floor(jac * 10).cast("bigint").alias("bin"))
+    )
+    n_salt = 7  # deliberately not the core count: exactness must not depend on it
+    sa = sh.select(
+        F.col("doc_id").alias("id_a"), "__blk", F.col("shingles").alias("sh_a"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).alias("__cell"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_b"), "__blk", F.col("shingles").alias("sh_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__cell"),
+    )
+    salted = (
+        sa.join(sb, ["__blk", "__cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.floor(jac * 10).cast("bigint").alias("bin"))
+    )
+    got, want = _rows(salted), _rows(plain)
+    assert got == want
+    assert got  # non-degenerate
