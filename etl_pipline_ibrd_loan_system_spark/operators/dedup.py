@@ -362,13 +362,18 @@ def prefix_filtered_jaccard_pairs(
     """
     from ..cache import pin
 
+    # the pinned relation carries ONLY the sorted hash array (r12
+    # decide-small): exact verification runs on the 60-bit hashes —
+    # |A∩B| and |A∪B| over the hash sets equal the string-set sizes
+    # modulo a ~2^-60 within-pair collision (the dd9 argument; the
+    # string-set oracle fails loudly on one) — so the string shingle
+    # arrays never enter the cache or any exchange.
     shingled = (
         word_shingles(df, text_col, id_col, n)
         .join(df.select(id_col, block_col), id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(block_col).alias("blk"),
-            F.col("shingles").alias("sh"),
             F.array_sort(
                 F.transform(F.col("shingles"), lambda s: shared_hash60(s))
             ).alias("hs"),
@@ -384,7 +389,7 @@ def prefix_filtered_jaccard_pairs(
     # doc (measured 386 MB -> single-digit MB at sf0.1, r8 shuffle
     # audit); the arrays rejoin once per surviving candidate id below
     sides = pinned.select(
-        "id", "blk", F.size("sh").alias("nsh"),
+        "id", "blk", F.size("hs").alias("nsh"),
         F.explode(F.slice("hs", 1, plen)).alias("ph"),
     )
     a = sides.select(
@@ -411,10 +416,10 @@ def prefix_filtered_jaccard_pairs(
         .select("id_a", "id_b")
     )
     cands = cand_ids.join(
-        pinned.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        pinned.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")),
         "id_a",
     ).join(
-        pinned.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        pinned.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")),
         "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -1429,13 +1434,16 @@ def prefix_filtered_containment_pairs(
     from ..cache import pin
 
     t = float(threshold)
+    # pinned relation carries ONLY the sorted hash array (r12
+    # decide-small, same collision argument as
+    # prefix_filtered_jaccard_pairs): containment sizes over hash sets
+    # equal the string-set sizes, strings never enter cache/exchange
     shingled = (
         word_shingles(df, text_col, id_col, n)
         .join(df.select(id_col, block_col), id_col)
         .select(
             F.col(id_col).alias("id"),
             F.col(block_col).alias("blk"),
-            F.col("shingles").alias("sh"),
             F.array_sort(
                 F.transform(F.col("shingles"), lambda s: shared_hash60(s))
             ).alias("hs"),
@@ -1450,12 +1458,12 @@ def prefix_filtered_containment_pairs(
     # audit); the arrays rejoin once per surviving candidate id below
     a = pinned.select(
         F.col("id").alias("id_a"), F.col("blk").alias("blk_a"),
-        F.size("sh").alias("na"),
+        F.size("hs").alias("na"),
         F.explode(F.slice("hs", 1, plen)).alias("ph"),
     )
     b = pinned.select(
         F.col("id").alias("id_b"), F.col("blk").alias("blk_b"),
-        F.size("sh").alias("nb"),
+        F.size("hs").alias("nb"),
         F.explode("hs").alias("ph"),
     )
     cand_ids = (
@@ -1470,10 +1478,10 @@ def prefix_filtered_containment_pairs(
         .select("id_a", "id_b")
     )
     cands = cand_ids.join(
-        pinned.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        pinned.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a")),
         "id_a",
     ).join(
-        pinned.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        pinned.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b")),
         "id_b",
     )
     c = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
