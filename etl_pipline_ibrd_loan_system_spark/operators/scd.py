@@ -48,6 +48,7 @@ CHANGE_NEW = "new"
 CHANGE_T1 = "t1"
 CHANGE_T2 = "t2"
 CHANGE_NONE = "unchanged"
+CHANGE_UNTOUCHED = "untouched"  # dim-only rows of the full-outer classify
 
 
 def _any_differs(cols: Sequence[str]) -> Column:
@@ -66,6 +67,7 @@ def scd_classify(
     sk_col: str = "sk",
     current_col: str = "is_current",
     broadcast_dim: bool = True,
+    include_untouched: bool = False,
 ) -> DataFrame:
     """The SCD probe join + routing decision (SSIS outputs New / Changing /
     Historical / no-op), as a single classified DataFrame.
@@ -75,24 +77,47 @@ def scd_classify(
     outgrows the broadcast threshold — the probe becomes a key-shuffle
     join and AQE handles any key skew.
 
+    `include_untouched=True` (optimization r12, guide §3) widens the
+    probe to a FULL OUTER join so current dim rows whose key is absent
+    from staging come back as `change_type='untouched'` — folding what
+    was a separate `current LEFT ANTI staging-keys` join (a second pass
+    over BOTH inputs) into the one probe. A full outer join cannot
+    broadcast, so this form is a key-shuffle join regardless of
+    `broadcast_dim` — which is also the only shape available at
+    dimensions past the broadcast threshold, where the fold halves the
+    shuffles instead of merely the scans. Staging presence is detected
+    by an explicit marker column, never by attr nullness (staging attrs
+    may be legitimately NULL).
+
     Returns staging columns (s_-prefixed attrs), the matched current dim row's
-    columns, and `change_type` ∈ {new, t1, t2, unchanged}. T2 takes priority
-    over T1 when both change (SSIS routes such rows to the Historical output).
+    columns, and `change_type` ∈ {new, t1, t2, unchanged} (+ untouched).
+    T2 takes priority over T1 when both change (SSIS routes such rows to
+    the Historical output).
     """
     attrs = [*t1_cols, *t2_cols, *fixed_cols]
     s_ren = staging.select(
         F.col(key), *[F.col(c).alias(f"s_{c}") for c in attrs]
     )
     current = dim.filter(F.col(current_col))
-    build = F.broadcast(current) if broadcast_dim else current
-    probe = s_ren.join(build, key, "left")
-    return probe.withColumn(
-        "change_type",
+    routing = (
         F.when(F.col(sk_col).isNull(), F.lit(CHANGE_NEW))
         .when(_any_differs(t2_cols), F.lit(CHANGE_T2))
         .when(_any_differs(t1_cols), F.lit(CHANGE_T1))
-        .otherwise(F.lit(CHANGE_NONE)),
+        .otherwise(F.lit(CHANGE_NONE))
     )
+    if include_untouched:
+        probe = s_ren.withColumn("__s_present", F.lit(True)).join(
+            current, key, "full"
+        )
+        return probe.withColumn(
+            "change_type",
+            F.when(
+                F.col("__s_present").isNull(), F.lit(CHANGE_UNTOUCHED)
+            ).otherwise(routing),
+        ).drop("__s_present")
+    build = F.broadcast(current) if broadcast_dim else current
+    probe = s_ren.join(build, key, "left")
+    return probe.withColumn("change_type", routing)
 
 
 def dedupe_staging(
@@ -208,15 +233,20 @@ def scd2_apply(
     # each classify and each insert a current version (invariant breach)
     staging = dedupe_staging(staging, key, attrs)
 
-    # four downstream branches (unchanged/T1/T2-close/fresh) filter this
-    # same join result — pin it or the staging⟕dim probe join runs
-    # once per branch (spill-capable, never recompute; released at the
-    # next registry query, cache.py)
+    # five downstream branches (untouched/unchanged/T1/T2-close/fresh)
+    # filter this same join result — pin it or the staging⟗dim probe
+    # join runs once per branch (spill-capable, never recompute;
+    # released at the next registry query, cache.py). The probe is the
+    # FULL OUTER form (r12): the `untouched` slice — current rows whose
+    # key staging never mentions — rides the same join instead of a
+    # second anti-join pass over both inputs (one fewer join + one fewer
+    # scan of each input; at dims past the broadcast threshold it halves
+    # the probe shuffles).
     from ..cache import pin
 
     classified = pin(scd_classify(
         dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col,
-        broadcast_dim=broadcast_dim,
+        broadcast_dim=broadcast_dim, include_untouched=True,
     ))
 
     def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
@@ -225,10 +255,9 @@ def scd2_apply(
         )
 
     history = dim.filter(~F.col(current_col))
-    current = dim.filter(F.col(current_col))
-    untouched = current.join(
-        staging.select(key).distinct(), key, "left_anti"
-    ).select(*dim_cols)
+    untouched = project(
+        classified.filter(F.col("change_type") == CHANGE_UNTOUCHED), {}
+    )
 
     unchanged = project(classified.filter(F.col("change_type") == CHANGE_NONE), {})
     t1_updated = project(

@@ -222,3 +222,63 @@ def test_salted_allpairs_calibration_matches_plain_join(spark, sf_dir):
     got, want = _rows(salted), _rows(plain)
     assert got == want
     assert got  # non-degenerate
+
+
+def test_full_outer_classify_matches_anti_join_form(spark):
+    """scd_classify(include_untouched=True) == the left-join classify
+    plus separate anti-join it folded away — including NULL staging
+    attrs (presence must come from the marker, not attr nullness), a
+    NULL staging key, and keys present on only one side."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [
+            (1, "k1", "a", "x", "2020-01-01", None, True),
+            (2, "k2", "b", "y", "2020-01-01", None, True),
+            (9, "k2", "old", "y", "2019-01-01", "2020-01-01", False),
+            (3, "k3", None, "z", "2020-01-01", None, True),  # null attr in dim
+            (4, "k4", "d", "w", "2020-01-01", None, True),  # untouched
+        ],
+        "sk long, k string, t2a string, t1a string, start_date string, end_date string, is_current boolean",
+    )
+    staging = spark.createDataFrame(
+        [
+            ("k1", "a", "x"),      # unchanged
+            ("k2", "B", "y"),      # t2 change
+            ("k3", None, "zz"),    # t1 change with null t2 attr both sides
+            ("k5", None, None),    # new key, all-null attrs
+            (None, "n", "n"),      # null staging key -> new
+        ],
+        "k string, t2a string, t1a string",
+    )
+    got = scd.scd_classify(
+        dim, staging, "k", t1_cols=["t1a"], t2_cols=["t2a"],
+        include_untouched=True,
+    )
+    # reference: old left-join classify + anti-join untouched slice
+    ref_cls = scd.scd_classify(
+        dim, staging, "k", t1_cols=["t1a"], t2_cols=["t2a"]
+    )
+    current = dim.filter(F.col("is_current"))
+    ref_untouched = current.join(
+        staging.select("k").distinct(), "k", "left_anti"
+    )
+    def _k(rows):
+        return sorted(rows, key=repr)
+
+    got_untouched = got.filter(F.col("change_type") == scd.CHANGE_UNTOUCHED)
+    assert _k(
+        (r["sk"], r["k"]) for r in got_untouched.collect()
+    ) == _k((r["sk"], r["k"]) for r in ref_untouched.collect())
+    got_rest = got.filter(F.col("change_type") != scd.CHANGE_UNTOUCHED).select(
+        *ref_cls.columns
+    )
+    assert _k(map(tuple, got_rest.collect())) == _k(
+        map(tuple, ref_cls.collect())
+    )
+    # the null-key staging row classifies as NEW on both paths
+    assert [
+        r["change_type"] for r in got.filter(F.col("k").isNull()).collect()
+    ] == [scd.CHANGE_NEW]
