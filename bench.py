@@ -149,6 +149,13 @@ def main() -> None:
     from etl_pipline_ibrd_loan_system_spark.session import get_session
 
     spark = get_session("bench")
+    # Echo the session's ACTUAL parallelism contract (VERDICT r11 item 2:
+    # the artifact couldn't prove $SPARK_GRAFT_CPUS was honored, so the
+    # driver's scaling heuristic false-flagged a compliant run): the
+    # resolved master string and sc.defaultParallelism come from the live
+    # SparkContext, not from re-reading the env.
+    resolved_master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
     from etl_pipline_ibrd_loan_system_spark.session import (
         silence_bounded_window_warn,
     )
@@ -210,7 +217,9 @@ def main() -> None:
     steal1 = _steal_ticks()
     wall = time.perf_counter() - t_run0
     steal = None if steal0 is None or steal1 is None else steal1 - steal0
-    steal_budget = int(0.005 * wall * (os.cpu_count() or 1) * 100)
+    # budget sized by the SESSION's cores (r12; was os.cpu_count()): a
+    # reduced-core run (local[8]) must not get a 32-core steal allowance
+    steal_budget = int(0.005 * wall * default_parallelism * 100)
     steal_clean = steal is None or steal <= steal_budget
 
     print(
@@ -229,6 +238,9 @@ def main() -> None:
                 # whole-stage-codegen compile + first-touch I/O, paid
                 # once per JVM per generated class)
                 "queries_cold": cold,
+                # parallelism proof (r12): what the session actually ran
+                "master": resolved_master,
+                "default_parallelism": default_parallelism,
                 "loadavg": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "load_gate": gate,

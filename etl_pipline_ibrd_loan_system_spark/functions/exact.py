@@ -118,7 +118,22 @@ def lsum_unscaled(
     be SQL for the exact unscaled int64 (see `unscaled_sql`); `scale` its
     decimal scale; `limbs`*6 decimal digits must cover the per-row value
     bound (the top limb is NOT masked, so a bound overflowing the last
-    limb would surface as a wrong total, caught by the oracle gate)."""
+    limb would surface as a wrong total, caught by the oracle gate).
+
+    Exactness preconditions are the CALLER's (ADVICE r11): the per-row
+    |value| must fit the declared limbs and rows-per-group must stay
+    under ~9.2e12 (10^6 per limb-row * 2^63 headroom). Sessions run
+    ANSI mode (pinned in session.configure), so an int64 SUM or
+    unscaled-multiply overflow RAISES instead of wrapping; if a caller
+    disables ANSI, a violated bound wraps silently and only the oracle
+    gate would catch it. The final /10^round_to quotient keeps scale >=
+    round_to only while round_to <= 6 (Spark caps the adjusted result
+    scale at 6 under allowPrecisionLoss) — asserted below."""
+    assert 0 <= round_to <= 6, (
+        f"lsum_unscaled: round_to={round_to} > 6 would pre-round the "
+        "DECIMAL(38,0)/10^round_to quotient at 6dp (allowPrecisionLoss "
+        "scale cap) and diverge from dsum in the last ulp"
+    )
     top = limbs - 1
     parts = []
     for i in range(limbs):
@@ -151,7 +166,17 @@ def lavg_unscaled(
 ) -> Column:
     """Exact AVG twin of davg() over unscaled-long rows: the exact decimal
     sum (reassembled from limb sums) cast to DOUBLE, divided by COUNT(*)
-    in double space, rounded — step for step what davg() computes."""
+    in double space, rounded — step for step what davg() computes.
+
+    `scale` <= 6 is asserted (ADVICE r11): the U/10^scale quotient's
+    result scale is capped at 6 under allowPrecisionLoss, so a larger
+    scale would pre-round at 6dp and diverge from davg in the last ulp
+    (latent today — every call site uses scale <= 4)."""
+    assert 0 <= scale <= 6, (
+        f"lavg_unscaled: scale={scale} > 6 would pre-round the "
+        "DECIMAL(38,0)/10^scale quotient at 6dp (allowPrecisionLoss "
+        "scale cap); divide via the integer path or fall back to davg"
+    )
     top = limbs - 1
     parts = []
     for i in range(limbs):

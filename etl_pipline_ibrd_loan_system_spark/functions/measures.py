@@ -76,7 +76,14 @@ MEASURES = {
 # cents*100 <= ~1e10 (2 limbs); income u8 = cents*80 * rate_k*10 <= ~4e12
 # (3 limbs). rate_k*1000 is the exact unscaled4 of
 # CAST(rate_k/10.0 AS DECIMAL(18,4)) because |double(k/10)-k/10| << 5e-5.
-MEASURES_UNSCALED = {
+# Named LOAN_GRAIN_* because the rewrites below are only valid over a
+# fact at LOAN grain (ADVICE r11): COUNT(pk) for COUNT(DISTINCT pk)
+# requires pk uniqueness/non-nullness, and the cents/rate_k identities
+# require the money columns to be exact small-int multiples of the
+# principal's cents. Applying this dict to any other fact (e.g. after a
+# fan-out join) silently over-counts — tests/test_loan_measures.py pins
+# the only wiring to _loan_fact_unscaled.
+LOAN_GRAIN_MEASURES_UNSCALED = {
     "loans": lambda: F.count(F.lit(1)).alias("loans"),
     # COUNTD over the fact's PRIMARY KEY: pk_loan_number_sk is the loan
     # fact's unique, non-null grain key (o_orderkey), so
@@ -127,8 +134,9 @@ def dashboard_query(
     measure aggregates -> optional sort-by-measure-desc (SURVEY §2.E E2,
     §3 entry point 4: `Year In 2011L..2024L` report filter + per-visual
     group/sort). `measure_defs` selects the measure dictionary (default
-    the decimal-space MEASURES; pass MEASURES_UNSCALED with a fact that
-    exposes cents/rate_k for the long-space twins)."""
+    the decimal-space MEASURES; pass LOAN_GRAIN_MEASURES_UNSCALED with a
+    loan-grain fact that exposes cents/rate_k for the long-space
+    twins)."""
     out = fact
     if year_range and year_col:
         out = out.filter(F.col(year_col).between(*year_range))

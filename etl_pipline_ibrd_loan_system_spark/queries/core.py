@@ -67,6 +67,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   CAST(1-disc AS DEC(8,4))*1e4   == 10000 - disc_u4
     #   CAST(1+tax  AS DEC(8,4))*1e4   == 10000 + tax_u4
     # Oracle match at sf0.001/0.01/0.1 proves the identities on the data.
+    # DATA CONTRACT (ADVICE r11): the single-cast identities above hold
+    # because money/discount/tax values sit on a 2-decimal grid far from
+    # HALF_UP boundaries; on >2dp inputs or values at a rounding
+    # boundary the long-space forms would diverge from the decimal forms
+    # the oracle computes — keep the dsum/davg path for non-grid inputs.
     qty_u = unscaled_sql("CAST(l_quantity AS DECIMAL(18,4))", 4)
     cents = unscaled_sql("CAST(l_extendedprice AS DECIMAL(12,2))", 2)
     ep_u = f"({cents}) * 100"

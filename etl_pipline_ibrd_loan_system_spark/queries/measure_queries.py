@@ -52,12 +52,12 @@ def _loan_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _loan_fact_unscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The loan fact projected for MEASURES_UNSCALED (optimization r11):
+    """The loan fact projected for LOAN_GRAIN_MEASURES_UNSCALED (optimization r11):
     one decimal cast per row yields `cents` (exact unscaled int64 of the
     principal), and `rate_k` carries the integer tenths behind
     interest_rate — every money measure in _loan_fact is an exact
     small-int multiple of these (see functions/measures.py
-    MEASURES_UNSCALED). Same rows, narrower types (§2.3)."""
+    LOAN_GRAIN_MEASURES_UNSCALED). Same rows, narrower types (§2.3)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("pk_loan_number_sk"),
@@ -95,11 +95,11 @@ def _loan_fact_unscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m6_dashboard_visual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimization r11: same visual, measures evaluated through the
-    unscaled-long twins (MEASURES_UNSCALED over _loan_fact_unscaled) —
+    unscaled-long twins (LOAN_GRAIN_MEASURES_UNSCALED over _loan_fact_unscaled) —
     per-row BigDecimal products and BigDecimal sum buffers become int64
     codegen arithmetic; the oracle SQL is unchanged and proves the
     doubles bit-identical."""
-    from ..functions.measures import MEASURES_UNSCALED
+    from ..functions.measures import LOAN_GRAIN_MEASURES_UNSCALED
 
     fact = _loan_fact_unscaled(spark, sf_dir)
     out = dashboard_query(
@@ -112,7 +112,7 @@ def m6_dashboard_visual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         year_col="year",
         year_range=(1993, 1997),
-        measure_defs=MEASURES_UNSCALED,
+        measure_defs=LOAN_GRAIN_MEASURES_UNSCALED,
     )
     return out
 

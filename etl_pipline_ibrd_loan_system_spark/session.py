@@ -52,6 +52,12 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # Cost: AnalysisExceptions lose the Python call-site line; flip
         # back on when debugging a query.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # pin ANSI explicitly (r12, ADVICE r11): the unscaled-long exact
+        # aggregates (functions/exact.py) rely on int64 overflow RAISING
+        # rather than wrapping silently; true is the Spark 4 default —
+        # pinning makes the guarantee survive a build whose default
+        # differs
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.ui.enabled", "false")
         # progress bars rewrite lines with \r and interleave with tool
         # stdout — they corrupted the r7 sf0.1 sweep's per-query log
@@ -79,15 +85,29 @@ def _scratch_dir() -> str | None:
     create/flush even for KB-sized blocks (measured: dd3b 2.25s -> 1.53s
     steady just from moving spark.local.dir to tmpfs, both orders). On a
     real cluster this knob is 'point shuffle at the fast local NVMe';
-    tmpfs is the sandbox's stand-in. Shuffle data counts against RAM
-    here — for local scale experiments whose shuffle exceeds headroom,
-    set SPARK_GRAFT_LOCAL_DIR to a disk path."""
+    tmpfs is the sandbox's stand-in.
+
+    SELF-GUARDING DEFAULT (r12, VERDICT r11 item 6 / ADVICE): shuffle on
+    tmpfs counts against RAM, and spilling to RAM defeats spill under
+    exactly the memory pressure it exists to relieve — a workload whose
+    shuffle outgrows the headroom would die with ENOSPC/OOM where it
+    previously spilled to disk. The tmpfs default therefore applies ONLY
+    when /dev/shm currently has at least $SPARK_GRAFT_SHM_MIN_FREE_GB
+    (default 8) GiB free; below that the session falls back to Spark's
+    default disk scratch. An explicit $SPARK_GRAFT_LOCAL_DIR always wins
+    and is never second-guessed (set it to a disk path for local scale
+    experiments, or to tmpfs to force it)."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
     shm = "/dev/shm/spark-local"
     try:
         os.makedirs(shm, exist_ok=True)
+        import shutil
+
+        min_free_gb = float(os.environ.get("SPARK_GRAFT_SHM_MIN_FREE_GB", "8"))
+        if shutil.disk_usage(shm).free < min_free_gb * 1024**3:
+            return None  # fall back to Spark's default disk scratch
         return shm
     except OSError:  # pragma: no cover - no /dev/shm on this platform
         return None
@@ -141,6 +161,7 @@ def tune_existing(spark: SparkSession, shuffle_partitions: int | None = None) ->
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.python.sql.dataFrameDebugging.enabled": "false",
+        "spark.sql.ansi.enabled": "true",
     }.items():
         try:
             spark.conf.set(key, value)

@@ -41,6 +41,11 @@ def test_bench_emits_contract_json_line():
     # every min <= its median (4 passes, sorted)
     for name, v in d["queries"].items():
         assert v <= d["queries_median"][name] + 1e-9, name
+    # parallelism proof (r12): the artifact echoes the live session's
+    # master + defaultParallelism so the driver's scaling check can see
+    # $SPARK_GRAFT_CPUS was honored without trusting the env
+    assert d["master"].startswith("local["), d["master"]
+    assert d["default_parallelism"] >= 1
 
 
 def test_headline_near_dup_entries_are_the_collapse_twins():

@@ -276,3 +276,40 @@ def test_m39_effective_duration_agrees_with_m37_analytic(spark, sf_dir):
         assert abs(d_eff - d_mod) / d_mod < 0.02, (tier, d_eff, d_mod)
         assert r.eff_convexity_micro > 0, r
         assert r.pv_down_cents > r.pv_base_cents > r.pv_up_cents, r
+
+
+def test_loan_grain_unscaled_measures_scoped_to_loan_fact():
+    """LOAN_GRAIN_MEASURES_UNSCALED's rewrites (COUNT(pk) for COUNTD,
+    cents/rate_k identities) are only valid over the loan-grain fact.
+    Pin the wiring at source level: the ONLY module in the package that
+    references the dict is measure_queries, and there it is passed a
+    fact built by _loan_fact_unscaled (VERDICT r11 item 8 / ADVICE)."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_pipline_ibrd_loan_system_spark",
+    )
+    users = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            text = open(path).read()
+            if "LOAN_GRAIN_MEASURES_UNSCALED" in text:
+                users.append((os.path.relpath(path, pkg), text))
+    names = sorted(n for n, _ in users)
+    assert names == ["functions/measures.py", "queries/measure_queries.py"], (
+        f"LOAN_GRAIN_MEASURES_UNSCALED leaked to {names} — its rewrites "
+        "assume loan-grain pk uniqueness and cents/rate_k exactness"
+    )
+    mq = dict(users)["queries/measure_queries.py"]
+    # every dashboard_query call that selects the unscaled dict must take
+    # its fact from _loan_fact_unscaled
+    for m in re.finditer(r"dashboard_query\((.*?)\)", mq, re.S):
+        body = m.group(1)
+        if "LOAN_GRAIN_MEASURES_UNSCALED" in body:
+            assert "fact" in body
+    assert "_loan_fact_unscaled(" in mq
