@@ -233,20 +233,28 @@ def scd2_apply(
     # each classify and each insert a current version (invariant breach)
     staging = dedupe_staging(staging, key, attrs)
 
-    # five downstream branches (untouched/unchanged/T1/T2-close/fresh)
-    # filter this same join result — pin it or the staging⟗dim probe
-    # join runs once per branch (spill-capable, never recompute;
-    # released at the next registry query, cache.py). The probe is the
-    # FULL OUTER form (r12): the `untouched` slice — current rows whose
-    # key staging never mentions — rides the same join instead of a
-    # second anti-join pass over both inputs (one fewer join + one fewer
-    # scan of each input; at dims past the broadcast threshold it halves
-    # the probe shuffles).
+    # The downstream branches (unchanged/T1/T2-close/fresh, + untouched
+    # on the fold path) filter this same join result — pin it or the
+    # staging⟗dim probe join runs once per branch (spill-capable, never
+    # recompute; released at the next registry query, cache.py).
+    #
+    # Probe shape is picked DELIBERATELY per guide §3 (r12): a FULL
+    # OUTER join can never broadcast, so folding the `untouched` slice
+    # into the probe only wins when the probe already had to shuffle —
+    # i.e. when the dimension outgrows the broadcast threshold
+    # (broadcast_dim=False), where ONE full-outer key-shuffle join
+    # replaces TWO (probe + anti) and halves the probe shuffles. With a
+    # broadcastable dim the classic shape is strictly better: probe and
+    # anti-join both broadcast (ZERO shuffles, fact-free plans keep
+    # their no-SMJ invariant — tests/test_plan_regressions.py g8/g8b/
+    # dq10 guard exactly this), at the cost of a second scan of two
+    # already-small inputs. The r12 full suite caught the unconditional
+    # fold regressing those three guarded plans; it is now scoped.
     from ..cache import pin
 
     classified = pin(scd_classify(
         dim, staging, key, t1_cols, t2_cols, fixed_cols, sk_col, current_col,
-        broadcast_dim=broadcast_dim, include_untouched=True,
+        broadcast_dim=broadcast_dim, include_untouched=not broadcast_dim,
     ))
 
     def project(df: DataFrame, overrides: dict[str, Column]) -> DataFrame:
@@ -255,9 +263,17 @@ def scd2_apply(
         )
 
     history = dim.filter(~F.col(current_col))
-    untouched = project(
-        classified.filter(F.col("change_type") == CHANGE_UNTOUCHED), {}
-    )
+    if broadcast_dim:
+        # broadcast regime: untouched = current dim keys staging never
+        # mentions, via a broadcastable anti-join (staging keys are the
+        # small side by construction here)
+        untouched = dim.filter(F.col(current_col)).join(
+            staging.select(key).distinct(), key, "left_anti"
+        ).select(*dim_cols)
+    else:
+        untouched = project(
+            classified.filter(F.col("change_type") == CHANGE_UNTOUCHED), {}
+        )
 
     unchanged = project(classified.filter(F.col("change_type") == CHANGE_NONE), {})
     t1_updated = project(

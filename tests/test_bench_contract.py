@@ -30,8 +30,14 @@ def test_bench_emits_contract_json_line():
                 "queries_median", "cold_value", "loadavg", "loadavg_end",
                 "load_gate", "official", "sweeps", "sf"):
         assert key in d, f"missing contract key {key}"
-    # gate released (threshold 999) -> the run is an official record
-    assert d["official"] is True
+    # gate released (threshold 999) -> officialness is decided by the
+    # steal gate alone. The suite cannot demand the hypervisor behaved
+    # during the run (r12: ambient steal flipped this to False on a
+    # green tree), so assert the self-labeling CONTRACT instead: the
+    # flag must equal "gate clean AND steal clean", never be stamped
+    # official while either gate tripped.
+    assert d["load_gate"]["exceeded"] is False
+    assert d["official"] == (d["steal"]["ticks"] is None or d["steal"]["clean"])
     assert d["metric"] == "headline_query_wall_sec"
     assert d["unit"] == "sec"
     assert d["sweeps"] == 2

@@ -282,3 +282,44 @@ def test_full_outer_classify_matches_anti_join_form(spark):
     assert [
         r["change_type"] for r in got.filter(F.col("k").isNull()).collect()
     ] == [scd.CHANGE_NEW]
+
+
+def test_scd2_apply_probe_regimes_agree(spark):
+    """scd2_apply picks its probe shape by broadcast_dim (r12, guide §3):
+    broadcastable dims keep the zero-shuffle probe + anti-join pair,
+    unbroadcastable dims take the folded full-outer classify. Both
+    regimes must rebuild the identical dimension."""
+    from pyspark.sql import functions as F
+
+    from etl_pipline_ibrd_loan_system_spark.cache import release_pinned
+    from etl_pipline_ibrd_loan_system_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [
+            (1, "k1", "a", "x", "2020-01-01", None, True),
+            (2, "k2", "b", "y", "2020-01-01", None, True),
+            (9, "k2", "old", "y", "2019-01-01", "2020-01-01", False),
+            (4, "k4", "d", "w", "2020-01-01", None, True),  # untouched
+        ],
+        "sk long, k string, t2a string, t1a string, start_date string, end_date string, is_current boolean",
+    )
+    staging = spark.createDataFrame(
+        [("k1", "a", "x"), ("k2", "B", "y"), ("k5", None, None)],
+        "k string, t2a string, t1a string",
+    )
+    outs = []
+    for bd in (True, False):
+        out = scd.scd2_apply(
+            dim, staging, key="k", t1_cols=["t1a"], t2_cols=["t2a"],
+            asof="2024-01-01", sk_col="sk", sk_strategy="hash",
+            date_type="string", broadcast_dim=bd,
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+        release_pinned()
+        # regime proof: the folded probe (and its SMJ) exists ONLY on
+        # the unbroadcastable path
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin FullOuter" in plan or "FullOuter" in plan) == (
+            not bd
+        ), f"broadcast_dim={bd} got unexpected probe shape"
+    assert outs[0] == outs[1]
