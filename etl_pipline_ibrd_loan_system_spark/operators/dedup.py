@@ -113,10 +113,6 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature as k columns mh_0..mh_{k-1}.
 
-    Computed from an exploded shingle stream with groupBy-min — partial
-    aggregation happens map-side, so no per-row k×|shingles| array work and
-    the shuffle carries only k ints per document.
-
     `prehashed=True` means `shingles` already holds 64-bit hash values
     (array<bigint>) rather than shingle strings — the verify-stage
     restructure (optimization r12) hashes each shingle ONCE at the pinned
@@ -125,15 +121,73 @@ def minhash_signatures(
     (not %) maps the full signed range into [0, P) so the permutation
     multiply stays within int64 (h*a < 2^62) — xxhash64 inputs are
     signed, and an overflowing % would raise under ANSI mode.
+
+    Prehashed signatures are ONE narrow Arrow kernel over the hash
+    arrays (optimization r12, guide §2.2/§4): (pmod(H)·aᵢ+bᵢ) mod P,
+    min per row, vectorized k×Σ|shingles| in numpy int64 — bit-exact vs
+    the SQL form because every operand stays < 2^62 (h,a < P = 2^31-1)
+    and numpy's % matches Spark's pmod for non-negative moduli. This
+    removes the explode → k-expression groupBy aggregation and with it
+    the signature Exchange entirely (the kernel is a narrow transform;
+    the old shuffle carried k longs per doc per map task). Linear in
+    shingle mass per row, so safe under exact-copy replication (each
+    copy is an independent row — sf1 decade verified).
+
+    The string path keeps the exploded groupBy-min form: partial
+    aggregation is map-side, so the shuffle carries only k ints per
+    document; md5-hex-conv hashing stays in the JVM.
     """
-    per_elem = (
-        F.pmod(F.col("s"), F.lit(MINHASH_P))
-        if prehashed
-        else (shared_hash60(F.col("s")) % MINHASH_P)
-    )
+    if prehashed:
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([perm_params(i)[0] for i in range(k)], dtype=np.int64)
+        B = np.array([perm_params(i)[1] for i in range(k)], dtype=np.int64)
+        P = MINHASH_P
+        id_type = shingled.schema[id_col].dataType.simpleString()
+
+        def part(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                arrs = pdf["shingles"]
+                lens = np.fromiter(
+                    (len(a) for a in arrs), dtype=np.int64, count=n
+                )
+                keep = lens > 0
+                if not keep.all():
+                    # the SQL form emits no row for an empty shingle set
+                    # (nothing to explode); callers filter size >= n
+                    # upstream, so this is belt-and-braces
+                    pdf = pdf[keep]
+                    arrs = pdf["shingles"]
+                    lens = lens[keep]
+                    n = len(pdf)
+                    if not n:
+                        continue
+                H = np.mod(
+                    np.concatenate(
+                        [np.asarray(a, dtype=np.int64) for a in arrs]
+                    ),
+                    P,
+                )
+                M = (H[None, :] * A[:, None] + B[:, None]) % P  # k × Σ|sh|
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                S = np.minimum.reduceat(M, starts, axis=1)  # k × n
+                out = {id_col: pdf[id_col].to_numpy()}
+                for i in range(k):
+                    out[f"mh_{i}"] = S[i]
+                yield pd.DataFrame(out)
+
+        schema = f"{id_col} {id_type}, " + ", ".join(
+            f"mh_{i} long" for i in range(k)
+        )
+        return shingled.select(id_col, "shingles").mapInPandas(part, schema)
     h = (
         shingled.select(id_col, F.explode("shingles").alias("s"))
-        .select(id_col, per_elem.alias("h"))
+        .select(id_col, (shared_hash60(F.col("s")) % MINHASH_P).alias("h"))
     )
     # one parsed expr per permutation (k x ~6 Column calls is py4j-bound)
     aggs = []
@@ -212,10 +266,87 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_verify_pairs(
-    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+def _pair_payload_once(
+    pairs: DataFrame, payload: DataFrame, id_col: str, payload_cols: list[str]
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs; keep >= threshold."""
+    """Attach a per-id payload to both sides of a pair set with the
+    payload relation entering exactly ONE Exchange (optimization r12,
+    guide §2.3/§8 "decide small, move heavy once").
+
+    The two-join form (pairs ⋈ payload_a on id_a, then ⋈ payload_b on
+    id_b) moves the corpus-grain payload through TWO exchanges and
+    re-shuffles each pair's side-a payload through the second join's
+    exchange: ~2N + P payload rows in flight. This form explodes each
+    (already-deduped) pair into two 16-byte edge rows, joins the payload
+    ONCE by id, and regroups by the pair key: N + 2P payload rows. Only
+    call it where P (candidate pairs) < N (payload rows) is structural —
+    the collapse twins, whose banding bounds pair mass after identical
+    content is removed; under raw exact-copy mass P is quadratic and the
+    two-join form moves fewer bytes (the r11 pairgen scoping lesson).
+
+    Pair-side payloads come back as structs `a`/`b` (side 0 = id_a);
+    pairs whose ids lack a payload row drop, exactly like the inner
+    two-join form. The payload side stays shuffle-hash-hinted: never
+    broadcast a corpus-grain array relation (sf10 OOM landmine, r7); the
+    16-byte edge side is free to broadcast if AQE sizes it small."""
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.col("id_a").alias("__id"),
+                    F.lit(0).alias("__side"),
+                ),
+                F.struct(
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.col("id_b").alias("__id"),
+                    F.lit(1).alias("__side"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    p = payload.select(
+        F.col(id_col).alias("__id"), pay.alias("__pay")
+    ).hint("shuffle_hash")
+    return (
+        edges.join(p, "__id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("__pay", "__side").alias("a"),
+            F.max_by("__pay", "__side").alias("b"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == 2)  # both sides present (inner-join parity)
+        .drop("__n")
+    )
+
+
+def jaccard_verify_pairs(
+    shingled: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+    move_once: bool = False,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keep >= threshold.
+
+    `move_once=True` (optimization r12) verifies through
+    _pair_payload_once — the shingle relation enters ONE exchange and
+    each surviving pair's two arrays move once to meet, instead of the
+    corpus-grain arrays shuffling through both pair-side joins. Scoped
+    to collapse-twin callers (see _pair_payload_once's P < N argument).
+    """
+    if move_once:
+        pp = _pair_payload_once(pairs, shingled, id_col, ["shingles"])
+        j = F.size(
+            F.array_intersect("a.shingles", "b.shingles")
+        ).cast("double") / F.size(F.array_union("a.shingles", "b.shingles"))
+        return pp.select("id_a", "id_b", j.alias("jaccard")).where(
+            F.col("jaccard") >= threshold
+        )
     # the shingle relation is corpus-grain with array payloads: its
     # in-memory broadcast form is orders of magnitude bigger than the
     # columnar estimate (sf10 broadcast-OOM landmine, r7) — pin a
@@ -297,7 +428,11 @@ def minhash_dedup_pairs(
         # intermediate is a wasted materialization barrier + footprint.
         sigs = pin(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band, pairgen)
-    return jaccard_verify_pairs(shingled, cands, id_col, threshold)
+    # move-once verify rides the same P < N argument that admits grouped
+    # pairgen: banding bounds candidate mass only after exact collapse
+    return jaccard_verify_pairs(
+        shingled, cands, id_col, threshold, move_once=(pairgen == "grouped")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -745,7 +880,11 @@ def embedding_lsh_pairs(
         sigs = df.select(F.col(id_col), bits_arr.alias("bits")).select(
             F.col(id_col), chunks.alias("sig")
         )
-    sigs = pin(sigs)  # buckets (x2 on the join path) + prefilter x2
+    if pairgen == "join" or hamming_prefilter is not None:
+        # buckets x2 on the join path, prefilter x2; the grouped path
+        # without a prefilter consumes sigs exactly once — a single-use
+        # pin is a wasted materialization barrier (r11/r12)
+        sigs = pin(sigs)
     buckets = sigs.select(
         F.col(id_col), F.posexplode("sig").alias("band", "chunk")
     )
@@ -819,9 +958,28 @@ def embedding_lsh_pairs(
     nrm = F.sqrt(
         F.aggregate(F.transform("nv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    norms = pin(df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
+    norms = df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
         "nid", "nv", nrm.alias("nn")
-    ))  # feeds both vector joins
+    )
+    if pairgen == "grouped":
+        # collapse-twin verify (optimization r12): the vector relation
+        # enters ONE exchange and each surviving pair's two vectors move
+        # once to meet (N + 2P vector rows vs 2N + P through the two
+        # pair-side joins) — same P < N scoping argument as grouped
+        # pairgen. norms is consumed exactly once here, so it is NOT
+        # pinned (a single-use pin is a wasted materialization barrier).
+        pp = _pair_payload_once(cands, norms, "nid", ["nv", "nn"])
+        dot = F.aggregate(
+            F.zip_with("a.nv", "b.nv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        return pp.select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("a.nn") * F.col("b.nn"))).alias("cos_sim"),
+        ).where(F.col("cos_sim") >= threshold)
+    norms = pin(norms)  # feeds both vector joins
     va = norms.select(
         F.col("nid").alias("id_a"), F.col("nv").alias("v_a"), F.col("nn").alias("n_a")
     )

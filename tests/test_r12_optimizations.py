@@ -171,6 +171,77 @@ def test_hashed_shingle_minhash_matches_string_form(spark, sf_dir):
         assert got  # non-degenerate: the fixture has near-dup pairs
 
 
+def test_arrow_minhash_kernel_matches_sql_aggregation(spark, sf_dir):
+    """minhash_signatures(prehashed=True) — now one Arrow kernel — must be
+    bit-equal to the exploded groupBy-min SQL aggregation it replaced,
+    including negative xxhash64 values (pmod wrap) and single-shingle
+    docs."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_signatures,
+        perm_params,
+    )
+
+    rows = [
+        (1, [-9223372036854775808, -1, 0, 1, 9223372036854775807]),
+        (2, [42]),                      # single shingle
+        (3, [-(2**62), 2**62, 17, 17]),  # duplicate hash values
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, shingles array<bigint>")
+    got = _rows(minhash_signatures(sh, "doc_id", k=8, prehashed=True))
+    # reference: the SQL aggregation form (rebuilt inline, as it was)
+    h = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.pmod(F.col("s"), F.lit(MINHASH_P)).alias("h")
+    )
+    aggs = []
+    for i in range(8):
+        a, b = perm_params(i)
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"))
+    want = _rows(h.groupBy("doc_id").agg(*aggs))
+    assert got == want
+    # empty shingle arrays emit no signature row, like the explode form
+    empty = spark.createDataFrame(
+        [(9, [])], "doc_id long, shingles array<bigint>"
+    )
+    assert minhash_signatures(empty, "doc_id", k=4, prehashed=True).count() == 0
+
+
+def test_pair_payload_once_matches_two_join_form(spark):
+    """_pair_payload_once == pairs ⋈ payload_a ⋈ payload_b (inner): both
+    sides attached, side order preserved (a = id_a's payload), and pairs
+    with a missing payload id drop exactly like the inner joins."""
+    from etl_pipline_ibrd_loan_system_spark.operators.dedup import (
+        _pair_payload_once,
+    )
+
+    payload = spark.createDataFrame(
+        [(1, [10, 11]), (2, [20]), (3, [30, 31, 32])],
+        "doc_id long, shingles array<bigint>",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 7)],  # 7 has no payload -> drops
+        "id_a long, id_b long",
+    )
+    got = _rows(
+        _pair_payload_once(pairs, payload, "doc_id", ["shingles"]).select(
+            "id_a", "id_b", F.col("a.shingles"), F.col("b.shingles")
+        )
+    )
+    pa = payload.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    pb = payload.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    want = _rows(
+        pairs.join(pa, "id_a").join(pb, "id_b").select(
+            "id_a", "id_b", "sh_a", "sh_b"
+        )
+    )
+    assert got == want
+    assert len(got) == 3  # (2,7) dropped
+
+
 def test_salted_allpairs_calibration_matches_plain_join(spark, sf_dir):
     """lsh_calibration's salted within-block all-pairs (A keeps its
     id-hash cell, B replicates across cells) emits every unordered
