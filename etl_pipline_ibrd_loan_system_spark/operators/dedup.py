@@ -961,24 +961,16 @@ def embedding_lsh_pairs(
     norms = df.select(F.col(id_col).alias("nid"), v.alias("nv")).select(
         "nid", "nv", nrm.alias("nn")
     )
-    if pairgen == "grouped":
-        # collapse-twin verify (optimization r12): the vector relation
-        # enters ONE exchange and each surviving pair's two vectors move
-        # once to meet (N + 2P vector rows vs 2N + P through the two
-        # pair-side joins) — same P < N scoping argument as grouped
-        # pairgen. norms is consumed exactly once here, so it is NOT
-        # pinned (a single-use pin is a wasted materialization barrier).
-        pp = _pair_payload_once(cands, norms, "nid", ["nv", "nn"])
-        dot = F.aggregate(
-            F.zip_with("a.nv", "b.nv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        return pp.select(
-            "id_a",
-            "id_b",
-            (dot / (F.col("a.nn") * F.col("b.nn"))).alias("cos_sim"),
-        ).where(F.col("cos_sim") >= threshold)
+    # The move-once fold (see _pair_payload_once) was MEASURED here and
+    # rejected (r12): these verify joins are deliberately UNhinted, so
+    # AQE broadcasts the tiny candidate side and the cached vectors
+    # stream through ZERO exchanges — already better than N + 2P. The
+    # fold's forced payload shuffle regressed dd7b ~0.9 -> 1.27s exec.
+    # Unhinted is safe HERE (unlike jaccard_verify_pairs) because the
+    # vector rows are fixed-width array<double>[dim], so the broadcast
+    # size estimate is accurate (the r7 landmine was ragged string
+    # arrays whose in-memory form dwarfs the columnar estimate); at
+    # candidate mass past the threshold AQE falls back to shuffle joins.
     norms = pin(norms)  # feeds both vector joins
     va = norms.select(
         F.col("nid").alias("id_a"), F.col("nv").alias("v_a"), F.col("nn").alias("n_a")
