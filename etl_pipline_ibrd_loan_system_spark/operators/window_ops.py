@@ -53,49 +53,123 @@ def forward_fill_scalable(
     order_by: Sequence[str],
     target: str,
     num_buckets: int | None = None,
+    bucketer: str = "range",
 ) -> DataFrame:
     """E1 at scale — distributed global forward-fill without a single-task sort.
 
-    Two-pass algorithm over range buckets of the order key:
-    1. range-partition rows into `num_buckets` ordered buckets (default:
+    Two-pass algorithm over ordered buckets of the order key:
+    1. partition rows into `num_buckets` ordered buckets (default:
        2x the session's shuffle parallelism — a fixed large constant
        wastes range-sampling time on small clusters, measured 4x at
-       sf0.1 with 256 buckets on 32 cores)
-       (percentile-based split points, same mechanism as repartitionByRange);
+       sf0.1 with 256 buckets on 32 cores);
     2. per bucket, compute the bucket-local fill plus the bucket's last
        non-null value; broadcast the tiny per-bucket "carry" table and fill
        each bucket's leading nulls from the nearest preceding bucket's carry.
 
     Equivalent to the global window for a total order key; shuffle cost is
-    one range partitioning instead of a 1-task sort.
+    one ordered partitioning instead of a 1-task sort.
+
+    `bucketer` picks how the ordered buckets are formed:
+
+    - "range" (default, any key type / any distribution):
+      `repartitionByRange` — percentile split points from the range
+      partitioner's sampling pass, so bucket sizes are balanced under
+      ANY key distribution. Costs one extra execution of the input
+      (the sampler) and a persist barrier: the sampled partition id is
+      nondeterministic across executions, so the filled frame must be
+      pinned before the carry aggregate reads it.
+    - "affine" (leading order key integral AND roughly uniform — a
+      data contract the caller owns): bucket = floor((v - min(v)) *
+      B / span), a deterministic column expression, monotone in v
+      (IEEE double divide + floor are monotone; ANY monotone map
+      yields the same fill because bucket-local fill + nearest
+      preceding carry replays the global scan order). The bounds come
+      from one MIN/MAX aggregate over the single key column — columnar
+      and footer-friendly, instead of the sampler's full pass over the
+      projected input — and because the bucket id is a pure function
+      of the data, no pin is needed: the carry becomes a map-side
+      combinable partial aggregate over the RAW input (last non-null
+      == the filled value at the bucket's last row), shipping at most
+      one (bucket, carry) row per map task. Under a skewed key the
+      buckets go unbalanced (worst case: the global window's own
+      1-task shape) — that is why "range" stays the default and the
+      affine form is opt-in per call site.
     """
     if num_buckets is None:
         num_buckets = 2 * int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     okey = F.struct(*[F.col(c) for c in order_by])
-    bucketed = df.repartitionByRange(num_buckets, *order_by).withColumn(
-        "__bucket", F.spark_partition_id()
-    )
-    local_w = (
-        Window.partitionBy("__bucket")
-        .orderBy(*order_by)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Diamond DAG: filled_local feeds BOTH the output branch and the
-    # carry aggregation — pin it or the source is scanned and
-    # range-shuffled twice (visible as two parallel Scan->Exchange->
-    # Window subtrees in the un-pinned plan).
-    from ..cache import pin
+    if bucketer == "affine":
+        key = order_by[0]
+        bounds = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None:
+            # empty input or all-null leading key: one bucket
+            bucket_expr = F.lit(0)
+        else:
+            span = float(hi) - float(lo) + 1.0
+            bucket_expr = F.floor(
+                (F.col(key).cast("double") - float(lo))
+                * float(num_buckets)
+                / span
+            ).cast("int")
+        # nulls sort first under the default ASC ordering
+        bucketed = df.withColumn(
+            "__bucket",
+            F.when(F.col(key).isNull(), F.lit(-1)).otherwise(bucket_expr),
+        )
+        local_w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # __rn shares local_w's partition+sort (one Sort, one Window
+        # node) and gives the carry a TOTAL tie-break: under duplicate
+        # order keys the carry must be the filled value at the bucket's
+        # last row IN THE ORDER THE FILL USED (the oracle's stable scan
+        # order) — a max_by on the raw key would pick an arbitrary row
+        # of the tied group and diverge on mixed-value ties at bucket
+        # boundaries (caught by the sf0.01 oracle at a duplicated
+        # (orderkey, linenumber)).
+        rank_w = Window.partitionBy("__bucket").orderBy(*order_by)
+        filled_local = bucketed.withColumn(
+            target, F.last(target, ignorenulls=True).over(local_w)
+        ).withColumn("__rn", F.row_number().over(rank_w))
+        # No pin: the bucket id is a pure function of the row, so both
+        # consumers hash-shuffle the identical subtree (one reusable
+        # exchange) and any re-execution reproduces the same buckets —
+        # unlike the sampled range split, which is why the range branch
+        # must persist.
+        carries = filled_local.groupBy("__bucket").agg(
+            F.max_by(F.col(target), F.col("__rn")).alias("__carry")
+        )
+        filled_local = filled_local.drop("__rn")
+    else:
+        bucketed = df.repartitionByRange(num_buckets, *order_by).withColumn(
+            "__bucket", F.spark_partition_id()
+        )
+        local_w = (
+            Window.partitionBy("__bucket")
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # Diamond DAG: filled_local feeds BOTH the output branch and the
+        # carry aggregation — pin it or the source is scanned and
+        # range-shuffled twice (visible as two parallel Scan->Exchange->
+        # Window subtrees in the un-pinned plan), and the two executions
+        # may draw DIFFERENT sampled range splits.
+        from ..cache import pin
 
-    filled_local = pin(bucketed.withColumn(
-        target, F.last(target, ignorenulls=True).over(local_w)
-    ))
-    # Bucket carry = the filled value on the bucket's last row (null only if
-    # the whole bucket saw no non-null). num_buckets rows — trivially small.
-    carries = filled_local.groupBy("__bucket").agg(
-        F.max_by(F.col(target), okey).alias("__carry")
-    )
+        filled_local = pin(bucketed.withColumn(
+            target, F.last(target, ignorenulls=True).over(local_w)
+        ))
+        # Bucket carry = the filled value on the bucket's last row (null
+        # only if the whole bucket saw no non-null). num_buckets rows —
+        # trivially small.
+        carries = filled_local.groupBy("__bucket").agg(
+            F.max_by(F.col(target), okey).alias("__carry")
+        )
     prev_w = (
         Window.orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)

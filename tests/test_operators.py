@@ -27,6 +27,85 @@ def test_forward_fill_matches_scalable(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_forward_fill_affine_matches_range(spark):
+    df = _sparse_df(spark)
+    a = forward_fill_scalable(df, ["k"], "val", num_buckets=8).orderBy("k").collect()
+    b = (
+        forward_fill_scalable(df, ["k"], "val", num_buckets=8, bucketer="affine")
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_forward_fill_affine_carry_uses_fill_order_on_tied_boundary(spark):
+    """Regression for the sf0.01 oracle catch: a DUPLICATED order key
+    with differing non-null values sitting on a bucket's last row must
+    hand the next bucket's leading nulls the value the fill itself saw
+    last (stable scan order), not the max value of the tied group.
+    keys 0..9 with num_buckets=5 put the bucket boundary between 5 and
+    6; k=5 is duplicated ('R' first, 'N' second in scan order), k=6 is
+    null and must fill to 'N'."""
+    rows = [(0, "a"), (1, None), (2, "b"), (3, None), (4, "c"),
+            (5, "R"), (5, "N"), (6, None), (7, None), (8, "d"), (9, None)]
+    df = spark.createDataFrame(rows, ["k", "val"]).coalesce(1)
+    got = forward_fill_scalable(
+        df, ["k"], "val", num_buckets=5, bucketer="affine"
+    )
+    vals = {r.k: r.val for r in got.collect() if r.k != 5}
+    assert vals == {0: "a", 1: "a", 2: "b", 3: "b", 4: "c",
+                    6: "N", 7: "N", 8: "d", 9: "d"}
+    assert sorted(r.val for r in got.collect() if r.k == 5) == ["N", "R"]
+
+
+def test_forward_fill_affine_edge_keys(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", LongType(), True),
+        StructField("val", StringType(), True),
+    ])
+    # empty input
+    empty = spark.createDataFrame([], schema)
+    assert (
+        forward_fill_scalable(empty, ["k"], "val", bucketer="affine").count()
+        == 0
+    )
+    # null keys sort first: the null-key row's value seeds the fill
+    df = spark.createDataFrame(
+        [(None, "z"), (1, None), (2, None), (3, "a"), (4, None)], schema
+    )
+    got = {
+        r.k: r.val
+        for r in forward_fill_scalable(
+            df, ["k"], "val", num_buckets=4, bucketer="affine"
+        ).collect()
+    }
+    assert got == {None: "z", 1: "z", 2: "z", 3: "a", 4: "a"}
+    # all-null leading key: one bucket, same answer as the single-task
+    # global window
+    allnull = spark.createDataFrame(
+        [(None, "x"), (None, None), (None, "y"), (None, None)], schema
+    ).coalesce(1)
+    from collections import Counter
+
+    got = Counter(
+        (r.k, r.val)
+        for r in forward_fill_scalable(
+            allnull, ["k"], "val", bucketer="affine"
+        ).collect()
+    )
+    ref = Counter(
+        (r.k, r.val)
+        for r in forward_fill(
+            allnull, ["k"], "val", single_task=True
+        ).collect()
+    )
+    assert got == ref
+
+
 def test_forward_fill_idempotent(spark):
     df = _sparse_df(spark)
     once = forward_fill(df, ["k"], "val")

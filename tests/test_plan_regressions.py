@@ -64,6 +64,30 @@ def test_e1_fill_stage_is_distributed(spark, sf_dir, registry):
     )
 
 
+def test_e1b_affine_fill_has_no_sampler_and_no_pin(spark, sf_dir, registry):
+    """e1b's affine-bucket form (optimization r12): the fill must stay
+    bucket-partitioned (never one global task), but the ordered buckets
+    come from a deterministic affine map of l_orderkey — so the plan
+    carries NO rangepartitioning exchange (no sampler pass over the
+    input) and NO InMemoryTableScan (the deterministic bucket id makes
+    the persist barrier unnecessary: both consumers share one reusable
+    hash exchange)."""
+    df = registry["e1b_forward_fill_scalable"](spark, sf_dir)
+    plan = _plan(df)
+    assert "windowspecdefinition(__bucket" in plan, (
+        "e1b's fill window is no longer bucket-partitioned"
+    )
+    assert "rangepartitioning" not in plan.lower(), (
+        "e1b regressed to the sampled range-bucket pass"
+    )
+    assert "hashpartitioning(__bucket" in plan, (
+        "e1b's bucket shuffle is no longer a deterministic hash exchange"
+    )
+    assert "InMemoryTableScan" not in plan, (
+        "e1b re-grew a persist barrier"
+    )
+
+
 def test_tx7_no_window_exec(spark, sf_dir, registry):
     plan = _plan(registry["tx7_vocab_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
