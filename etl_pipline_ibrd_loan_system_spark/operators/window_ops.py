@@ -87,10 +87,12 @@ def forward_fill_scalable(
       from one MIN/MAX aggregate over the single key column — columnar
       and footer-friendly, instead of the sampler's full pass over the
       projected input — and because the bucket id is a pure function
-      of the data, no pin is needed: the carry becomes a map-side
-      combinable partial aggregate over the RAW input (last non-null
-      == the filled value at the bucket's last row), shipping at most
-      one (bucket, carry) row per map task. Under a skewed key the
+      of the data, no pin is needed: the fill branch and the carry
+      branch plan the IDENTICAL scan->project->exchange subtree, so the
+      planner reuses one exchange (ReusedExchange with AQE off; the AQE
+      stage cache at runtime) and the carry re-reads that shuffle
+      output instead of a persisted copy of the filled frame. Under a
+      skewed key the
       buckets go unbalanced (worst case: the global window's own
       1-task shape) — that is why "range" stays the default and the
       affine form is opt-in per call site.
