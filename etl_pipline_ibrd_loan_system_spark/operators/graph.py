@@ -625,6 +625,53 @@ def lpa_oracle_ctes(rounds: int = 4) -> str:
     return ",\n    ".join(parts)
 
 
+def _register_max_merge(pairs: DataFrame, m: int) -> DataFrame:
+    """Elementwise-max merge of (node, regs array<tinyint>[m]) rows —
+    the HyperBall register combine — as TWO Arrow kernels instead of m
+    per-column MAX aggregates. The m-wide SQL aggregate exceeds the
+    whole-stage-codegen field limit and executes interpreted: measured
+    4.5 s per round at sf0.01 (~58M scalar updates on 2 tasks) vs
+    ~0.3 s for `np.maximum.reduceat` over the same rows; raising
+    spark.sql.codegen.maxFields to cover 512 buffers made it slower
+    still (giant-method JIT fallback). Same exchange bytes as the SQL
+    form: level 1 is the map-side combine (at most one row per
+    (input partition, node) leaves an executor), the pinned hash
+    repartition clusters nodes, level 2 finishes the merge — so each
+    node exits exactly once. Integer max is order-free, so the merge
+    is partition- and batch-order-invariant (the determinism the
+    oracle replay relies on)."""
+
+    def seg_max(batches):
+        import numpy as np
+        import pandas as pd
+
+        nodes_parts, mats = [], []
+        for pdf in batches:
+            if len(pdf):
+                nodes_parts.append(pdf["node"].to_numpy(dtype=np.int64))
+                mats.append(np.stack(pdf["regs"].to_numpy()).astype(np.int8, copy=False))
+        if not nodes_parts:
+            return
+        nodes = np.concatenate(nodes_parts)
+        regs = np.vstack(mats)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        regs = regs[order]
+        starts = np.flatnonzero(
+            np.r_[True, nodes[1:] != nodes[:-1]]
+        )
+        merged = np.maximum.reduceat(regs, starts, axis=0)
+        yield pd.DataFrame({"node": nodes[starts], "regs": list(merged)})
+
+    schema = "node long, regs array<tinyint>"
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    partial = pairs.mapInPandas(seg_max, schema)
+    # pinned numPartitions: AQE's size-based coalescing would fold the
+    # small-but-CPU-dense register partials onto 1-2 tasks (measured —
+    # that, plus the interpreted agg, was the whole g18 gate wall)
+    return partial.repartition(par, "node").mapInPandas(seg_max, schema)
+
+
 def hyperball(
     edges: DataFrame,
     rounds: int = 3,
@@ -682,19 +729,24 @@ def hyperball(
     # graph (~110M symmetric edges) at ~0.4 TB of shuffle per round
     # and filled the disk; byte registers are ~7x smaller (true
     # HyperBall packs 6-bit registers tighter still — bit-packing into
-    # longs is the next step if a corpus needs it)
-    pack = [
-        F.coalesce(
-            F.max(F.when(F.col("bucket") == i, F.col("m_reg"))), F.lit(0)
-        )
-        .cast("tinyint")
-        .alias(f"r{i}")
-        for i in range(m)
-    ]
+    # longs is the next step if a corpus needs it).
+    # Each node's ball(0) sketch holds exactly ONE hashed member (the
+    # node id itself), so `sparse` is one (node, bucket, m_reg) row per
+    # node and the dense vector is a PROJECTION — zeros, the register,
+    # zeros — not an m-wide pivot aggregate (which executed interpreted
+    # at 3-4 s; see _register_max_merge).
+    z8 = F.lit(0).cast("tinyint")
     regs = (
-        sparse.groupBy("node")
-        .agg(*pack)
-        .select("node", F.array(*[f"r{i}" for i in range(m)]).alias("regs"))
+        sparse.select(
+            "node",
+            F.concat(
+                F.array_repeat(z8, F.col("bucket").cast("int")),
+                F.array(F.col("m_reg").cast("tinyint")),
+                F.array_repeat(
+                    z8, F.lit(m - 1) - F.col("bucket").cast("int")
+                ),
+            ).alias("regs"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -722,24 +774,14 @@ def hyperball(
         ).otherwise(raw)
     ).cast("bigint")
 
-    elem_max = [
-        F.max(F.element_at("regs", i + 1)).alias(f"r{i}") for i in range(m)
-    ]
     balls = regs.select("node", est_expr.alias("ball_r0"))
     for t in range(1, rounds + 1):
         contrib = e.join(
             regs.withColumnRenamed("node", "__s"), e.src == F.col("__s")
         ).select(F.col("dst").alias("node"), "regs")
-        regs = (
-            contrib.unionByName(regs.select("node", "regs"))
-            .groupBy("node")
-            .agg(*elem_max)
-            .select(
-                "node",
-                F.array(*[f"r{i}" for i in range(m)]).alias("regs"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        regs = _register_max_merge(
+            contrib.unionByName(regs.select("node", "regs")), m
+        ).localCheckpoint(eager=True)
         balls = balls.join(
             regs.select("node", est_expr.alias(f"ball_r{t}")), "node"
         )

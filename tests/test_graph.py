@@ -295,3 +295,40 @@ def test_hyperball_matches_independent_hll_replay(spark):
             got = out[node][f"ball_r{r}"]
             assert got == estimate(balls[node]), (node, r)
             assert got >= out[node][f"ball_r{r - 1}"]
+
+
+def test_register_max_merge_matches_sql_aggregation(spark):
+    """The Arrow register combine (optimization r12: replaces the m
+    per-column MAX aggregates that executed interpreted) must merge
+    bit-identically to the SQL form it replaced — including nodes
+    spread across partitions, single-row nodes, and the rho cap value.
+    """
+    import random
+
+    import pyspark.sql.functions as F
+
+    m = 32
+    rng = random.Random(7)
+    rows = [
+        (node, [rng.choice([0, 1, 3, 7, 20]) for _ in range(m)])
+        for node in (1, 2, 2, 3, 3, 3, 9)
+        for _ in range(2)
+    ]
+    df = spark.createDataFrame(
+        [(n, [int(x) for x in v]) for n, v in rows],
+        "node long, regs array<tinyint>",
+    ).repartition(5)
+    got = {
+        r.node: list(r.regs)
+        for r in graph._register_max_merge(df, m).collect()
+    }
+    ref = {
+        r.node: [r[f"r{i}"] for i in range(m)]
+        for r in df.groupBy("node")
+        .agg(*[F.max(F.element_at("regs", i + 1)).alias(f"r{i}") for i in range(m)])
+        .collect()
+    }
+    assert got == ref
+    # empty input: no rows, no failure
+    empty = spark.createDataFrame([], "node long, regs array<tinyint>")
+    assert graph._register_max_merge(empty, m).count() == 0
